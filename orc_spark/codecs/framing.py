@@ -1,0 +1,446 @@
+"""Stripe framing: pyarrow column <-> self-describing encoded blob.
+
+A *stripe* is one Arrow batch's worth of one column, encoded as a
+single binary blob:
+
+    magic(2)=b"OS" | ver(1) | codec_id(1) | dtype(1) | flags(1)
+    | n_rows(<q) | params_len(<H) | params(utf8 json)
+    | [flags&1: nullmap_len(<I) | nullmap]   # arrow-style LSB validity
+    | payload
+
+Codec kernels (bitpack / rle / fsst / dict) see only dense non-null
+values; this layer strips and reinserts nulls, preserving the
+None-vs-"" distinction bit-identically (FIXTURES.md F2 `str_with_nulls`).
+
+Mirrors the role of ORC's stripe footer (public ORC v1 spec: per-column
+encoding id + parameters), not its byte layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import fsst, rle
+
+MAGIC = b"OS"
+VERSION = 1
+
+# codec ids
+CODECS = {
+    "raw": 0,
+    "rle_sr": 1,
+    "rle_direct": 2,
+    "rle_delta": 3,
+    "rle_pb": 4,
+    "rle_auto": 5,  # pick cheapest int submode from exact size formulas
+    "dict": 6,
+    "fsst": 7,
+    "for_ts": 8,  # frame-of-reference for timestamps (rle_auto on int64 view)
+}
+CODEC_NAMES = {v: k for k, v in CODECS.items()}
+
+_INT_SUBMODES = {
+    "rle_sr": (1, rle.rle_sr_encode, rle.rle_sr_decode),
+    "rle_direct": (2, rle.rle_direct_encode, rle.rle_direct_decode),
+    "rle_delta": (3, rle.rle_delta_encode, rle.rle_delta_decode),
+    "rle_pb": (4, rle.rle_pb_encode, rle.rle_pb_decode),
+}
+_SUBMODE_BY_ID = {i: (enc, dec) for _, (i, enc, dec) in _INT_SUBMODES.items()}
+
+# dtype ids
+_DT_INT64 = 1
+_DT_FLOAT64 = 2
+_DT_STRING = 3
+_DT_BINARY = 4
+_DT_TS_US = 5
+_DT_INT32 = 6
+_DT_LARGE_STRING = 7
+_DT_LARGE_BINARY = 8
+_DT_FLOAT32 = 9
+_DT_DATE32 = 10
+
+
+def _dtype_id(t: pa.DataType) -> int:
+    if pa.types.is_int64(t):
+        return _DT_INT64
+    if pa.types.is_float64(t):
+        return _DT_FLOAT64
+    if pa.types.is_string(t):
+        return _DT_STRING
+    if pa.types.is_binary(t):
+        return _DT_BINARY
+    if pa.types.is_timestamp(t):
+        return _DT_TS_US
+    if pa.types.is_int32(t):
+        return _DT_INT32
+    if pa.types.is_large_string(t):
+        return _DT_LARGE_STRING
+    if pa.types.is_large_binary(t):
+        return _DT_LARGE_BINARY
+    if pa.types.is_float32(t):
+        return _DT_FLOAT32
+    if pa.types.is_date32(t):
+        return _DT_DATE32
+    raise TypeError(f"unsupported column type: {t}")
+
+
+_STRING_DTS = {_DT_STRING, _DT_BINARY, _DT_LARGE_STRING, _DT_LARGE_BINARY}
+_INT_DTS = {_DT_INT64, _DT_INT32, _DT_TS_US, _DT_DATE32}
+
+
+# ------------------------------------------------------------ int helpers
+
+def encode_ints_auto(values: np.ndarray) -> bytes:
+    """Pick the cheapest RLE submode from exact size formulas (no trial
+    encodes) — this is the inner 'writer heuristic' (ORC spec writer)."""
+    v = values.astype(np.int64, copy=False)
+    n = len(v)
+    if n == 0:
+        sub_id, enc, _ = _INT_SUBMODES["rle_direct"]
+        return struct.pack("<B", sub_id) + enc(v)
+    costs: dict[str, int] = {}
+    # direct: n * width(max-min)
+    vmin, vmax = int(v.min()), int(v.max())
+    span = (vmax - vmin) % (1 << 64)
+    w_direct = span.bit_length()
+    costs["rle_direct"] = n * w_direct
+    # sr: n_runs * (width(zigzag vals) + width(max run len))
+    n_runs = int(np.count_nonzero(np.diff(v))) + 1
+    if n_runs < n:  # only worth considering with actual runs
+        costs["rle_sr"] = n_runs * (64 + 16)  # conservative upper estimate
+    # delta: n * width(zigzag deltas)
+    if n > 1:
+        d = np.diff(v)
+        zz_max = int(rle.bitpack.zigzag_encode(d).max())
+        costs["rle_delta"] = (n - 1) * zz_max.bit_length()
+    # pb: only when direct width is inflated by outliers
+    if w_direct > 16 and n > 64:
+        costs["rle_pb"] = costs["rle_direct"]  # refined by trial below
+    best = min(costs, key=lambda k: (costs[k], k))
+    if "rle_pb" in costs:
+        # pb's benefit needs the histogram — do the one trial encode.
+        trial = rle.rle_pb_encode(v)
+        if len(trial) * 8 < costs[best]:
+            return struct.pack("<B", _INT_SUBMODES["rle_pb"][0]) + trial
+    sub_id, enc, _ = _INT_SUBMODES[best]
+    return struct.pack("<B", sub_id) + enc(v)
+
+
+def decode_ints_auto(data: bytes, n: int) -> np.ndarray:
+    (sub_id,) = struct.unpack("<B", data[:1])
+    _, dec = _SUBMODE_BY_ID[sub_id]
+    return dec(data[1:], n)
+
+
+# --------------------------------------------------------- string helpers
+
+def _string_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(lengths int64, concatenated bytes) of the NON-NULL values."""
+    dense = arr.drop_null()
+    big = dense.cast(
+        pa.large_binary()
+        if pa.types.is_binary(dense.type) or pa.types.is_large_binary(dense.type)
+        else pa.large_string()
+    )
+    buffers = big.buffers()  # [validity, offsets(int64), data]
+    offs = np.frombuffer(buffers[1], dtype=np.int64, count=len(big) + 1, offset=big.offset * 8)
+    data = buffers[2].to_pybytes()[offs[0] : offs[-1]] if buffers[2] is not None else b""
+    return np.diff(offs), data
+
+
+def _encode_strings_raw(lengths: np.ndarray, data: bytes) -> bytes:
+    lb = encode_ints_auto(lengths)
+    return struct.pack("<I", len(lb)) + lb + data
+
+
+def _decode_strings_raw(payload: bytes, n_valid: int) -> tuple[np.ndarray, bytes]:
+    (lb_len,) = struct.unpack("<I", payload[:4])
+    lengths = decode_ints_auto(payload[4 : 4 + lb_len], n_valid)
+    return lengths, payload[4 + lb_len :]
+
+
+def _encode_strings_fsst(lengths: np.ndarray, data: bytes) -> bytes:
+    lb = encode_ints_auto(lengths)
+    comp = fsst.compress(data)
+    return struct.pack("<I", len(lb)) + lb + comp
+
+
+def _decode_strings_fsst(payload: bytes, n_valid: int) -> tuple[np.ndarray, bytes]:
+    (lb_len,) = struct.unpack("<I", payload[:4])
+    lengths = decode_ints_auto(payload[4 : 4 + lb_len], n_valid)
+    return lengths, fsst.decompress(payload[4 + lb_len :])
+
+
+def _encode_strings_dict(arr: pa.Array) -> bytes:
+    """Sorted symbol table + indices (ORC DICTIONARY_V2 semantics)."""
+    dense = arr.drop_null()
+    denc = dense.dictionary_encode()
+    dictionary = denc.dictionary
+    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # sort the dictionary; remap indices to sorted ranks
+    order = pa.compute.array_sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    sorted_dict = dictionary.take(pa.array(order))
+    new_indices = rank[indices]
+    dlen, ddata = _string_parts(sorted_dict)
+    dl = encode_ints_auto(dlen)
+    ib = encode_ints_auto(new_indices)
+    return (
+        struct.pack("<qI", len(sorted_dict), len(dl))
+        + dl
+        + struct.pack("<q", len(ddata))
+        + ddata
+        + ib
+    )
+
+
+def _decode_strings_dict(payload: bytes, n_valid: int) -> tuple[np.ndarray, bytes]:
+    n_uniq, dl_len = struct.unpack("<qI", payload[:12])
+    off = 12
+    dlen = decode_ints_auto(payload[off : off + dl_len], n_uniq)
+    off += dl_len
+    (ddata_len,) = struct.unpack("<q", payload[off : off + 8])
+    off += 8
+    ddata = payload[off : off + ddata_len]
+    off += ddata_len
+    indices = decode_ints_auto(payload[off:], n_valid)
+    # gather value bytes: lengths per row, then a single flat gather
+    d_off = np.concatenate(([0], np.cumsum(dlen)))
+    lengths = dlen[indices]
+    starts = d_off[indices]
+    total = int(lengths.sum())
+    if total:
+        dbuf = np.frombuffer(ddata, dtype=np.uint8)
+        # cumsum-trick gather (see fsst.decompress fallback); zero-length
+        # rows are dropped first — duplicate indices break fancy `+=`.
+        nz = lengths > 0
+        ls, ss = lengths[nz], starts[nz]
+        d = np.ones(total, dtype=np.int64)
+        out_off = np.cumsum(ls) - ls
+        if len(ls) > 1:
+            d[out_off[1:]] += ss[1:] - (ss[:-1] + ls[:-1])
+        d[0] = ss[0]
+        data = dbuf[np.cumsum(d)].tobytes()
+    else:
+        data = b""
+    return lengths, data
+
+
+# ------------------------------------------------------------- the frame
+
+def encode_frame(arr: pa.Array, codec: str, params: dict | None = None) -> bytes:
+    """Encode one Arrow column chunk into a self-describing blob."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dt = _dtype_id(arr.type)
+    n = len(arr)
+    params = dict(params or {})
+    if dt == _DT_TS_US:
+        t = arr.type
+        params["unit"] = t.unit
+        if t.tz:
+            params["tz"] = t.tz
+    has_nulls = arr.null_count > 0
+    flags = 1 if has_nulls else 0
+
+    # dense values
+    if dt in _INT_DTS:
+        dense = arr.drop_null()
+        if dt == _DT_TS_US:
+            values = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            values = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if codec == "raw":
+            payload = values.astype("<i8").tobytes()
+        elif codec in ("rle_auto", "for_ts"):
+            payload = encode_ints_auto(values)
+        elif codec in _INT_SUBMODES:
+            sub_id, enc, _ = _INT_SUBMODES[codec]
+            payload = struct.pack("<B", sub_id) + enc(values)
+            codec = "rle_auto"  # stored uniformly as submode-tagged
+        else:
+            raise ValueError(f"codec {codec} not valid for int column")
+    elif dt in (_DT_FLOAT64, _DT_FLOAT32):
+        if codec != "raw":
+            raise ValueError(f"codec {codec} not valid for float column")
+        dense = arr.drop_null()
+        np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
+        values = dense.to_numpy(zero_copy_only=False)
+        payload = values.astype(np_dt).tobytes()
+    elif dt in _STRING_DTS:
+        if codec == "dict":
+            payload = _encode_strings_dict(arr)
+        elif codec == "fsst":
+            lengths, data = _string_parts(arr)
+            payload = _encode_strings_fsst(lengths, data)
+        elif codec == "raw":
+            lengths, data = _string_parts(arr)
+            payload = _encode_strings_raw(lengths, data)
+        else:
+            raise ValueError(f"codec {codec} not valid for string/binary column")
+    else:
+        raise TypeError(f"unhandled dtype id {dt}")
+
+    pjson = json.dumps(params, separators=(",", ":")).encode() if params else b""
+    head = (
+        MAGIC
+        + struct.pack("<BBBB", VERSION, CODECS[codec], dt, flags)
+        + struct.pack("<q", n)
+        + struct.pack("<H", len(pjson))
+        + pjson
+    )
+    if has_nulls:
+        validity = np.zeros(n, dtype=np.uint8)
+        valid_mask = ~np.asarray(arr.is_null())
+        validity[valid_mask] = 1
+        nullmap = np.packbits(validity, bitorder="little").tobytes()
+        head += struct.pack("<I", len(nullmap)) + nullmap
+    return head + payload
+
+
+def decode_frame(blob: bytes) -> pa.Array:
+    """Exact inverse of :func:`encode_frame` — bit-identical round trip."""
+    if blob[:2] != MAGIC:
+        raise ValueError("bad magic")
+    ver, codec_id, dt, flags = struct.unpack("<BBBB", blob[2:6])
+    (n,) = struct.unpack("<q", blob[6:14])
+    (plen,) = struct.unpack("<H", blob[14:16])
+    off = 16
+    params = json.loads(blob[off : off + plen]) if plen else {}
+    off += plen
+    valid_mask = None
+    n_valid = n
+    if flags & 1:
+        (nm_len,) = struct.unpack("<I", blob[off : off + 4])
+        off += 4
+        nullmap = np.frombuffer(blob, dtype=np.uint8, count=nm_len, offset=off)
+        off += nm_len
+        valid_mask = np.unpackbits(nullmap, bitorder="little", count=n).astype(bool)
+        n_valid = int(valid_mask.sum())
+    payload = blob[off:]
+    codec = CODEC_NAMES[codec_id]
+
+    if dt in _INT_DTS:
+        if codec == "raw":
+            values = np.frombuffer(payload, dtype="<i8").astype(np.int64)
+        else:
+            values = decode_ints_auto(payload, n_valid)
+        return _build_int_array(values, valid_mask, n, dt, params)
+    if dt in (_DT_FLOAT64, _DT_FLOAT32):
+        np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
+        values = np.frombuffer(payload, dtype=np_dt)
+        return _build_float_array(values, valid_mask, n, dt)
+    if dt in _STRING_DTS:
+        if codec == "dict":
+            lengths, data = _decode_strings_dict(payload, n_valid)
+        elif codec == "fsst":
+            lengths, data = _decode_strings_fsst(payload, n_valid)
+        else:
+            lengths, data = _decode_strings_raw(payload, n_valid)
+        return _build_string_array(lengths, data, valid_mask, n, dt)
+    raise TypeError(f"unhandled dtype id {dt}")
+
+
+def _expand_valid(values: np.ndarray, valid_mask, n: int, fill=0) -> np.ndarray:
+    if valid_mask is None:
+        return values
+    out = np.full(n, fill, dtype=values.dtype)
+    out[valid_mask] = values
+    return out
+
+
+def _arrow_validity(valid_mask, n: int):
+    if valid_mask is None:
+        return None
+    return pa.py_buffer(np.packbits(valid_mask.astype(np.uint8), bitorder="little").tobytes())
+
+
+def _build_int_array(values, valid_mask, n, dt, params):
+    full = _expand_valid(values.astype(np.int64), valid_mask, n)
+    if dt == _DT_TS_US:
+        t = pa.timestamp(params.get("unit", "us"), tz=params.get("tz"))
+    elif dt == _DT_INT32:
+        t = pa.int32()
+        full = full.astype(np.int32)
+    elif dt == _DT_DATE32:
+        t = pa.date32()
+        full = full.astype(np.int32)
+    else:
+        t = pa.int64()
+    buf = pa.py_buffer(full.tobytes())
+    return pa.Array.from_buffers(
+        t, n, [_arrow_validity(valid_mask, n), buf],
+        null_count=-1 if valid_mask is not None else 0,
+    )
+
+
+def _build_float_array(values, valid_mask, n, dt):
+    full = _expand_valid(values, valid_mask, n)
+    t = pa.float64() if dt == _DT_FLOAT64 else pa.float32()
+    return pa.Array.from_buffers(
+        t, n, [_arrow_validity(valid_mask, n), pa.py_buffer(full.tobytes())],
+        null_count=-1 if valid_mask is not None else 0,
+    )
+
+
+def _build_string_array(lengths, data, valid_mask, n, dt):
+    full_lengths = _expand_valid(lengths.astype(np.int64), valid_mask, n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(full_lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    large = dt in (_DT_LARGE_STRING, _DT_LARGE_BINARY)
+    if not large and total > (1 << 31) - 1:
+        large = True  # safety upgrade; callers compare values, not types
+        dt = _DT_LARGE_STRING if dt == _DT_STRING else _DT_LARGE_BINARY
+    if large:
+        t = pa.large_string() if dt == _DT_LARGE_STRING else pa.large_binary()
+        off_buf = pa.py_buffer(offsets.tobytes())
+    else:
+        t = pa.string() if dt == _DT_STRING else pa.binary()
+        off_buf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    return pa.Array.from_buffers(
+        t, n,
+        [_arrow_validity(valid_mask, n), off_buf, pa.py_buffer(data)],
+        null_count=-1 if valid_mask is not None else 0,
+    )
+
+
+# ------------------------------------------------------------- checksums
+
+def column_checksum(arr: pa.Array) -> str:
+    """Representation-independent checksum of a column's logical content.
+
+    Normalizes to (validity bits, value bytes) before hashing so the
+    same logical data hashes equal regardless of Arrow buffer layout,
+    chunking, offsets, or dictionary encoding. blake2b-64 hex.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = hashlib.blake2b(digest_size=8)
+    h.update(str(arr.type).encode())
+    validity = np.zeros(len(arr), dtype=np.uint8)
+    if arr.null_count:
+        validity[~np.asarray(arr.is_null())] = 1
+    else:
+        validity[:] = 1
+    h.update(validity.tobytes())
+    dt = _dtype_id(arr.type)
+    if dt in _INT_DTS:
+        vals = arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h.update(vals.astype("<i8").tobytes())
+    elif dt in (_DT_FLOAT64, _DT_FLOAT32):
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+        h.update(vals.tobytes())
+    elif dt in _STRING_DTS:
+        lengths, data = _string_parts(arr)
+        h.update(lengths.astype("<i8").tobytes())
+        h.update(data)
+    else:
+        raise TypeError(str(arr.type))
+    return h.hexdigest()

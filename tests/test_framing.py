@@ -1,0 +1,110 @@
+"""Frame-level round-trips: arrow column -> blob -> arrow column,
+bit-identical including nulls, unicode, and the None-vs-"" distinction
+(FIXTURES.md F2 str_with_nulls)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_spark.codecs import column_checksum, decode_frame, encode_frame
+
+RNG = np.random.default_rng(42)
+
+
+def roundtrip(arr: pa.Array, codec: str):
+    out = decode_frame(encode_frame(arr, codec))
+    if out.type != arr.type:
+        out = out.cast(arr.type)
+    assert out.equals(arr), f"{codec} {arr.type}"
+    assert column_checksum(out) == column_checksum(arr)
+    return out
+
+
+INT_CODECS = ["raw", "rle_auto", "rle_sr", "rle_direct", "rle_delta", "rle_pb"]
+STR_CODECS = ["raw", "fsst", "dict"]
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int64(codec):
+    roundtrip(pa.array(RNG.integers(-1000, 1000, 2048), type=pa.int64()), codec)
+
+
+@pytest.mark.parametrize("codec", ["raw", "rle_auto"])
+def test_int_nulls(codec):
+    vals = [int(x) if RNG.random() > 0.1 else None for x in RNG.integers(0, 50, 500)]
+    roundtrip(pa.array(vals, type=pa.int64()), codec)
+
+
+def test_int32():
+    roundtrip(pa.array(RNG.integers(0, 100, 500).astype(np.int32)), "rle_auto")
+
+
+@pytest.mark.parametrize("tz", [None, "UTC"])
+def test_timestamp_us(tz):
+    base = 1_760_000_000_000_000
+    arr = pa.array(
+        base + RNG.integers(0, 86_400_000_000, 3000), type=pa.timestamp("us", tz=tz)
+    )
+    roundtrip(arr, "for_ts")
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_strings(codec):
+    words = [f"word{i}" for i in range(9)]
+    arr = pa.array([words[i] for i in RNG.integers(0, 9, 2048)])
+    roundtrip(arr, codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_strings_nulls_vs_empty(codec):
+    arr = pa.array(["", None, "héllo", "殊字", "🎉🎉", None, "x"] * 64, type=pa.string())
+    out = roundtrip(arr, codec)
+    # None and "" must stay distinct
+    assert out[0].as_py() == ""
+    assert out[1].as_py() is None
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_binary(codec):
+    arr = pa.array([bytes([i % 256]) * (i % 64) for i in range(512)], type=pa.binary())
+    roundtrip(arr, codec)
+
+
+def test_float64():
+    vals = RNG.random(1000)
+    vals[::97] = np.nan
+    arr = pa.array(vals, type=pa.float64())
+    out = decode_frame(encode_frame(arr, "raw"))
+    # NaN != NaN; compare bit patterns
+    assert (
+        out.to_numpy(zero_copy_only=False).view(np.uint64)
+        == arr.to_numpy(zero_copy_only=False).view(np.uint64)
+    ).all()
+
+
+@pytest.mark.parametrize(
+    "typ,codec",
+    [
+        (pa.int64(), "rle_auto"),
+        (pa.string(), "fsst"),
+        (pa.string(), "dict"),
+        (pa.float64(), "raw"),
+    ],
+)
+def test_empty_and_all_null(typ, codec):
+    roundtrip(pa.array([], type=typ), codec)
+    roundtrip(pa.array([None, None, None], type=typ), codec)
+
+
+def test_checksum_distinguishes_null_from_empty():
+    a = pa.array(["", "x"], type=pa.string())
+    b = pa.array([None, "x"], type=pa.string())
+    assert column_checksum(a) != column_checksum(b)
+
+
+def test_checksum_is_layout_independent():
+    a = pa.array(["aa", "bb", "cc"])
+    sliced = pa.array(["zz", "aa", "bb", "cc"]).slice(1, 3)
+    assert column_checksum(a) == column_checksum(sliced)
