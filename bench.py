@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Bench harness: headline encode/decode throughput + scaling efficiency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus throughput/scaling extras}
+
+Workloads
+---------
+- encode_web / decode_web: the north-rule Common-Crawl-style table
+  (url, warc_ts, html, text, lang) generated deterministically
+  (seed 42, FIXTURES.md F1) and cached as parquet in /tmp; full
+  engine pipeline (salted repartition -> codec auto-select ->
+  mapInArrow encode -> stripes parquet -> lineage), then full decode.
+- encode_documents: the driver-provided documents table at
+  $SPARK_GRAFT_SF_DIR.
+- Scaling: the same encode_web job at local[N/4] vs local[N] on the
+  same input — the sandbox stand-in for N vs 4N executors (task
+  brief); reports throughput at both and efficiency = T_small/T_large/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEB_ROWS = int(os.environ.get("ORCSPARK_BENCH_WEB_ROWS", "300000"))
+RUN_SCALING = os.environ.get("ORCSPARK_BENCH_SCALING", "1") != "0"
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"orcspark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_web_parquet(rows: int) -> str:
+    """Generate the synthetic web table once; cache as parquet.
+
+    Small row groups (4096 rows) so parquet splits give full read
+    parallelism at every core count.
+    """
+    path = f"/tmp/orcspark_bench_web_v2_{rows}.parquet"
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    from orc_spark.engine import webgen
+
+    tbl = webgen.generate(rows)
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(tbl, tmp, row_group_size=4096)
+    os.rename(tmp, path)
+    return path
+
+
+def encode_kernel_job(spark, web_path: str) -> tuple[float, int, int]:
+    """Scan-side encode throughput: parquet -> mapInArrow encode -> agg.
+
+    No shuffle, no output write — measures the compute kernel the way a
+    cluster scales it (each executor encodes its own splits). This is
+    the scaling-efficiency workload; the full pipeline (with its one
+    salted shuffle + stripe write) is measured separately as encode_web.
+    """
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import encode as encode_mod
+    from orc_spark.engine import pipeline, selector
+
+    df = spark.read.parquet(web_path)
+    plans = selector.plan_for_schema(pipeline._arrow_schema(df))
+    stripes = encode_mod.encode_stage(df, plans, "kernel")
+    t0 = time.perf_counter()
+    agg = stripes.agg(
+        F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")
+    ).first()
+    sec = time.perf_counter() - t0
+    return sec, int(agg.bi), int(agg.bo)
+
+
+def warm_workers(spark, cores: int) -> None:
+    """Fork every Python worker and pay module-import cost up front so
+    timed runs measure steady-state throughput (what a long-lived
+    cluster sees), not process spawn."""
+    import pyarrow as pa
+
+    def fn(batches):
+        import orc_spark.codecs  # noqa: F401  (imports numpy/pyarrow)
+
+        for b in batches:
+            yield b
+
+    df = spark.range(0, cores * 8, 1, cores * 8)
+    df.mapInArrow(fn, "id long").count()
+
+
+def encode_web_job(spark, web_path: str, cores: int, tag: str):
+    """Returns (seconds, bytes_in, out_dir, run_id)."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import lineage, pipeline
+
+    df = spark.read.parquet(web_path)
+    out = tempfile.mkdtemp(prefix=f"orcspark_bench_{tag}_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"bench-{uuid.uuid4().hex[:8]}",
+        key="url",
+        n_partitions=max(2 * cores, 16),
+    )
+    t0 = time.perf_counter()
+    pipeline.run_encode_job(spark, df, cfg)
+    sec = time.perf_counter() - t0
+    lin = lineage.read_lineage(spark, out)
+    agg = lin.agg(
+        F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")
+    ).first()
+    return sec, int(agg.bi), int(agg.bo), out, cfg.run_id
+
+
+def kernel_bench_child(cores: int) -> None:
+    """Child-process entry: pin to `cores` CPUs (the JVM and its Python
+    workers inherit the affinity), run the encode kernel, print JSON.
+
+    CPU pinning makes local[N] a faithful stand-in for an N-core
+    cluster slice: without it, a 'small' session would still borrow
+    the whole machine for its JVM scan threads + Python workers.
+    """
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+    web_path = ensure_web_parquet(WEB_ROWS)
+    spark = make_session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, cores)
+    encode_kernel_job(spark, web_path)  # warm scan caches
+    runs = [encode_kernel_job(spark, web_path) for _ in range(3)]
+    sec, bi, bo = min(runs)
+    spark.stop()
+    print(json.dumps({"cores": cores, "sec": sec, "bytes_in": bi}))
+
+
+def run_kernel_subprocess(cores: int) -> dict:
+    import subprocess
+
+    env = dict(os.environ, ORCSPARK_KERNEL_BENCH=str(cores))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    web_path = ensure_web_parquet(WEB_ROWS)
+
+    # --- scaling: pinned subprocesses at N/4 and N cpus (fresh JVM
+    # each — the sandbox stand-in for clusters of N vs 4N executors) ---
+    thr_small = thr_large_kernel = None
+    small = max(1, CPUS // 4)
+    if RUN_SCALING and CPUS >= 4:
+        r_small = run_kernel_subprocess(small)
+        r_large = run_kernel_subprocess(CPUS)
+        queries[f"encode_kernel_{small}core"] = round(r_small["sec"], 3)
+        queries[f"encode_kernel_{CPUS}core"] = round(r_large["sec"], 3)
+        thr_small = r_small["bytes_in"] / 1e6 / r_small["sec"]
+        thr_large_kernel = r_large["bytes_in"] / 1e6 / r_large["sec"]
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, CPUS)
+
+    # --- headline: encode the web table ---
+    sec, bi, bo, out_dir, run_id = encode_web_job(spark, web_path, CPUS, "main")
+    queries["encode_web"] = round(sec, 3)
+    extras["web_rows"] = WEB_ROWS
+    extras["web_bytes_in"] = bi
+    extras["web_bytes_out"] = bo
+    extras["web_ratio"] = round(bi / bo, 3)
+    extras["encode_web_mb_s"] = round(bi / 1e6 / sec, 1)
+
+    # --- decode the web table back ---
+    from orc_spark.engine import pipeline
+
+    df = spark.read.parquet(web_path)
+    t0 = time.perf_counter()
+    dec = pipeline.decode_job(spark, out_dir, run_id, df.schema)
+    n_dec = dec.count()
+    sec = time.perf_counter() - t0
+    queries["decode_web"] = round(sec, 3)
+    extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
+    assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
+
+    # --- documents table at the requested sf ---
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import lineage, stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out2 = tempfile.mkdtemp(prefix="orcspark_bench_docs_")
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=out2, run_id="bench-docs", key="doc_id", n_partitions=max(CPUS, 8)
+    )
+    t0 = time.perf_counter()
+    pipeline.run_encode_job(spark, docs, cfg2)
+    queries["encode_documents"] = round(time.perf_counter() - t0, 3)
+    lin2 = lineage.read_lineage(spark, out2)
+    a2 = lin2.agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")).first()
+    extras["documents_ratio"] = round(a2.bi / a2.bo, 3)
+
+    t0 = time.perf_counter()
+    stats.stats_sample(docs).collect()
+    queries["stats_sample_documents"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(out2, ignore_errors=True)
+    spark.stop()
+
+    if thr_small is not None and thr_large_kernel is not None:
+        eff = (thr_large_kernel / thr_small) / (CPUS / small)
+        extras["scaling"] = {
+            "workload": "encode_kernel (scan->encode, no shuffle/write)",
+            "cores_small": small,
+            "cores_large": CPUS,
+            "mb_s_small": round(thr_small, 1),
+            "mb_s_large": round(thr_large_kernel, 1),
+            "efficiency": round(eff, 3),
+        }
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    result = {
+        "metric": "orc_spark_headline_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    kb = os.environ.get("ORCSPARK_KERNEL_BENCH")
+    if kb:
+        kernel_bench_child(int(kb))
+    else:
+        sys.exit(main())

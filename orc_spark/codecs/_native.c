@@ -21,13 +21,14 @@
  * ht_key / ht_code: 8 concatenated tables, one per symbol length 1..8;
  *   table for length L occupies [(L-1)*HT_SIZE, L*HT_SIZE).
  * len_mask: bit L-1 set iff any symbol of length L exists.
- * out_codes: >= n bytes.  out_lits: >= n bytes.  Returns token count;
- * *n_lits_out receives the number of literals. */
+ * out_codes: >= n bytes.  out_lits: >= n bytes.  out_starts: >= n
+ * entries or NULL.  Returns token count; *n_lits_out receives the
+ * number of literals. */
 long fsst_tokenize(const uint8_t *buf, long n,
                    const uint64_t *ht_key, const int64_t *ht_code,
                    unsigned len_mask,
                    uint8_t *out_codes, uint8_t *out_lits,
-                   long *n_lits_out)
+                   long *n_lits_out, int64_t *out_starts)
 {
     long pos = 0, n_tok = 0, n_lit = 0;
     int max_len = 0, min_len = 9;
@@ -36,10 +37,13 @@ long fsst_tokenize(const uint8_t *buf, long n,
     if (!max_len) { /* no symbols: everything escapes */
         memcpy(out_lits, buf, (size_t)n);
         memset(out_codes, ESCAPE, (size_t)n);
+        if (out_starts)
+            for (long i = 0; i < n; i++) out_starts[i] = i;
         *n_lits_out = n;
         return n;
     }
     while (pos < n) {
+        if (out_starts) out_starts[n_tok] = pos;
         /* big-endian 8-byte key at pos, zero-padded past the end */
         uint64_t key8 = 0;
         long avail = n - pos;

@@ -62,6 +62,7 @@ def get_lib():
             ctypes.c_void_p,  # out_codes
             ctypes.c_void_p,  # out_lits
             ctypes.c_void_p,  # n_lits_out
+            ctypes.c_void_p,  # out_starts (nullable)
         ]
         lib.fsst_decode.restype = ctypes.c_long
         lib.fsst_decode.argtypes = [

@@ -205,65 +205,116 @@ def _greedy_walk(
     return codes, lits, tok_starts
 
 
-def _compress_tokens(buf: np.ndarray, table: SymbolTable):
+def _compress_tokens(buf: np.ndarray, table: SymbolTable, want_starts: bool = False):
+    """(codes uint8, literal bytes, token_starts|None) — native C path
+    when available, numpy otherwise (identical token streams)."""
+    native = _tokenize_native(buf, table, want_starts)
+    if native is not None:
+        return native
     mlen, mcode = _match_arrays(buf, table)
-    return _greedy_walk(mlen, mcode)
+    codes, lit_pos, starts = _greedy_walk(mlen, mcode)
+    return codes, buf[lit_pos].tobytes(), (starts if want_starts else None)
 
 
-def train(sample: bytes, rounds: int = _TRAIN_ROUNDS) -> SymbolTable:
+def _as_u8(data) -> np.ndarray:
+    """bytes | ndarray | arrow buffer -> uint8 view (no copy)."""
+    if isinstance(data, np.ndarray):
+        return data.view(np.uint8)
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def train(sample, rounds: int = _TRAIN_ROUNDS) -> SymbolTable:
     """Iterative bottom-up symbol-table construction (FSST paper §3)."""
-    sample = sample[:_TRAIN_SAMPLE]
-    buf = np.frombuffer(sample, dtype=np.uint8)
+    buf = _as_u8(sample)[:_TRAIN_SAMPLE]
     table = SymbolTable([])
     if len(buf) == 0:
         return table
     for _ in range(rounds):
-        codes, lit_pos, starts = _compress_tokens(buf, table)
+        codes, literals, starts = _compress_tokens(buf, table, want_starts=True)
         n_tok = len(starts)
         tok_lens = np.diff(np.concatenate((starts, [len(buf)])))
-        gains: dict[bytes, int] = {}
+        # Candidates as parallel arrays: combo key = (len << 56) | value
+        # for len < 8, plus a separate full-64-bit class for len == 8.
+        combos: list[np.ndarray] = []
+        gains: list[np.ndarray] = []
+        combos8: list[np.ndarray] = []
+        gains8: list[np.ndarray] = []
         # Gain of symbols as used this round (count * len).
         if table.symbols:
             cnt = np.bincount(codes, minlength=256)
             for code, s in enumerate(table.symbols):
                 if cnt[code]:
-                    gains[s] = gains.get(s, 0) + int(cnt[code]) * len(s)
+                    k = _gram_key(s)
+                    g = np.array([int(cnt[code]) * len(s)], dtype=np.int64)
+                    if len(s) == MAX_SYM_LEN:
+                        combos8.append(np.array([k], dtype=np.uint64))
+                        gains8.append(g)
+                    else:
+                        combos.append(
+                            np.array([(len(s) << 56) | k], dtype=np.uint64)
+                        )
+                        gains.append(g)
         # Single escaped bytes are always candidates.
-        if len(lit_pos):
-            vals, cnts = np.unique(buf[lit_pos], return_counts=True)
-            for v, c in zip(vals.tolist(), cnts.tolist()):
-                b = bytes([v])
-                gains[b] = gains.get(b, 0) + int(c)
+        lit_arr = np.frombuffer(literals, dtype=np.uint8)
+        if len(lit_arr):
+            vals, cnts = np.unique(lit_arr, return_counts=True)
+            combos.append((np.uint64(1) << np.uint64(56)) | vals.astype(np.uint64))
+            gains.append(cnts.astype(np.int64))
         # Concatenations of adjacent tokens, truncated to 8 bytes.
         if n_tok > 1:
             pair_start = starts[:-1]
             pair_len = np.minimum(tok_lens[:-1] + tok_lens[1:], MAX_SYM_LEN)
-            # Key = (len, 8-byte window value masked to len) for vectorized
-            # unique-counting; decode keys back to bytes after.
             padded = np.concatenate((buf, np.zeros(MAX_SYM_LEN, dtype=np.uint8)))
             win8 = _gram_keys(padded, MAX_SYM_LEN)[pair_start]
-            shift = (np.uint64(8) * (MAX_SYM_LEN - pair_len).astype(np.uint64))
+            shift = np.uint64(8) * (MAX_SYM_LEN - pair_len).astype(np.uint64)
             keyval = win8 >> shift
-            short = pair_len < MAX_SYM_LEN  # len fits in top byte w/o collision
+            short = pair_len < MAX_SYM_LEN
             combo = (pair_len[short].astype(np.uint64) << np.uint64(56)) | keyval[short]
             uq, cnts = np.unique(combo, return_counts=True)
-            for k, c in zip(uq.tolist(), cnts.tolist()):
-                ln = k >> 56
-                b = int(k & ((1 << 56) - 1)).to_bytes(8, "big")[-ln:]
-                gains[b] = gains.get(b, 0) + int(c) * ln
-            # Length-8 candidates counted separately (full 64-bit keys).
+            combos.append(uq)
+            gains.append(cnts.astype(np.int64) * (uq >> np.uint64(56)).astype(np.int64))
             uq8, cnt8 = np.unique(win8[~short], return_counts=True)
-            for k, c in zip(uq8.tolist(), cnt8.tolist()):
-                b = int(k).to_bytes(8, "big")
-                gains[b] = gains.get(b, 0) + int(c) * MAX_SYM_LEN
-        # Keep top candidates by gain.
-        ranked = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))
-        table = SymbolTable([s for s, _ in ranked[:MAX_SYMBOLS]])
+            combos8.append(uq8)
+            gains8.append(cnt8.astype(np.int64) * MAX_SYM_LEN)
+
+        # Merge duplicate candidates, take top-MAX_SYMBOLS by gain.
+        def _merge(cs, gs):
+            if not cs:
+                return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+            c = np.concatenate(cs)
+            g = np.concatenate(gs)
+            uq, inv = np.unique(c, return_inverse=True)
+            return uq, np.bincount(inv, weights=g).astype(np.int64)
+
+        c_lo, g_lo = _merge(combos, gains)
+        c_8, g_8 = _merge(combos8, gains8)
+        all_g = np.concatenate((g_lo, g_8))
+        all_is8 = np.concatenate(
+            (np.zeros(len(g_lo), bool), np.ones(len(g_8), bool))
+        )
+        all_c = np.concatenate((c_lo, c_8))
+        if len(all_g) > MAX_SYMBOLS:
+            top = np.argpartition(-all_g, MAX_SYMBOLS)[:MAX_SYMBOLS]
+        else:
+            top = np.arange(len(all_g))
+        # Deterministic order: gain desc, then (len, key) asc.
+        sel_len = np.where(
+            all_is8[top], MAX_SYM_LEN, (all_c[top] >> np.uint64(56)).astype(np.int64)
+        )
+        sel_key = np.where(
+            all_is8[top], all_c[top], all_c[top] & np.uint64((1 << 56) - 1)
+        )
+        order = np.lexsort((sel_key, sel_len, -all_g[top]))
+        syms = [
+            int(k).to_bytes(8, "big")[-int(ln):]
+            for k, ln in zip(sel_key[order].tolist(), sel_len[order].tolist())
+        ]
+        table = SymbolTable(syms)
     return table
 
 
-def _tokenize_native(buf: np.ndarray, table: SymbolTable):
-    """C fast path; semantically identical to _compress_tokens."""
+def _tokenize_native(buf: np.ndarray, table: SymbolTable, want_starts: bool = False):
+    """C fast path; emits the same token stream as the numpy matcher."""
     from . import _native
 
     lib = _native.get_lib()
@@ -284,6 +335,7 @@ def _tokenize_native(buf: np.ndarray, table: SymbolTable):
     n = len(buf)
     out_codes = np.empty(n, dtype=np.uint8)
     out_lits = np.empty(n, dtype=np.uint8)
+    out_starts = np.empty(n, dtype=np.int64) if want_starts else None
     n_lits = ctypes.c_long(0)
     n_tok = lib.fsst_tokenize(
         buf.ctypes.data,
@@ -294,21 +346,25 @@ def _tokenize_native(buf: np.ndarray, table: SymbolTable):
         out_codes.ctypes.data,
         out_lits.ctypes.data,
         ctypes.byref(n_lits),
+        out_starts.ctypes.data if want_starts else None,
     )
-    return out_codes[:n_tok], out_lits[: n_lits.value].tobytes()
+    return (
+        out_codes[:n_tok],
+        out_lits[: n_lits.value].tobytes(),
+        out_starts[:n_tok] if want_starts else None,
+    )
 
 
-def compress(data: bytes, table: SymbolTable | None = None) -> bytes:
-    """Compress ``data``; payload = table + codes stream + literals."""
-    buf = np.frombuffer(data, dtype=np.uint8)
+def compress(data, table: SymbolTable | None = None) -> bytes:
+    """Compress ``data`` (bytes or uint8 ndarray); payload = table +
+    codes stream + literals."""
+    buf = _as_u8(data)
     if table is None:
         table = train(data)
-    native = _tokenize_native(buf, table) if len(buf) else None
-    if native is not None:
-        codes, literals = native
+    if len(buf):
+        codes, literals, _ = _compress_tokens(buf, table)
     else:
-        codes, lit_pos, _ = _compress_tokens(buf, table)
-        literals = buf[lit_pos].tobytes()
+        codes, literals = np.zeros(0, dtype=np.uint8), b""
     tbl = table.serialize()
     header = struct.pack("<QQ", len(codes), len(literals))
     return tbl + header + codes.tobytes() + literals

@@ -1,0 +1,62 @@
+"""Decode stage: stripes DataFrame -> reconstructed DataFrame.
+
+Stripes are shuffled so that all columns of one (partition_id,
+stripe_idx) group land in the same task, then reassembled into Arrow
+batches inside mapInArrow — exact Arrow types end-to-end, no pandas
+lossiness (nullable ints stay ints; None-vs-"" survives).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..codecs import decode_frame
+
+
+def decode_stage(
+    stripes: DataFrame, result_schema: StructType, columns: list[str] | None = None
+) -> DataFrame:
+    """Rebuild the original (encoded-column subset of the) table.
+
+    ``result_schema`` must name the decoded columns in their Spark
+    types; ``columns`` defaults to the schema's field names.
+    """
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    cols = columns or [f.name for f in result_schema.fields]
+    want = set(cols)
+    n_cols = len(want)
+    arrow_types = {
+        f.name: to_arrow_type(f.dataType) for f in result_schema.fields
+    }
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[tuple[int, int], dict[str, bytes]] = {}
+        for batch in batches:
+            d = batch.to_pydict()
+            for i in range(batch.num_rows):
+                col = d["column"][i]
+                if col not in want:
+                    continue
+                key = (d["partition_id"][i], d["stripe_idx"][i])
+                grp = pending.setdefault(key, {})
+                grp[col] = d["data"][i]
+                if len(grp) == n_cols:
+                    arrays = [
+                        decode_frame(grp[c]).cast(arrow_types[c]) for c in cols
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, names=cols)
+                    del pending[key]
+        if pending:
+            raise RuntimeError(
+                f"incomplete stripe groups (missing columns): {sorted(pending)[:4]}"
+            )
+
+    shuffled = stripes.repartition(F.col("partition_id"), F.col("stripe_idx"))
+    return shuffled.mapInArrow(fn, result_schema)

@@ -1,0 +1,142 @@
+"""mapInArrow encode stage: DataFrame -> stripes DataFrame.
+
+One *stripe* per (partition, arrow batch, column). Partition identity
+is deterministic data-derived: callers repartition by a key expression
+and the same ``pmod(hash(key), n)`` is recomputable as a column for
+resume pruning (see lineage.partition_id_col).
+
+All per-row work is Arrow/numpy inside mapInArrow — no per-row Python
+(BASELINE.json input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..codecs import column_checksum, encode_frame
+from . import selector
+
+STRIPE_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("stripe_idx", IntegerType(), False),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("bytes_in", LongType(), False),
+        StructField("bytes_out", LongType(), False),
+        StructField("checksum", StringType(), False),
+        StructField("encode_ms", DoubleType(), False),
+        StructField("attempts", IntegerType(), False),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+_STRIPE_PA_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("partition_id", pa.int32()),
+        ("stripe_idx", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("checksum", pa.string()),
+        ("encode_ms", pa.float64()),
+        ("attempts", pa.int32()),
+        ("data", pa.binary()),
+    ]
+)
+
+
+DEFAULT_SIZE_BUDGET = 0.95  # a codec must save >=5% vs input or we take raw
+
+
+def encode_with_fallback(
+    arr: pa.Array,
+    chain: list[str],
+    size_budget_ratio: float = DEFAULT_SIZE_BUDGET,
+    state: dict | None = None,
+) -> tuple[str, bytes, int]:
+    """Walk the stripe's codec chain until the size budget is met.
+
+    Reference semantics: bounded ``loop`` with ``on-exhaust`` recovery
+    (/root/reference/internal/runner/runner.go:803-898) — a codec that
+    misses the budget (bytes_out > ratio * bytes_in) falls through to
+    the next; ``raw`` terminates the chain unconditionally (a sub-5%
+    saving isn't worth a non-trivial decode path).
+    """
+    order = selector.choose_codec(arr, chain)
+    budget = max(64, int(arr.nbytes * size_budget_ratio))
+    attempts = 0
+    blob = b""
+    codec = "raw"
+    for codec in order:
+        attempts += 1
+        blob = encode_frame(arr, codec, state=state)
+        if len(blob) <= budget or codec == "raw":
+            break
+    else:  # chain exhausted without raw (custom override chains)
+        attempts += 1
+        codec = "raw"
+        blob = encode_frame(arr, "raw")
+    return codec, blob, attempts
+
+
+def encode_stage(
+    df: DataFrame,
+    plans: dict[str, selector.ColumnPlan],
+    run_id: str,
+    size_budget_ratio: float = 1.0,
+) -> DataFrame:
+    """Encode every planned column of every arrow batch into stripes."""
+    columns = sorted(plans)
+    chains = {c: plans[c].chain for c in columns}
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        col_state: dict[str, dict] = {c: {} for c in columns}
+        for sidx, batch in enumerate(batches):
+            rows = {k: [] for k in _STRIPE_PA_SCHEMA.names}
+            for col in columns:
+                arr = batch.column(col)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                t0 = time.perf_counter()
+                codec, blob, attempts = encode_with_fallback(
+                    arr, chains[col], size_budget_ratio, state=col_state[col]
+                )
+                ms = (time.perf_counter() - t0) * 1000.0
+                rows["run_id"].append(run_id)
+                rows["partition_id"].append(pid)
+                rows["stripe_idx"].append(sidx)
+                rows["column"].append(col)
+                rows["codec"].append(codec)
+                rows["n_rows"].append(len(arr))
+                rows["bytes_in"].append(int(arr.nbytes))
+                rows["bytes_out"].append(len(blob))
+                rows["checksum"].append(column_checksum(arr))
+                rows["encode_ms"].append(ms)
+                rows["attempts"].append(attempts)
+                rows["data"].append(blob)
+            yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
+
+    return df.select(columns).mapInArrow(fn, STRIPE_SCHEMA)

@@ -1,0 +1,108 @@
+"""Lineage ledger + checkpoint/resume manifest.
+
+Re-expresses the reference's per-phase persistence discipline:
+- costs/timing ledgers (/root/reference/internal/state/costs.go:13-33,
+  timing.go:14-24) -> per-stripe lineage rows in an append-only
+  parquet table (FIXTURES.md F3 schema);
+- checkpoint-after-every-phase + resume from phase_index
+  (/root/reference/internal/runner/runner.go:699-703,
+  cmd/orc/main.go:205-254) -> lineage rows with status=completed per
+  (run_id, partition); resume = anti-join of the recomputable
+  partition-id column against the completed set;
+- atomic state writes (/root/reference/internal/state/atomic.go:11-41)
+  -> Spark's atomic parquet commit protocol per append.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("input_split", StringType(), True),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("bytes_in", LongType(), False),
+        StructField("bytes_out", LongType(), False),
+        StructField("encode_ms", DoubleType(), False),
+        StructField("checksum", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ]
+)
+
+
+def lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def stripes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "stripes")
+
+
+def lineage_from_stripes(stripes: DataFrame, input_split: str | None = None) -> DataFrame:
+    """Project stripe metadata (sans blob) into lineage rows."""
+    return stripes.select(
+        "run_id",
+        "partition_id",
+        F.lit(input_split).cast("string").alias("input_split"),
+        "column",
+        "codec",
+        "n_rows",
+        "bytes_in",
+        "bytes_out",
+        "encode_ms",
+        "checksum",
+        F.lit("completed").alias("status"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def append_lineage(df: DataFrame, out_dir: str) -> None:
+    df.write.mode("append").parquet(lineage_dir(out_dir))
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = lineage_dir(out_dir)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+
+
+def completed_partitions(
+    spark: SparkSession, out_dir: str, run_id: str, n_columns: int
+) -> list[int]:
+    """Partitions whose every column committed a completed stripe set.
+
+    A partition counts as done only when all its columns are present
+    (a wave writes stripes for all columns of its partitions atomically
+    via the parquet commit, but be defensive anyway).
+    """
+    if not os.path.exists(lineage_dir(out_dir)):
+        return []  # fresh run: no Spark job needed
+    lin = read_lineage(spark, out_dir).filter(
+        (F.col("run_id") == run_id) & (F.col("status") == "completed")
+    )
+    rows = (
+        lin.groupBy("partition_id")
+        .agg(F.countDistinct("column").alias("n_cols"))
+        .filter(F.col("n_cols") >= n_columns)
+        .select("partition_id")
+        .collect()
+    )
+    return sorted(r.partition_id for r in rows)

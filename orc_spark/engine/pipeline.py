@@ -1,0 +1,157 @@
+"""Driver-side encode-job orchestration (the reference's Runner).
+
+Mirrors the reference's sequential phase loop with checkpoint-after-
+every-phase (/root/reference/internal/runner/runner.go:311-747,
+save at :699-703): partitions are processed in *waves*; each wave is
+one Spark job whose stripes and lineage commit atomically before the
+next wave starts. Killing the driver between waves loses nothing —
+resubmitting with the same run_id anti-joins completed partitions
+away (≙ `orc run --resume`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import decode as decode_mod
+from . import encode as encode_mod
+from . import lineage as lineage_mod
+from . import selector, skew
+
+
+@dataclass
+class EncodeJobConfig:
+    out_dir: str
+    run_id: str
+    key: str = "url"  # per-row key column (input_hint: url)
+    columns: list[str] | None = None  # default: all supported columns
+    n_partitions: int = 32
+    salt: int = 42
+    waves: int = 1  # >1 = finer-grained checkpoints
+    size_budget_ratio: float = encode_mod.DEFAULT_SIZE_BUDGET
+    overrides: dict[str, list[str]] | None = None
+
+
+@dataclass
+class EncodeJobResult:
+    run_id: str
+    partitions_total: int
+    partitions_skipped: int
+    partitions_encoded: int
+    waves: int = 0
+    columns: list[str] = field(default_factory=list)
+
+
+def _arrow_schema(df: DataFrame):
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema([(f.name, to_arrow_type(f.dataType)) for f in df.schema.fields])
+
+
+def run_encode_job(
+    spark: SparkSession, df: DataFrame, cfg: EncodeJobConfig
+) -> EncodeJobResult:
+    """Encode ``df`` into stripes + lineage under cfg.out_dir, resumably."""
+    columns = cfg.columns or [f.name for f in df.schema.fields]
+    if cfg.key not in columns:
+        columns = [cfg.key, *columns]
+    plans = selector.plan_for_schema(
+        _arrow_schema(df.select(columns)), cfg.overrides
+    )
+
+    pid = skew.partition_id_expr(cfg.n_partitions, cfg.key, cfg.salt)
+    done = lineage_mod.completed_partitions(
+        spark, cfg.out_dir, cfg.run_id, n_columns=len(columns)
+    )
+    todo = sorted(set(range(cfg.n_partitions)) - set(done))
+    result = EncodeJobResult(
+        run_id=cfg.run_id,
+        partitions_total=cfg.n_partitions,
+        partitions_skipped=len(done),
+        partitions_encoded=0,
+        columns=columns,
+    )
+    if not todo:
+        return result
+
+    waves = max(1, min(cfg.waves, len(todo)))
+    per_wave = -(-len(todo) // waves)
+    for w in range(waves):
+        wave_ids = todo[w * per_wave : (w + 1) * per_wave]
+        if not wave_ids:
+            break
+        wave_df = df.select(columns).withColumn("_pid", pid)
+        if len(wave_ids) < cfg.n_partitions:
+            wave_df = wave_df.filter(F.col("_pid").isin(wave_ids))
+        wave_df = skew.salted_repartition(
+            wave_df.drop("_pid"), cfg.n_partitions, cfg.key, cfg.salt
+        )
+        stripes = encode_mod.encode_stage(
+            wave_df, plans, cfg.run_id, cfg.size_budget_ratio
+        )
+        # Atomic commit per wave: parquet write is all-or-nothing.
+        stripes.write.mode("append").parquet(lineage_mod.stripes_dir(cfg.out_dir))
+        written = (
+            spark.read.parquet(lineage_mod.stripes_dir(cfg.out_dir))
+            .filter(
+                (F.col("run_id") == cfg.run_id)
+                & F.col("partition_id").isin(wave_ids)
+            )
+            .drop("data")  # column-pruned scan: blobs are never re-read
+            .cache()  # one scan feeds both the lineage write and the id count
+        )
+        lineage_mod.append_lineage(
+            lineage_mod.lineage_from_stripes(written), cfg.out_dir
+        )
+        encoded_ids = {
+            r.partition_id
+            for r in written.select("partition_id").distinct().collect()
+        }
+        written.unpersist()
+        result.partitions_encoded += len(encoded_ids)
+        result.waves += 1
+    return result
+
+
+def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
+    s = spark.read.parquet(lineage_mod.stripes_dir(out_dir))
+    if run_id:
+        s = s.filter(F.col("run_id") == run_id)
+    return s
+
+
+def decode_job(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    return decode_mod.decode_stage(
+        read_stripes(spark, out_dir, run_id), result_schema, columns
+    )
+
+
+def verify_roundtrip(
+    original: DataFrame, decoded: DataFrame, key: str
+) -> dict[str, int]:
+    """Order-insensitive equality: exceptAll both ways + count match.
+
+    ≙ the reference's output validation gate
+    (/root/reference/internal/runner/runner.go:571-624).
+    """
+    cols = [f.name for f in original.schema.fields if f.name in set(decoded.columns)]
+    o = original.select(cols)
+    d = decoded.select(cols)
+    return {
+        "count_original": o.count(),
+        "count_decoded": d.count(),
+        "missing_from_decoded": o.exceptAll(d).count(),
+        "extra_in_decoded": d.exceptAll(o).count(),
+    }

@@ -1,0 +1,106 @@
+"""Codec auto-selection — the engine's 'optimizer'.
+
+Mirrors the reference's ``branch`` dispatch (run a check, route on its
+output — /root/reference/internal/runner/runner.go:1288-1311) and its
+bounded retry ``loop`` with on-exhaust recovery
+(/root/reference/internal/runner/runner.go:803-898): each column gets
+a *fallback chain* of codecs; per stripe, the first codec whose quick
+predicate passes is tried, and if the encoded size misses the budget
+the next codec in the chain is tried, ending at ``raw`` (which never
+loses).
+
+Heuristics follow the public ORC v1 writer: dictionary encoding when
+distinct/n <= threshold; delta/direct picked inside ``rle_auto`` from
+exact size formulas; FSST for high-cardinality repetitive strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+DICT_RATIO_THRESHOLD = 0.5  # ORC spec default is 0.8; strings benefit earlier
+FSST_MIN_BYTES = 1 << 12  # below this, symbol-table overhead dominates
+
+
+@dataclass
+class ColumnPlan:
+    column: str
+    chain: list[str] = field(default_factory=lambda: ["raw"])
+
+
+def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = None) -> dict[str, ColumnPlan]:
+    """Static per-type chains; per-stripe dynamics happen in choose_codec."""
+    plans: dict[str, ColumnPlan] = {}
+    for f in schema:
+        t = f.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            chain = ["dict", "fsst", "raw"]
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            chain = ["fsst", "raw"]
+        elif (
+            pa.types.is_integer(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date32(t)
+        ):
+            chain = ["rle_auto", "raw"]
+        elif pa.types.is_floating(t):
+            chain = ["raw"]
+        else:
+            chain = ["raw"]
+        plans[f.name] = ColumnPlan(f.name, chain)
+    if overrides:
+        for c, chain in overrides.items():
+            plans[c] = ColumnPlan(c, list(chain))
+    return plans
+
+
+def stripe_stats(arr: pa.Array) -> dict:
+    """Cheap per-stripe column stats — the selector's 'check' output
+    (≙ the reference's branch.check stdout routing key)."""
+    n = len(arr)
+    out = {"n": n, "null_frac": (arr.null_count / n) if n else 0.0}
+    if n == 0:
+        return out
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t):
+        sample = arr.slice(0, min(n, 2048)).drop_null()
+        if len(sample):
+            out["distinct_ratio"] = len(sample.unique()) / len(sample)
+            out["avg_len"] = float(
+                pa.compute.mean(pa.compute.binary_length(sample)).as_py() or 0
+            )
+        else:
+            out["distinct_ratio"] = 1.0
+            out["avg_len"] = 0.0
+        out["total_bytes"] = int(arr.nbytes)
+    elif pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t):
+        v = arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(v):
+            out["min"] = int(v.min())
+            out["max"] = int(v.max())
+            d = np.diff(v) if len(v) > 1 else np.zeros(0, dtype=np.int64)
+            out["run_frac"] = float((d == 0).mean()) if len(d) else 0.0
+            out["sorted_frac"] = float((d >= 0).mean()) if len(d) else 1.0
+    return out
+
+
+def choose_codec(arr: pa.Array, chain: list[str]) -> list[str]:
+    """Order the chain for this stripe using quick stats.
+
+    Returns the (possibly re-ordered / pruned) codec attempt order; the
+    encode stage walks it with the size-budget check.
+    """
+    stats = stripe_stats(arr)
+    order = list(chain)
+    if "dict" in order:
+        dr = stats.get("distinct_ratio", 1.0)
+        if dr > DICT_RATIO_THRESHOLD:
+            order.remove("dict")  # dictionary would not pay for itself
+    if "fsst" in order and stats.get("total_bytes", 1 << 30) < FSST_MIN_BYTES:
+        order.remove("fsst")
+    if "raw" not in order:
+        order.append("raw")
+    return order

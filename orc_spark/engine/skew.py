@@ -1,0 +1,62 @@
+"""Skew handling: host extraction, skew report, salted repartition.
+
+Common-Crawl-style inputs arrive clustered by host (crawlers fetch a
+domain at a time); a handful of giant hosts would otherwise pin a few
+partitions while the rest idle. ``salted_repartition`` shuffles on
+``xxhash64(key, salt)`` so heavy domains spread uniformly — the one
+explicit shuffle in the encode pipeline (SURVEY.md §4).
+
+Partition identity for checkpoint/resume is the *physical* partition
+id, which for ``repartition(n, expr)`` Spark computes as
+``pmod(murmur3(expr), n)`` — exactly ``F.pmod(F.hash(expr), n)``, a
+pure function of the row key. :func:`partition_id_expr` recomputes it
+as a column; tests assert it equals ``spark_partition_id()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def host_of(url_col):
+    """Host component of a URL column (JVM-side regex, no UDF)."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+
+
+def skew_report(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Rows per host with share-of-total — the skew detector."""
+    by_host = df.groupBy(host_of(F.col(url_col)).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return by_host.withColumn("share", F.col("n_rows") / total).orderBy(
+        F.desc("n_rows"), "host"
+    )
+
+
+def partition_skew(df: DataFrame) -> DataFrame:
+    """Rows per physical partition — max/median proves the salt works."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("partition_id")
+    )
+
+
+def salt_expr(key: str = "url", salt: int = 42):
+    return F.xxhash64(F.col(key), F.lit(salt))
+
+
+def partition_id_expr(n_partitions: int, key: str = "url", salt: int = 42):
+    """pmod(murmur3(xxhash64(key, salt)), n) — the physical partition id
+    a row lands in under :func:`salted_repartition`, recomputable from
+    data alone (resume anti-joins on this)."""
+    return F.pmod(F.hash(salt_expr(key, salt)), F.lit(n_partitions)).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame, n_partitions: int, key: str = "url", salt: int = 42
+) -> DataFrame:
+    """Repartition on xxhash64(key, salt) — breaks host clustering."""
+    return df.repartition(n_partitions, salt_expr(key, salt))

@@ -1,0 +1,134 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, document fingerprinting. All JVM-side column
+expressions (SQL-expressible -> DuckDB oracle twins), except where
+noted."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public common words); enough for a
+# frequency heuristic, deliberately not a trained model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "des", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "y", "que", "en", "un", "una", "es"],
+    "pt": ["o", "a", "os", "de", "e", "que", "em", "um", "uma", "para"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это", "как", "по", "но"],
+}
+
+
+def token_count(text_col):
+    """Whitespace token count (0 for empty/null)."""
+    t = F.trim(F.coalesce(text_col, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_tok, F.lit(1)))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite 0..1 score.
+
+    Features (each JVM-side regex/length arithmetic):
+    - len_score: saturating length preference (100..2000 chars)
+    - alpha_ratio: alphabetic chars / non-space chars
+    - punct_ratio: punctuation / non-space chars (penalized when high)
+    - digit_ratio: digits / non-space chars (penalized when high)
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    nonspace = F.greatest(F.length(F.regexp_replace(t, r"\s", "")), F.lit(1))
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z\p{L}]", ""))
+    digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / nonspace
+    digit_ratio = digit / nonspace
+    punct_ratio = punct / nonspace
+    score = (
+        len_score * 0.4
+        + alpha_ratio * 0.4
+        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.1
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-frequency language guess over STOPWORDS lists.
+
+    Returns (id, lang_guess, lang_score). Pure column expressions:
+    per language, the fraction of tokens found in its stopword list;
+    argmax wins, 'und' (undetermined) when every score is 0.
+    """
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda tok: F.array_contains(arr, tok)))
+        scores.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        F.round(best["score"], 6).alias("lang_score"),
+    )
+
+
+TOKEN_STATS_SQL = (
+    "SELECT doc_id AS id, LENGTH(text) AS n_chars, "
+    "CASE WHEN TRIM(text) = '' THEN 0 ELSE "
+    "LEN(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens, "
+    "LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / "
+    "GREATEST(CASE WHEN TRIM(text) = '' THEN 0 ELSE "
+    "LEN(string_split_regex(TRIM(text), '\\s+')) END, 1) AS avg_token_len "
+    "FROM {table}"
+)
+
+FINGERPRINT_SQL = (
+    "SELECT doc_id AS id, sha256(text) AS content_sha, "
+    "sha256(array_to_string(list_sort(list_distinct("
+    "string_split_regex(LOWER(COALESCE(text,'')), '\\s+'))), chr(0))) AS tokenset_sha "
+    "FROM {table}"
+)
+
+EXACT_DEDUP_SQL = (
+    "SELECT sha256(text) AS content_sha, "
+    "CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies "
+    "FROM {table} GROUP BY 1 ORDER BY content_sha"
+)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 64-bit-ish fingerprints: full-text sha256 (hex)
+    plus a locality-insensitive token-set hash (order-independent)."""
+    toks = F.array_sort(
+        F.array_distinct(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        F.sha2(F.concat_ws("\x00", toks), 256).alias("tokenset_sha"),
+    )

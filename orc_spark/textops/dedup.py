@@ -1,0 +1,266 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact_dedup: content-hash grouping (one shuffle on the hash).
+- minhash_signatures / minhash_lsh_pairs: MinHash + banded LSH —
+  shingle -> k min-hashes -> b bands -> bucket join -> candidate
+  pairs -> exact Jaccard verify. Everything JVM-side (higher-order
+  functions on arrays), no Python in the hot path.
+- simhash64: 64-bit SimHash via Arrow-vectorized pandas UDF (bit
+  votes need per-token hashing; numpy beats 64 JVM aggregates).
+
+Scale notes: exact dedup shuffles once on sha2(text); minhash bands
+shuffle candidate buckets only (band hash is highly selective); the
+verify join is between candidate pairs only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id (min), copy count."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_sha")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Only the groups with >1 copy (the actual duplicates)."""
+    return exact_dedup(df, text_col, id_col).filter(F.col("n_copies") > 1)
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3):
+    """k-token shingles as an array column (JVM-side, no UDF)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[j] = min over shingles of
+    xxhash64(shingle, seed=j)."""
+    def _seeded(j: int):
+        # NOTE: a two-parameter lambda would be bound as (element, index)
+        # by Spark's HOF machinery — capture the seed via closure instead.
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sh = shingles(text_col, shingle_k).alias("_sh")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _seeded(j)))
+            for j in range(num_hashes)
+        ]
+    ).alias("sig")
+    return df.select(F.col(id_col).alias("id"), sh).select("id", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    est_jaccard is the signature agreement fraction — an unbiased
+    Jaccard estimator. Candidate generation: equal band-slices bucket
+    together; only bucket collisions are joined.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return (
+        cand.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+
+    The inverted-index join (explode shingles -> self-join on shingle)
+    is the scalable exact counterpart to minhash: candidates only,
+    never a cross join.
+    """
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+    if max_docs:
+        base = base.limit(max_docs)
+    base = base.select("id", F.array_distinct("sh").alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    inv = base.select("id", F.explode("sh").alias("s"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Arrow-vectorized pandas UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash_bytes64(tok.encode()) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            votes = bits.sum(axis=0) * 2 - len(hs)
+            sig = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def hash_bytes64(b: bytes) -> int:
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike
+    Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks (a pair within distance<=3 shares at least one of 4 chunks)."""
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return (
+        cand.select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -111,10 +111,12 @@ def test_fsst_numpy_and_native_paths_agree():
     data = STR_FIXTURES["english"] + STR_FIXTURES["all_bytes"] + b"\xff" * 40
     table = fsst.train(data)
     buf = np.frombuffer(data, dtype=np.uint8)
-    nc, nl = fsst._tokenize_native(buf, table)
-    pc, plp, _ = fsst._compress_tokens(buf, table)
+    nc, nl, ns = fsst._tokenize_native(buf, table, want_starts=True)
+    ml, mc = fsst._match_arrays(buf, table)
+    pc, plp, ps = fsst._greedy_walk(ml, mc)
     assert (nc == pc).all()
     assert nl == buf[plp].tobytes()
+    assert (ns == ps).all()
 
 
 def test_fsst_over_255_symbol_pressure():

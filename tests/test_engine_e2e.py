@@ -1,0 +1,143 @@
+"""Engine e2e: encode -> lineage -> decode -> bit-exact verify, plus
+resume semantics (FIXTURES.md F5) and skew defusal (SURVEY.md §7.5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.engine import lineage, metrics, pipeline, skew, stats, webgen
+
+
+@pytest.fixture(scope="module")
+def webdf(spark):
+    df = webgen.generate_spark(spark, 8000, with_html=True)
+    df.cache().count()
+    return df
+
+
+def test_partition_id_expr_matches_physical(spark, webdf):
+    n = 8
+    expect = skew.partition_id_expr(n, "url", 7)
+    test = skew.salted_repartition(webdf.withColumn("_e", expect), n, "url", 7)
+    assert test.filter(F.spark_partition_id() != F.col("_e")).count() == 0
+
+
+def test_salted_repartition_defuses_host_skew(spark, webdf):
+    rep = skew.salted_repartition(webdf, 16, "url", 42)
+    counts = [r.n_rows for r in skew.partition_skew(rep).collect()]
+    assert len(counts) == 16
+    med = sorted(counts)[len(counts) // 2]
+    assert max(counts) / med < 2.0, counts
+    # while the INPUT really is host-clustered: top host >= 5% of rows
+    top = skew.skew_report(webdf).first()
+    assert top.share > 0.05
+
+
+def test_encode_decode_roundtrip_webtable(spark, webdf, tmp_path):
+    out = str(tmp_path / "job")
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="rt1", key="url", n_partitions=8)
+    res = pipeline.run_encode_job(spark, webdf, cfg)
+    assert res.partitions_encoded == 8 and res.partitions_skipped == 0
+    dec = pipeline.decode_job(spark, out, "rt1", webdf.schema)
+    chk = pipeline.verify_roundtrip(webdf, dec, "url")
+    assert chk["missing_from_decoded"] == 0
+    assert chk["extra_in_decoded"] == 0
+    assert chk["count_decoded"] == chk["count_original"]
+
+
+def test_lineage_ledger_complete(spark, webdf, tmp_path):
+    out = str(tmp_path / "job")
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="rl1", key="url", n_partitions=4)
+    pipeline.run_encode_job(spark, webdf, cfg)
+    lin = lineage.read_lineage(spark, out)
+    # every (partition, column) has at least one completed stripe row
+    got = {
+        (r.partition_id, r.column)
+        for r in lin.select("partition_id", "column").distinct().collect()
+    }
+    assert got == {(p, c) for p in range(4) for c in ["url", "warc_ts", "html", "text", "lang"]}
+    by_col = {r.column: r for r in metrics.compression_by_column(lin).collect()}
+    assert by_col["text"].ratio > 2.0  # FSST on zipf text
+    assert by_col["lang"].ratio > 3.0  # dict on 9 values
+    sr = metrics.success_rate(lin).first()
+    assert sr.success_pct == 100.0
+
+
+def test_resume_skips_completed_partitions(spark, webdf, tmp_path):
+    """F5 kill-and-resume: first submission only sees partitions 0-7
+    (simulating a job killed between waves — waves commit atomically),
+    resume with the same run_id encodes only 8-15."""
+    out = str(tmp_path / "job")
+    n = 16
+    pid = skew.partition_id_expr(n, "url", 42)
+    first_half = webdf.filter(pid < 8)
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="rr1", key="url", n_partitions=n)
+    res1 = pipeline.run_encode_job(spark, first_half, cfg)
+    assert res1.partitions_encoded <= 8
+    done = lineage.completed_partitions(spark, out, "rr1", n_columns=5)
+    assert set(done) <= set(range(8)) and len(done) == 8
+
+    res2 = pipeline.run_encode_job(spark, webdf, cfg)
+    assert res2.partitions_skipped == 8
+    assert res2.partitions_encoded == 8
+
+    # full decode equals original, exactly once per row
+    dec = pipeline.decode_job(spark, out, "rr1", webdf.schema)
+    chk = pipeline.verify_roundtrip(webdf, dec, "url")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+    assert chk["count_decoded"] == webdf.count()
+
+    # idempotent: a third submit does nothing
+    res3 = pipeline.run_encode_job(spark, webdf, cfg)
+    assert res3.partitions_encoded == 0 and res3.partitions_skipped == 16
+
+
+def test_stats_sample_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.column: r
+        for r in stats.stats_sample(df, ["doc_id", "lang", "text"]).collect()
+    }
+    sql = stats.stats_sample_sql(
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        ["doc_id", "lang", "text"],
+        {"lang", "text"},
+    )
+    for row in duckdb.sql(sql).fetchall():
+        c, n, n_null, n_distinct, mn, mx, avg_len = row
+        g = got[c]
+        assert (g.n, g.n_null, g.n_distinct) == (n, n_null, n_distinct), c
+        assert g.min_str == mn and g.max_str == mx, c
+        if avg_len is not None:
+            assert abs(g.avg_len - float(avg_len)) < 1e-9, c
+
+
+def test_size_budget_fallback_to_raw(spark, tmp_path):
+    """Incompressible data must fall back to raw and never inflate much."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "k": np.arange(2000),
+            "blob": [rng.bytes(256) for _ in range(2000)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "job")
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="rb1", key="k", n_partitions=4)
+    pipeline.run_encode_job(spark, df, cfg)
+    lin = lineage.read_lineage(spark, out).filter(F.col("column") == "blob")
+    rows = lin.select("codec", "bytes_in", "bytes_out").collect()
+    for r in rows:
+        assert r.bytes_out <= r.bytes_in * 1.02 + 128
+    assert {r.codec for r in rows} == {"raw"}
+    dec = pipeline.decode_job(spark, out, "rb1", df.schema)
+    chk = pipeline.verify_roundtrip(df, dec, "k")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0

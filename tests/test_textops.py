@@ -1,0 +1,148 @@
+"""Training-data operators: dedup, text analysis, similarity — each
+verified against an independent pandas/duckdb computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.textops import analysis, dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with planted exact + near duplicates."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact
+        (3, "the quick brown fox jumps over the lazy dog again and once"),  # near
+        (4, "a completely different document about database compression"),
+        (5, "another unrelated text concerning spark query planning"),
+        (6, "a completely different document about database compression"),  # exact
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = {r.keeper_id: r.n_copies for r in dedup.exact_dedup(dup_docs).collect()}
+    assert groups == {1: 2, 3: 1, 4: 2, 5: 1}
+    dups = dedup.duplicate_groups(dup_docs).collect()
+    assert {r.keeper_id for r in dups} == {1, 4}
+
+
+def test_minhash_estimates_jaccard(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        dup_docs, num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical
+    assert got[(4, 6)] == 1.0
+    assert (1, 3) in got or (2, 3) in got  # near-dup caught
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_ngram_jaccard_exact(spark, dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0
+    # hand-computed: docs 1 and 3 share 8 of 12 distinct 3-shingles
+    j13 = got[(1, 3)]
+    assert 0.5 < j13 < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_near_pairs(spark, dup_docs):
+    pairs = dedup.simhash_near_pairs(dup_docs, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0
+    assert got[(4, 6)] == 0
+    if (1, 3) in got:
+        assert got[(1, 3)] > 0
+
+
+def test_token_stats_matches_pandas(spark, docs):
+    got = dedup and analysis.token_stats(docs).orderBy("id").toPandas()
+    pdf = docs.select("doc_id", "text").orderBy("doc_id").toPandas()
+    exp_tokens = pdf["text"].fillna("").apply(lambda t: len(t.split()) if t.strip() else 0)
+    assert (got["n_tokens"].to_numpy() == exp_tokens.to_numpy()).all()
+    assert (got["n_chars"].to_numpy() == pdf["text"].str.len().to_numpy()).all()
+
+
+def test_quality_score_ranges(spark, docs):
+    q = analysis.quality_score(docs).toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+    # garbage text scores below clean text
+    test = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and keeps going for a while longer."),
+         (2, "@@@@ #### 1234 5678 !!!! %%%% ^^^^ 9999 ****")],
+        "doc_id long, text string",
+    )
+    scores = {r.id: r.quality for r in analysis.quality_score(test).collect()}
+    assert scores[1] > scores[2]
+
+
+def test_language_id(spark):
+    test = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy that the sun was out"),
+            (2, "der hund und die katze sind nicht in das haus mit ein ball"),
+            (3, "le chat est dans la maison et les oiseaux sont sur le toit"),
+            (4, "el perro y el gato en la casa es un amigo que corre"),
+            (5, "zzzz qqqq xxxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.lang_guess for r in analysis.language_id(test).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "es"
+    assert got[5] == "und"
+
+
+def test_fingerprint_order_insensitive_tokenset(spark):
+    test = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r.id: (r.content_sha, r.tokenset_sha) for r in analysis.fingerprint(test).collect()}
+    assert fp[1][0] != fp[2][0]  # different content
+    assert fp[1][1] == fp[2][1]  # same token set
+    assert fp[1][1] != fp[3][1]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    expected = pdf["vec_id"].to_numpy()[order][:5].tolist()
+    got = [r.id for r in similarity.brute_force_topk(emb, q.tolist(), k=5).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    exact_top10 = set(pdf["vec_id"].to_numpy()[np.argsort(-cos)][:10].tolist())
+    got = {r.id for r in similarity.lsh_topk(emb, q.tolist(), k=10).collect()}
+    # the query itself must always be found; recall >= 50% on top-10
+    assert 0 in got
+    assert len(got & exact_top10) >= 5
