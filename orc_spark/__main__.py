@@ -1,0 +1,175 @@
+"""CLI entry point: ``python -m orc_spark <command>``.
+
+Mirrors the reference CLI's surface (`orc run/stats/report`,
+/root/reference/cmd/orc/main.go) and its structured exit-code taxonomy
+(/root/reference/internal/runner/exitcode.go:6-16):
+
+    0 success
+    1 generic failure
+    2 bad usage / config
+    3 verification failure (round-trip mismatch)
+    4 interrupted
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+EXIT_OK = 0
+EXIT_FAIL = 1
+EXIT_USAGE = 2
+EXIT_VERIFY = 3
+EXIT_INTERRUPTED = 4
+
+
+def _session(cores: int | None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName("orc-spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if cores:
+        b = b.master(f"local[{cores}]")
+    return b.getOrCreate()
+
+
+def cmd_encode(args) -> int:
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    df = spark.read.parquet(args.input)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=args.out,
+        run_id=args.run_id,
+        key=args.key,
+        n_partitions=args.partitions,
+        waves=args.waves,
+    )
+    res = pipeline.run_encode_job(spark, df, cfg)
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "partitions_total": res.partitions_total,
+                "partitions_skipped": res.partitions_skipped,
+                "partitions_encoded": res.partitions_encoded,
+                "columns": res.columns,
+            }
+        )
+    )
+    if args.verify:
+        dec = pipeline.decode_job(spark, args.out, args.run_id, df.schema)
+        chk = pipeline.verify_roundtrip(df, dec, args.key)
+        print(json.dumps(chk))
+        if chk["missing_from_decoded"] or chk["extra_in_decoded"]:
+            return EXIT_VERIFY
+    return EXIT_OK
+
+
+def cmd_decode(args) -> int:
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    original = spark.read.parquet(args.schema_from)
+    dec = pipeline.decode_job(spark, args.out, args.run_id, original.schema)
+    dec.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return EXIT_OK
+
+
+def cmd_report(args) -> int:
+    from orc_spark.engine import report
+
+    spark = _session(args.cores)
+    rep = report.build_report(spark, args.out, args.run_id)
+    print(report.render(rep, args.format))
+    return EXIT_OK if rep.get("found") else EXIT_FAIL
+
+
+def cmd_stats(args) -> int:
+    from orc_spark.engine import lineage, metrics
+
+    spark = _session(args.cores)
+    lin = lineage.read_lineage(spark, args.out)
+    for r in metrics.run_summary(lin).collect():
+        print(
+            json.dumps(
+                {
+                    "run_id": r.run_id,
+                    "n_partitions": r.n_partitions,
+                    "bytes_in": r.bytes_in,
+                    "bytes_out": r.bytes_out,
+                    "ratio": round(r.ratio, 4),
+                }
+            )
+        )
+    return EXIT_OK
+
+
+def cmd_prune(args) -> int:
+    from orc_spark.engine import retention
+
+    spark = _session(args.cores)
+    expired = retention.prune_history(spark, args.out, args.limit)
+    print(json.dumps({"expired": expired}))
+    return EXIT_OK
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="orc_spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a parquet table into stripes")
+    enc.add_argument("input")
+    enc.add_argument("--out", required=True)
+    enc.add_argument("--run-id", required=True)
+    enc.add_argument("--key", required=True)
+    enc.add_argument("--partitions", type=int, default=32)
+    enc.add_argument("--waves", type=int, default=1)
+    enc.add_argument("--verify", action="store_true")
+    enc.set_defaults(fn=cmd_encode)
+
+    dec = sub.add_parser("decode", help="decode stripes back to parquet")
+    dec.add_argument("--out", required=True)
+    dec.add_argument("--run-id", required=True)
+    dec.add_argument("--schema-from", required=True)
+    dec.add_argument("--output", required=True)
+    dec.set_defaults(fn=cmd_decode)
+
+    rep = sub.add_parser("report", help="render a run report")
+    rep.add_argument("--out", required=True)
+    rep.add_argument("--run-id", required=True)
+    rep.add_argument("--format", choices=["markdown", "json"], default="markdown")
+    rep.set_defaults(fn=cmd_report)
+
+    st = sub.add_parser("stats", help="summaries across runs")
+    st.add_argument("--out", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    pr = sub.add_parser("prune", help="expire old runs (history retention)")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--limit", type=int, default=10)
+    pr.set_defaults(fn=cmd_prune)
+
+    try:
+        args = p.parse_args(argv)
+    except SystemExit as e:
+        return EXIT_USAGE if e.code else EXIT_OK
+    try:
+        return args.fn(args)
+    except KeyboardInterrupt:
+        return EXIT_INTERRUPTED
+    except Exception as e:  # noqa: BLE001 — CLI boundary
+        print(f"error: {e}", file=sys.stderr)
+        return EXIT_FAIL
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""Size-budget check against the in-sandbox reference ORC writer
+(pyarrow.orc), per BASELINE.md: our lightweight-codec stripes must
+beat ORC's own lightweight encodings (uncompressed ORC) and stay
+within a bounded factor of zlib-ORC (entropy coding is outside the
+north rule's lightweight scope). No Spark needed — pure kernel test."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+pa_orc = pytest.importorskip("pyarrow.orc")
+
+from orc_spark.engine import selector, webgen
+from orc_spark.engine.encode import encode_with_fallback
+
+
+@pytest.fixture(scope="module")
+def sizes():
+    tbl = webgen.generate(8000)
+    plans = selector.plan_for_schema(tbl.schema)
+    ours = 0
+    for col in tbl.column_names:
+        arr = tbl.column(col).combine_chunks()
+        _, blob, _ = encode_with_fallback(arr, plans[col].chain)
+        ours += len(blob)
+    out = {}
+    for comp in ("uncompressed", "zlib"):
+        buf = io.BytesIO()
+        pa_orc.write_table(tbl, buf, compression=comp)
+        out[comp] = buf.tell()
+    out["ours"] = ours
+    return out
+
+
+def test_beats_orc_lightweight_encodings(sizes):
+    # like-for-like: ORC's dict/RLE without a general compressor
+    assert sizes["ours"] < sizes["uncompressed"] * 0.55, sizes
+
+
+def test_within_bounded_factor_of_orc_zlib(sizes):
+    # zlib adds entropy coding (outside lightweight scope); stay close
+    assert sizes["ours"] < sizes["zlib"] * 1.5, sizes
