@@ -21,6 +21,12 @@ import tempfile
 import uuid
 from collections.abc import Callable
 
+# Allocator tunables against slow first-touch page faults on this host
+# (no-ops if the session JVM already started; see bench.py for details).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -306,6 +312,40 @@ def _q_ann_brute_force(spark, sf_dir):
     return out.select("id", F.round("cosine", 6).alias("cosine_r"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (cross-join verifier).
+
+    Threshold 0.4 fits the synthetic embeddings (random-ish vectors,
+    max pair cosine ~0.51); real near-dup corpora use >=0.9."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Rows-only: LSH-pruned near-dup pairs (approximate by design;
+    pytest asserts lsh-pairs ⊆ exact-pairs and recall)."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.4, method="lsh")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """Rows-only: IVF ANN (sample-trained k-means quantizer, nprobe
+    partition-pruned probe; approximate by design)."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    cent = similarity.kmeans_centroids(emb, n_centroids=8)
+    out = similarity.ivf_topk(emb, [float(x) for x in q], cent, k=10, nprobe=3)
+    return out.select("id", F.round("cosine", 6).alias("cosine_r"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     """Rows-only: LSH-bucketed ANN (approximate by design)."""
     from orc_spark.textops import similarity
@@ -326,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
         "roundtrip_dict_lang": _q_roundtrip_dict_lang,
         "roundtrip_rle_ints": _q_roundtrip_rle_ints,
@@ -360,6 +403,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
             ") DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY id_a, id_b"
         ),
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",

@@ -7,15 +7,23 @@
   vectors sharing >=1 band bucket with the query are scored. At 10^12
   rows the bucket join prunes the candidate set by orders of
   magnitude; brute force stays as the verifier.
-- knn_join_lsh: all-pairs k-NN via LSH buckets (self-join on bucket).
+- embedding_near_dup_pairs: all-pairs near-duplicate detection by
+  cosine threshold — exact (self-join, the verifier/oracle twin) and
+  LSH-pruned (band-bucket self-join, the scale path).
+- kmeans_centroids / ivf_topk: IVF index — sample-trained k-means
+  coarse quantizer; queries probe only the nprobe nearest inverted
+  lists. Assignment is a vectorized pandas UDF (one matmul per Arrow
+  batch, no per-row Python).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def cosine_expr(a, b):
@@ -107,4 +115,138 @@ def lsh_topk(
         cond = F.col("_sig")[b] == F.lit(qb)  # positional band equality
         match_any = cond if match_any is None else (match_any | cond)
     cand = df.withColumn("_sig", sig).filter(match_any)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 64,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine(a, b) >= threshold.
+
+    method='exact': full self-join — O(n^2) comparisons; the
+    correctness baseline with a DuckDB cross-join oracle twin.
+    method='lsh': candidate pairs share at least one hyperplane-sign
+    band bucket; only candidates get an exact cosine check. Recall for
+    cosine c with b-bit bands and n_planes/b bands is
+    1-(1-p^b)^(n/b), p = 1 - acos(c)/pi — at near-dup thresholds
+    (>=0.9) this is ~1.0 while pruning the quadratic join to bucket-
+    local work, which is what survives 10^12 rows. Both paths end in
+    the same exact cosine filter, so LSH can only lose pairs, never
+    invent them.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    if method == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        sig = signature_col(vec_col, planes, band_bits)
+        # (band_idx, band_val) bucket join: same-bucket rows collide.
+        bands = df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(sig).alias("band_idx", "band_val"),
+        )
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_val") == F.col("y.band_val"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: Lloyd's k-means on a driver-side
+    sample. Sample size is fixed, so training cost is O(1) in table
+    size — at 10^12 rows the sample is still `sample_rows` vectors
+    (statistically sufficient for a coarse quantizer; IVF quality
+    depends on list balance, not exact centroids)."""
+    frac_df = df.select(vec_col)
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_rows / n), seed=seed)
+    x = np.array(
+        [r[0] for r in frac_df.limit(sample_rows).collect()], dtype=np.float64
+    )
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign_col(centroids: np.ndarray, vec_col: str = "embedding"):
+    """Nearest-centroid list id as a column (vectorized pandas UDF:
+    one ||v-c||^2 matmul per Arrow batch)."""
+    cent = centroids.copy()
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = -2.0 * (x @ cent.T) + (cent**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _assign(F.col(vec_col))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only the nprobe inverted lists nearest to the
+    query. At scale the table is written partitioned by list id, so a
+    probe is a partition-pruned scan (no shuffle); here the list
+    filter expresses the same pruning."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    cand = df.withColumn("_ivf_list", ivf_assign_col(centroids, vec_col)).filter(
+        F.col("_ivf_list").isin(probe)
+    )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -6,6 +6,15 @@ import os
 
 import pytest
 
+# First-touch page faults on this virtualized host are intermittently
+# ~1000x slow; large numpy temps default to mmap/munmap churn that
+# re-pays the fault on every allocation. Keep big allocations on the
+# retained heap (Arrow's system pool obeys the same tunables). Set
+# before the JVM / Python workers fork. See bench.py for measurements.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -146,3 +146,72 @@ def test_lsh_topk_recall(spark, emb):
     # the query itself must always be found; recall >= 50% on top-10
     assert 0 in got
     assert len(got & exact_top10) >= 5
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """Vectors with planted near-duplicate pairs (tight clusters) plus
+    random background vectors."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((4, 16))
+    rows = []
+    vid = 0
+    for c in range(4):  # 3 noisy copies per cluster => near-dup pairs
+        for _ in range(3):
+            v = base[c] + 0.01 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(30):  # background
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_exact(spark, clustered_vecs):
+    out = similarity.embedding_near_dup_pairs(
+        clustered_vecs, threshold=0.95, method="exact"
+    ).collect()
+    # every within-cluster pair, nothing else: 4 clusters x C(3,2)
+    expect = {
+        (a, b) for c in range(4) for a in range(3 * c, 3 * c + 3)
+        for b in range(a + 1, 3 * c + 3)
+    }
+    assert {(r.id_a, r.id_b) for r in out} == expect
+    assert all(r.cosine >= 0.95 for r in out)
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark, clustered_vecs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            clustered_vecs, threshold=0.95, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            clustered_vecs, threshold=0.95, method="lsh"
+        ).collect()
+    }
+    assert lsh <= exact  # LSH can only lose pairs, never invent them
+    assert len(lsh) / len(exact) >= 0.9  # high recall at near-dup cosine
+
+
+def test_ivf_full_probe_matches_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    q = [float(x) for x in q]
+    cent = similarity.kmeans_centroids(emb, n_centroids=4)
+    full = similarity.ivf_topk(emb, q, cent, k=5, nprobe=len(cent)).collect()
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert [(r.id, round(r.cosine, 9)) for r in full] == [
+        (r.id, round(r.cosine, 9)) for r in brute
+    ]
+
+
+def test_ivf_partial_probe_finds_self(spark, emb):
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    q = [float(x) for x in q]
+    cent = similarity.kmeans_centroids(emb, n_centroids=8)
+    out = similarity.ivf_topk(emb, q, cent, k=3, nprobe=2).collect()
+    # the query vector itself lives in the probed (nearest) list
+    assert out and out[0].id == 3 and out[0].cosine > 0.999999
