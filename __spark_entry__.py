@@ -246,6 +246,27 @@ def _q_checkpoint_resume(spark, sf_dir):
     )
 
 
+def _q_extract_text(spark, sf_dir):
+    """The input_hint per-row invariant: extract_text(wrap_html(text))
+    must reproduce text byte-identically per row — so the DuckDB
+    oracle is simply SELECT doc_id, text."""
+    from orc_spark.textops import extraction
+
+    docs = _load(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        extraction.wrap_html_expr(
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+            F.col("text"),
+        ).alias("html"),
+    )
+    return (
+        extraction.extract_text(wrapped)
+        .select("doc_id", F.col("extracted").alias("text"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from orc_spark.textops import dedup
 
@@ -357,6 +378,7 @@ def _q_ann_lsh(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
@@ -392,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
     from orc_spark.textops import analysis
 
     return {
+        "extract_text": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "token_stats": analysis.TOKEN_STATS_SQL.format(table="documents"),
         "fingerprint": analysis.FINGERPRINT_SQL.format(table="documents"),

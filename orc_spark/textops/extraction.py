@@ -1,0 +1,130 @@
+"""HTML -> text extraction (the input_hint per-row invariant).
+
+The engine's input table carries both ``html`` (raw page bytes) and
+``text`` (extracted text); the north-rule invariant is *byte-identical
+extracted text per url*. This module provides the deterministic
+extractor and its inverse-checkable constructor:
+
+- ``wrap_html_expr``: JVM-side expression building a page from a title
+  and a text column, HTML-escaping the text (``& < >``). Used to state
+  the invariant as an oracle-checkable query: ``extract_text(wrap_html
+  (text)) == text`` byte-for-byte.
+- ``extract_text``: Arrow-vectorized pandas UDF implementing a fixed,
+  documented rule set (drop script/style/comments, body-only slice,
+  tag strip, entity decode, whitespace collapse). Every step is a
+  pandas C-side string op — no per-row Python in the hot path except
+  numeric entity references (rare; callable replacement).
+
+Extraction policy (deterministic, version-tagged so lineage rows can
+record which extractor produced a column):
+
+1. decode bytes as UTF-8 (errors='replace');
+2. remove <script>...</script>, <style>...</style>, <!-- comments -->;
+3. keep only the <body>...</body> slice when present (title/head
+   boilerplate is not page text);
+4. strip all remaining tags;
+5. decode entities: named subset (&amp; &lt; &gt; &quot; &#39;
+   &nbsp;) + numeric (&#NNN; / &#xHH;); &amp; decoded last per the
+   HTML spec so double-escapes survive;
+6. collapse whitespace runs to single spaces and trim (disable with
+   ``collapse_ws=False`` when byte-preserving pre-formatted text).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EXTRACTOR_VERSION = "1"
+
+_SCRIPT_RE = re.compile(r"(?is)<script\b.*?</script\s*>")
+_STYLE_RE = re.compile(r"(?is)<style\b.*?</style\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_BODY_RE = re.compile(r"(?is)<body\b[^>]*>(.*?)</body\s*>")
+_TAG_RE = re.compile(r"(?s)<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_DEC_ENT_RE = re.compile(r"&#(\d{1,7});")
+_HEX_ENT_RE = re.compile(r"&#[xX]([0-9a-fA-F]{1,6});")
+
+
+def _decode_numeric(m: re.Match) -> str:
+    try:
+        cp = int(m.group(1), 16 if m.group(0)[2] in "xX" else 10)
+        return chr(cp) if 0 < cp <= 0x10FFFF else ""
+    except (ValueError, OverflowError):
+        return ""
+
+
+def html_escape_expr(col: Column) -> Column:
+    """JVM-side HTML escaping of text content (& first, then < >)."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def wrap_html_expr(title: Column, text: Column) -> Column:
+    """Build a page (binary) whose extraction returns ``text`` exactly
+    (mirrors the synthetic generator's page shape, webgen.py)."""
+    return F.encode(
+        F.concat(
+            F.lit("<html><head><title>"),
+            html_escape_expr(title),
+            F.lit("</title></head><body><p>"),
+            html_escape_expr(text),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+
+
+def extract_series(html: pd.Series, body_only: bool = True, collapse_ws: bool = True) -> pd.Series:
+    """The extraction pipeline over a pandas Series (str or bytes)."""
+    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+        s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    else:
+        s = html.astype("object")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    if body_only:
+        body = s.str.extract(_BODY_RE, expand=False)
+        s = body.where(body.notna(), s)  # pages without <body>: whole doc
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    # entities: named subset, numeric, &amp; last (HTML spec ordering)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " ")):
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_DEC_ENT_RE, _decode_numeric, regex=True)
+    s = s.str.replace(_HEX_ENT_RE, _decode_numeric, regex=True)
+    s = s.str.replace("&amp;", "&", regex=False)
+    if collapse_ws:
+        s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s
+
+
+def extract_text_col(html_col, body_only: bool = True, collapse_ws: bool = True) -> Column:
+    """``extract_text`` as a column expression (vectorized pandas UDF)."""
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return extract_series(html, body_only, collapse_ws)
+
+    return _extract(html_col if isinstance(html_col, Column) else F.col(html_col))
+
+
+def extract_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted",
+    body_only: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Append the extracted-text column for every page."""
+    return df.withColumn(
+        out_col, extract_text_col(F.col(html_col), body_only, collapse_ws)
+    )
