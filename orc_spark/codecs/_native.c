@@ -10,7 +10,7 @@
 #include <stdint.h>
 #include <string.h>
 
-#define HT_BITS 12
+#define HT_BITS 10
 #define HT_SIZE (1u << HT_BITS)
 #define MAX_SYM_LEN 8
 #define ESCAPE 255
@@ -42,14 +42,24 @@ long fsst_tokenize(const uint8_t *buf, long n,
         *n_lits_out = n;
         return n;
     }
+    long n_full = n - MAX_SYM_LEN; /* positions with 8 readable bytes */
     while (pos < n) {
         if (out_starts) out_starts[n_tok] = pos;
         /* big-endian 8-byte key at pos, zero-padded past the end */
-        uint64_t key8 = 0;
-        long avail = n - pos;
-        int lim = avail < MAX_SYM_LEN ? (int)avail : MAX_SYM_LEN;
-        for (int j = 0; j < lim; j++)
-            key8 |= (uint64_t)buf[pos + j] << (8 * (MAX_SYM_LEN - 1 - j));
+        uint64_t key8;
+        int lim;
+        if (pos <= n_full) {
+            /* one unaligned load + byteswap instead of 8 shifts */
+            uint64_t raw;
+            memcpy(&raw, buf + pos, 8);
+            key8 = __builtin_bswap64(raw);
+            lim = MAX_SYM_LEN;
+        } else {
+            key8 = 0;
+            lim = (int)(n - pos);
+            for (int j = 0; j < lim; j++)
+                key8 |= (uint64_t)buf[pos + j] << (8 * (MAX_SYM_LEN - 1 - j));
+        }
         int matched = 0;
         int top = lim < max_len ? lim : max_len;
         for (int l = top; l >= min_len; l--) {

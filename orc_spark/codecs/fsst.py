@@ -38,7 +38,7 @@ _CHUNK = 1 << 20  # matcher chunk size (bounds temp memory)
 
 
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
-_HT_BITS = 12
+_HT_BITS = 10
 _HT_SIZE = 1 << _HT_BITS
 
 
