@@ -19,27 +19,71 @@ _lib = None
 _tried = False
 
 
-def _compile() -> bool:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if os.path.exists(_SO):
-        return True
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(_SO))
+def _read_src() -> bytes | None:
+    """Source bytes — via the loader so a --py-files zip import works."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        pass
+    try:
+        import importlib.resources as res
+
+        return (res.files("orc_spark.codecs") / "_native.c").read_bytes()
+    except Exception:
+        return None
+
+
+def _so_path() -> str:
+    """Writable .so location: package dir, else a content-keyed temp
+    path (zip imports / read-only installs, e.g. spark-submit
+    --py-files — one compile per host, shared by all workers)."""
+    pkg_dir = os.path.dirname(_SO)
+    try:
+        os.makedirs(pkg_dir, exist_ok=True)
+        if os.access(pkg_dir, os.W_OK):
+            return _SO
+    except OSError:
+        pass
+    import hashlib
+
+    src = _read_src() or b""
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"orcspark_native_{tag}", "orcspark_native.so"
+    )
+
+
+def _compile() -> str | None:
+    so = _so_path()
+    if os.path.exists(so):
+        return so
+    src = _read_src()
+    if src is None:
+        return None
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    csrc = os.path.join(os.path.dirname(so), "_native.c")
+    if not os.path.exists(csrc):
+        with open(csrc + f".tmp{os.getpid()}", "wb") as f:
+            f.write(src)
+        os.rename(csrc + f".tmp{os.getpid()}", csrc)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so))
     os.close(fd)
     try:
         subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, csrc],
             check=True,
             capture_output=True,
             timeout=60,
         )
-        os.rename(tmp, _SO)  # atomic: concurrent compilers race safely
-        return True
+        os.rename(tmp, so)  # atomic: concurrent compilers race safely
+        return so
     except Exception:
         try:
             os.unlink(tmp)
         except OSError:
             pass
-        return os.path.exists(_SO)
+        return so if os.path.exists(so) else None
 
 
 def get_lib():
@@ -49,9 +93,10 @@ def get_lib():
         return _lib
     _tried = True
     try:
-        if not _compile():
+        so = _compile()
+        if not so:
             return None
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.fsst_tokenize.restype = ctypes.c_long
         lib.fsst_tokenize.argtypes = [
             ctypes.c_void_p,  # buf
