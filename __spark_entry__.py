@@ -417,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
+        "language_id": analysis.language_id_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "token_stats": analysis.TOKEN_STATS_SQL.format(table="documents"),
         "fingerprint": analysis.FINGERPRINT_SQL.format(table="documents"),

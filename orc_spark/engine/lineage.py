@@ -74,14 +74,15 @@ def lineage_from_stripes(stripes: DataFrame, input_split: str | None = None) -> 
 
 
 def append_lineage(df: DataFrame, out_dir: str) -> None:
-    df.write.mode("append").parquet(lineage_dir(out_dir))
+    from . import storage
+
+    storage.append_table(df, lineage_dir(out_dir))
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    path = lineage_dir(out_dir)
-    if not os.path.exists(path):
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    from . import storage
+
+    return storage.read_table(spark, lineage_dir(out_dir), LINEAGE_SCHEMA)
 
 
 def completed_partitions(

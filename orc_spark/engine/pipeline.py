@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from . import decode as decode_mod
 from . import encode as encode_mod
 from . import lineage as lineage_mod
-from . import selector, skew
+from . import selector, skew, storage
 
 
 @dataclass
@@ -95,10 +95,11 @@ def run_encode_job(
         stripes = encode_mod.encode_stage(
             wave_df, plans, cfg.run_id, cfg.size_budget_ratio
         )
-        # Atomic commit per wave: parquet write is all-or-nothing.
-        stripes.write.mode("append").parquet(lineage_mod.stripes_dir(cfg.out_dir))
+        # Atomic commit per wave: parquet commit protocol (or an
+        # Iceberg snapshot when the target is a catalog table).
+        storage.append_table(stripes, lineage_mod.stripes_dir(cfg.out_dir))
         written = (
-            spark.read.parquet(lineage_mod.stripes_dir(cfg.out_dir))
+            storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
             .filter(
                 (F.col("run_id") == cfg.run_id)
                 & F.col("partition_id").isin(wave_ids)
@@ -120,7 +121,7 @@ def run_encode_job(
 
 
 def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
-    s = spark.read.parquet(lineage_mod.stripes_dir(out_dir))
+    s = storage.read_table(spark, lineage_mod.stripes_dir(out_dir))
     if run_id:
         s = s.filter(F.col("run_id") == run_id)
     return s

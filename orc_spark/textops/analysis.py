@@ -121,6 +121,27 @@ EXACT_DEDUP_SQL = (
 )
 
 
+def language_id_sql(table: str) -> str:
+    """DuckDB twin of language_id, generated from the same STOPWORDS
+    (argmax tie-break = larger lang string, matching Spark's struct
+    max ordering)."""
+    values = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in STOPWORDS.items()
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split_regex(LOWER(COALESCE(text, '')), "
+        f"'\\s+') AS toks FROM {table}), "
+        f"s AS (SELECT doc_id, l.lang, len(list_filter(toks, x -> "
+        "list_contains(l.words, x))) * 1.0 / GREATEST(len(toks), 1) AS score "
+        f"FROM t, (VALUES {values}) AS l(lang, words)), "
+        "best AS (SELECT doc_id, lang, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s) "
+        "SELECT doc_id AS id, CASE WHEN score > 0 THEN lang ELSE 'und' END "
+        "AS lang_guess, ROUND(score, 6) AS lang_score FROM best WHERE rn = 1"
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic 64-bit-ish fingerprints: full-text sha256 (hex)
     plus a locality-insensitive token-set hash (order-independent)."""

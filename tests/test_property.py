@@ -1,0 +1,126 @@
+"""Property-based round-trip guarantees (hypothesis) — the codec layer
+must be bit-exact for *arbitrary* inputs, not just the fixtures
+(SURVEY.md §5: seeded random arrays per dtype, decode(encode(x)) == x).
+
+No Spark here: kernels are pure numpy/Arrow, so hundreds of examples
+run in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orc_spark.codecs import bitpack, framing, fsst, rle
+
+I64 = st.integers(min_value=-(2**62), max_value=2**62 - 1)
+
+
+@st.composite
+def int_arrays(draw):
+    shape = draw(st.sampled_from(["random", "runs", "monotonic", "outliers"]))
+    n = draw(st.integers(min_value=0, max_value=400))
+    if shape == "random":
+        vals = draw(st.lists(I64, min_size=n, max_size=n))
+    elif shape == "runs":
+        base = draw(st.lists(I64, min_size=1, max_size=6))
+        reps = draw(
+            st.lists(st.integers(1, 40), min_size=len(base), max_size=len(base))
+        )
+        vals = [v for v, r in zip(base, reps) for _ in range(r)][:n] or [0]
+    elif shape == "monotonic":
+        start = draw(I64)
+        step = draw(st.integers(-1000, 1000))
+        vals = [start + i * step for i in range(n or 1)]
+    else:  # outliers: small values + a few huge ones
+        vals = draw(
+            st.lists(st.integers(-100, 100), min_size=max(n, 1), max_size=max(n, 1))
+        )
+        for i in draw(st.lists(st.integers(0, max(n - 1, 0)), max_size=4)):
+            vals[i] = draw(I64)
+    return np.array(vals, dtype=np.int64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(int_arrays())
+def test_ints_auto_roundtrip(vals):
+    blob = framing.encode_ints_auto(vals)
+    out = framing.decode_ints_auto(blob, len(vals))
+    assert np.array_equal(out, vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(int_arrays())
+def test_rle_direct_and_pb_roundtrip(vals):
+    for enc, dec in (
+        (rle.rle_direct_encode, rle.rle_direct_decode),
+        (rle.rle_pb_encode, rle.rle_pb_decode),
+        (rle.rle_delta_encode, rle.rle_delta_decode),
+    ):
+        out = dec(enc(vals), len(vals))
+        assert np.array_equal(out, vals), enc.__name__
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**32 - 1), max_size=300),
+    st.integers(min_value=1, max_value=64),
+)
+def test_bitpack_roundtrip(vals, width):
+    arr = np.array(vals, dtype=np.uint64)
+    arr &= (1 << width) - 1 if width < 64 else ~np.uint64(0)
+    out = bitpack.unpack(bitpack.pack(arr, width), width, len(arr))
+    assert np.array_equal(out.astype(np.uint64), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4000))
+def test_fsst_roundtrip_arbitrary_bytes(data):
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=60)), max_size=120
+    ),
+    st.sampled_from(["fsst", "dict", "raw"]),
+)
+def test_string_frame_roundtrip_with_nulls(strings, codec):
+    arr = pa.array(strings, type=pa.string())
+    blob = framing.encode_frame(arr, codec)
+    out = framing.decode_frame(blob)
+    assert out.equals(arr)
+    assert framing.column_checksum(out) == framing.column_checksum(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), I64), max_size=150))
+def test_int_frame_roundtrip_with_nulls(ints):
+    arr = pa.array(ints, type=pa.int64())
+    blob = framing.encode_frame(arr, "rle_delta")
+    out = framing.decode_frame(blob)
+    assert out.equals(arr)
+    assert framing.column_checksum(out) == framing.column_checksum(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=120,
+    )
+)
+def test_float_frame_roundtrip_nan_inf(floats):
+    arr = pa.array(floats, type=pa.float64())
+    blob = framing.encode_frame(arr, "raw")
+    out = framing.decode_frame(blob)
+    # NaN != NaN, so compare via checksum (bit-level) + null mask
+    assert framing.column_checksum(out) == framing.column_checksum(arr)
+    assert out.is_null().equals(arr.is_null())
