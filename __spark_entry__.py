@@ -288,8 +288,6 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_quality_score(spark, sf_dir):
-    """Rows-only: composite heuristic (regex-dialect differences make a
-    char-exact SQL twin brittle)."""
     from orc_spark.textops import analysis
 
     return analysis.quality_score(_load(spark, sf_dir, "documents"))
@@ -418,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
         "language_id": analysis.language_id_sql("documents"),
+        "quality_score": analysis.quality_score_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "token_stats": analysis.TOKEN_STATS_SQL.format(table="documents"),
         "fingerprint": analysis.FINGERPRINT_SQL.format(table="documents"),

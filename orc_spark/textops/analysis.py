@@ -114,6 +114,28 @@ FINGERPRINT_SQL = (
     "FROM {table}"
 )
 
+def quality_score_sql(table: str) -> str:
+    """DuckDB twin of quality_score. Char-class caveat: Spark's alpha
+    class is [a-zA-Z\\p{L}]; the twin uses [a-zA-Z] — identical on
+    ASCII corpora (the synthetic tables), divergent on non-Latin
+    scripts. (Built by concatenation: the punct char class contains
+    braces that str.format would mangle.)"""
+    return (
+    r"WITH f AS (SELECT doc_id, COALESCE(text,'') AS t, "
+    r"GREATEST(LENGTH(regexp_replace(COALESCE(text,''), '\s', '', 'g')), 1) AS nonspace, "
+    r"LENGTH(regexp_replace(COALESCE(text,''), '[^a-zA-Z]', '', 'g')) AS alpha, "
+    r"LENGTH(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) AS digit, "
+    r"LENGTH(regexp_replace(COALESCE(text,''), '[^!-/:-@\[-`{-~]', '', 'g')) AS punct "
+    r"FROM {table}) "
+    r"SELECT doc_id AS id, LENGTH(t) AS n_chars, "
+    r"ROUND(alpha * 1.0 / nonspace, 6) AS alpha_ratio, "
+    r"ROUND(digit * 1.0 / nonspace, 6) AS digit_ratio, "
+    r"ROUND(punct * 1.0 / nonspace, 6) AS punct_ratio, "
+    r"ROUND(LEAST(LENGTH(t) / 500.0, 1.0) * 0.4 + (alpha * 1.0 / nonspace) * 0.4 "
+    r"+ (1 - LEAST(digit * 4.0 / nonspace, 1.0)) * 0.1 "
+    r"+ (1 - LEAST(punct * 4.0 / nonspace, 1.0)) * 0.1, 6) AS quality FROM f"
+    ).replace("{table}", table)
+
 EXACT_DEDUP_SQL = (
     "SELECT sha256(text) AS content_sha, "
     "CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies "
