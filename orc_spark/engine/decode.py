@@ -20,12 +20,24 @@ from ..codecs import decode_frame
 
 
 def decode_stage(
-    stripes: DataFrame, result_schema: StructType, columns: list[str] | None = None
+    stripes: DataFrame,
+    result_schema: StructType,
+    columns: list[str] | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
     ``result_schema`` must name the decoded columns in their Spark
     types; ``columns`` defaults to the schema's field names.
+
+    ``colocated=True`` skips the blob shuffle: every encode task writes
+    *all* columns of its partitions into one parquet file, so stripe
+    groups never span files — as long as no file is split into
+    multiple scan tasks, each task sees complete groups. The caller
+    (decode_job) proves that by checking file sizes against
+    ``spark.sql.files.maxPartitionBytes``; the in-task completeness
+    check below still hard-fails rather than silently dropping rows if
+    the assumption is ever violated.
     """
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -58,5 +70,6 @@ def decode_stage(
                 f"incomplete stripe groups (missing columns): {sorted(pending)[:4]}"
             )
 
-    shuffled = stripes.repartition(F.col("partition_id"), F.col("stripe_idx"))
-    return shuffled.mapInArrow(fn, result_schema)
+    if not colocated:
+        stripes = stripes.repartition(F.col("partition_id"), F.col("stripe_idx"))
+    return stripes.mapInArrow(fn, result_schema)

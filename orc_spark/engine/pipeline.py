@@ -127,6 +127,26 @@ def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -
     return s
 
 
+def _stripe_files_fit_one_task_each(spark: SparkSession, out_dir: str) -> bool:
+    """True when no stripe part-file can be split across scan tasks
+    (every file <= spark.sql.files.maxPartitionBytes), which guarantees
+    each task reads complete stripe groups — see decode_stage."""
+    d = lineage_mod.stripes_dir(out_dir)
+    try:
+        limit = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    except ValueError:
+        return False
+    try:
+        sizes = [
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+    except OSError:
+        return False
+    return bool(sizes) and max(sizes) <= limit
+
+
 def decode_job(
     spark: SparkSession,
     out_dir: str,
@@ -134,8 +154,12 @@ def decode_job(
     result_schema,
     columns: list[str] | None = None,
 ) -> DataFrame:
+    """Decode a run's stripes. Skips the blob shuffle when the file
+    layout proves co-location (the common case: encode tasks write one
+    file each); falls back to an explicit repartition otherwise."""
+    colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     return decode_mod.decode_stage(
-        read_stripes(spark, out_dir, run_id), result_schema, columns
+        read_stripes(spark, out_dir, run_id), result_schema, columns, colocated
     )
 
 

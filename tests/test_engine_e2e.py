@@ -141,3 +141,28 @@ def test_size_budget_fallback_to_raw(spark, tmp_path):
     dec = pipeline.decode_job(spark, out, "rb1", df.schema)
     chk = pipeline.verify_roundtrip(df, dec, "k")
     assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+
+def test_decode_colocated_fast_path(spark, webdf, tmp_path):
+    """Small stripe files => no-shuffle decode; huge-file layout (or a
+    tiny maxPartitionBytes) => shuffle fallback. Both bit-identical."""
+    from orc_spark.engine import pipeline
+
+    out = str(tmp_path / "colo")
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="colo", n_partitions=4)
+    pipeline.run_encode_job(spark, webdf, cfg)
+    assert pipeline._stripe_files_fit_one_task_each(spark, out)
+    dec = pipeline.decode_job(spark, out, "colo", webdf.schema)
+    assert "Exchange" not in dec._jdf.queryExecution().executedPlan().toString()
+    v = pipeline.verify_roundtrip(webdf, dec, "url")
+    assert v["missing_from_decoded"] == 0 and v["extra_in_decoded"] == 0
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        assert not pipeline._stripe_files_fit_one_task_each(spark, out)
+        dec2 = pipeline.decode_job(spark, out, "colo", webdf.schema)
+        v2 = pipeline.verify_roundtrip(webdf, dec2, "url")
+        assert v2["missing_from_decoded"] == 0 and v2["extra_in_decoded"] == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
