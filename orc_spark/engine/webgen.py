@@ -42,14 +42,20 @@ def _vocab() -> np.ndarray:
     return np.array([flat[offs[i] : offs[i + 1]] for i in range(VOCAB_SIZE)], dtype=object)
 
 
-def generate(n_rows: int, seed: int = SEED, with_html: bool = True) -> pa.Table:
-    """Generate the F1 webpages table, ordered by (host, url)."""
+def generate(
+    n_rows: int, seed: int = SEED, with_html: bool = True, id_offset: int = 0
+) -> pa.Table:
+    """Generate the F1 webpages table, ordered by (host, url).
+
+    ``id_offset`` shifts the unique path component so distributed
+    generation (one generate() per partition) yields globally unique
+    urls."""
     rng = np.random.default_rng(seed)
     host_idx = _zipf_choice(rng, N_HOSTS, n_rows, a=1.3)
     # cluster by host (sorted), keep row index as the unique path
     order = np.argsort(host_idx, kind="stable")
     host_idx = host_idx[order]
-    row_ids = np.arange(n_rows)[order]
+    row_ids = np.arange(id_offset, id_offset + n_rows)[order]
 
     hosts = np.array([f"www.site{h:04d}.example" for h in range(N_HOSTS)], dtype=object)
     urls = np.array(
@@ -104,3 +110,42 @@ def generate(n_rows: int, seed: int = SEED, with_html: bool = True) -> pa.Table:
 def generate_spark(spark, n_rows: int, seed: int = SEED, with_html: bool = True):
     """Spark DataFrame of the synthetic table (driver-generated)."""
     return spark.createDataFrame(generate(n_rows, seed, with_html).to_pandas())
+
+
+def generate_distributed(
+    spark, n_rows: int, n_partitions: int = 32, seed: int = SEED,
+    with_html: bool = True,
+):
+    """Distributed synthetic web table: each partition generates its
+    slice independently with a derived seed, so the table scales to
+    arbitrary row counts without driver memory (the 10^12-row story:
+    generation is mapInArrow over a range, embarrassingly parallel).
+
+    Rows differ from the driver-side generate() (independent streams)
+    but follow the same distributions; determinism holds per
+    (n_rows, n_partitions, seed).
+    """
+    import pyarrow as pa
+
+    per = -(-n_rows // n_partitions)
+
+    def fn(batches):
+        for batch in batches:
+            for pid in batch.column("id").to_pylist():
+                lo = pid * per
+                hi = min(n_rows, lo + per)
+                if hi <= lo:
+                    continue
+                tbl = generate(
+                    hi - lo, seed=seed + 1 + pid, with_html=with_html, id_offset=lo
+                )
+                for rb in tbl.to_batches():
+                    yield rb
+
+    schema = generate(1, with_html=with_html).schema
+    parts = spark.range(0, n_partitions, 1, n_partitions).toDF("id")
+    fields = ", ".join(
+        f"{f.name} {'binary' if f.type == pa.binary() else 'timestamp' if pa.types.is_timestamp(f.type) else 'string'}"
+        for f in schema
+    )
+    return parts.mapInArrow(fn, fields)

@@ -166,3 +166,15 @@ def test_decode_colocated_fast_path(spark, webdf, tmp_path):
         assert v2["missing_from_decoded"] == 0 and v2["extra_in_decoded"] == 0
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_distributed_webgen_deterministic(spark):
+    from orc_spark.engine import webgen
+
+    a = webgen.generate_distributed(spark, 4000, 4)
+    assert a.count() == 4000
+    r1 = a.orderBy("url").limit(5).collect()
+    r2 = webgen.generate_distributed(spark, 4000, 4).orderBy("url").limit(5).collect()
+    assert r1 == r2
+    assert set(a.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert a.select("url").distinct().count() == 4000  # globally unique urls
