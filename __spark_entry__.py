@@ -246,6 +246,20 @@ def _q_checkpoint_resume(spark, sf_dir):
     )
 
 
+def _q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing over a synthesized binary column (documents
+    text bytes standing in for opaque media payloads): typed metadata
+    via pure JVM expressions — SQL twin on octet_length/sha256."""
+    from orc_spark.textops import multimodal
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.media_metadata(docs, "doc_id", "payload", "image").orderBy(
+        "media_id"
+    )
+
+
 def _q_extract_text(spark, sf_dir):
     """The input_hint per-row invariant: extract_text(wrap_html(text))
     must reproduce text byte-identically per row — so the DuckDB
@@ -377,6 +391,7 @@ def _q_ann_lsh(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
+        "media_metadata": _q_media_metadata,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
@@ -414,6 +429,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "media_metadata": (
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha, "
+            "CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height, "
+            "CAST(NULL AS INTEGER) AS duration_ms "
+            "FROM documents ORDER BY media_id"
         ),
         "language_id": analysis.language_id_sql("documents"),
         "quality_score": analysis.quality_score_sql("documents"),
