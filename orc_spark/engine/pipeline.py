@@ -69,6 +69,35 @@ def run_encode_job(
     done = lineage_mod.completed_partitions(
         spark, cfg.out_dir, cfg.run_id, n_columns=len(columns)
     )
+    # Crash-consistency: a kill between the stripe commit and the
+    # lineage append leaves partitions whose data IS durable but whose
+    # manifest rows are missing. Re-encoding them would append duplicate
+    # stripes; instead, backfill their lineage from the committed
+    # stripes and treat them as done (the stripe write is the atomic
+    # unit — mirrors the reference's save-after-every-phase recovery,
+    # /root/reference/internal/runner/runner.go:699-703).
+    if os.path.exists(lineage_mod.stripes_dir(cfg.out_dir)):
+        stripe_meta = (
+            storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
+            .filter(F.col("run_id") == cfg.run_id)
+            .drop("data")
+        )
+        stripe_done = {
+            r.partition_id
+            for r in stripe_meta.groupBy("partition_id")
+            .agg(F.countDistinct("column").alias("nc"))
+            .filter(F.col("nc") >= len(columns))
+            .collect()
+        }
+        orphans = stripe_done - set(done)
+        if orphans:
+            lineage_mod.append_lineage(
+                lineage_mod.lineage_from_stripes(
+                    stripe_meta.filter(F.col("partition_id").isin(sorted(orphans)))
+                ),
+                cfg.out_dir,
+            )
+            done = sorted(set(done) | orphans)
     todo = sorted(set(range(cfg.n_partitions)) - set(done))
     result = EncodeJobResult(
         run_id=cfg.run_id,
