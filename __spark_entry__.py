@@ -322,6 +322,16 @@ def _q_minhash_dedup(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard_dedup(spark, sf_dir):
+    """Exact n-gram Jaccard near-dups via inverted-index candidate join
+    (the exact counterpart to minhash; oracle-backed)."""
+    from orc_spark.textops import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """Rows-only: near-pair count per Hamming distance (the pair list
     itself is large on Zipf corpora where common tokens dominate the
@@ -398,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
@@ -424,9 +435,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from orc_spark.engine import stats
-    from orc_spark.textops import analysis
+    from orc_spark.textops import analysis, dedup
 
     return {
+        "ngram_jaccard_dedup": dedup.ngram_jaccard_sql(
+            "documents", shingle_k=3, threshold=0.5
+        ),
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
@@ -482,7 +496,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "weekly_events": (
-            "SELECT date_trunc('week', ts) AS week, COUNT(*) AS n_events, "
+            "SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, "
+            "COUNT(*) AS n_events, "
             "SUM(value) AS total_value FROM events "
             "GROUP BY 1 ORDER BY week DESC LIMIT 5"
         ),

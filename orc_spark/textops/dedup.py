@@ -183,6 +183,49 @@ def ngram_jaccard_pairs(
     )
 
 
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT {id} AS id, string_split_regex(lower({text}), '\s+') AS t FROM {table}
+),
+sh AS (
+  SELECT id,
+    CASE WHEN len(t) >= {k} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> array_to_string(t[i:i + {k} - 1], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT id, unnest(sh) AS s FROM sh),
+pairs AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+  FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def ngram_jaccard_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling,
+    same inverted-index candidate join, same exact-Jaccard filter)."""
+    return NGRAM_JACCARD_SQL.format(
+        table=table, text=text_col, id=id_col, k=shingle_k, threshold=threshold
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (Arrow-vectorized pandas UDF)."""
     from pyspark.sql.functions import pandas_udf
