@@ -434,10 +434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from orc_spark.engine import stats
+    from orc_spark.engine import selector, stats
     from orc_spark.textops import analysis, dedup
 
     return {
+        "codec_selection": selector.codec_selection_sql(
+            "documents",
+            int_cols=["doc_id", "n_chars"],
+            str_cols=["lang", "source", "text"],
+            n_partitions=4,
+        ),
         "ngram_jaccard_dedup": dedup.ngram_jaccard_sql(
             "documents", shingle_k=3, threshold=0.5
         ),

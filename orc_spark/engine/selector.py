@@ -87,6 +87,42 @@ def stripe_stats(arr: pa.Array) -> dict:
     return out
 
 
+def codec_selection_sql(
+    table: str,
+    int_cols: list[str],
+    str_cols: list[str],
+    n_partitions: int,
+) -> str:
+    """DuckDB twin of the auto-selector's per-column decision.
+
+    Recomputes the same ORC-writer heuristic from column statistics in
+    SQL: integers/timestamps take the RLE chain; strings take dict when
+    distinct/n <= DICT_RATIO_THRESHOLD, else FSST when the per-stripe
+    byte volume clears FSST_MIN_BYTES, else raw. Emits one row per
+    column with the configured stripe count — parity fails if either
+    side's heuristic (or the encode stage's size-budget walk, which can
+    override it) drifts.
+    """
+    parts = [
+        f"SELECT '{c}' AS col, 'rle_auto' AS codec FROM (SELECT 1)"
+        for c in int_cols
+    ]
+    for c in str_cols:
+        parts.append(
+            f"SELECT '{c}' AS col, CASE "
+            f"WHEN count(DISTINCT {c}) * 1.0 / count(*) <= {DICT_RATIO_THRESHOLD} "
+            f"THEN 'dict' "
+            f"WHEN sum(octet_length(ENCODE({c}))) / {n_partitions} >= {FSST_MIN_BYTES} "
+            f"THEN 'fsst' ELSE 'raw' END AS codec FROM {table}"
+        )
+        parts.append("")
+    union = " UNION ALL ".join(p for p in parts if p)
+    return (
+        f'SELECT col AS "column", codec, CAST({n_partitions} AS BIGINT) AS n_stripes '
+        f"FROM ({union}) ORDER BY col, codec"
+    )
+
+
 def choose_codec(arr: pa.Array, chain: list[str]) -> list[str]:
     """Order the chain for this stripe using quick stats.
 
