@@ -126,7 +126,9 @@ def run_encode_job(
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).
-        storage.append_table(stripes, lineage_mod.stripes_dir(cfg.out_dir))
+        storage.append_table(
+            stripes, lineage_mod.stripes_dir(cfg.out_dir), precompressed=True
+        )
         written = (
             storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
             .filter(

@@ -46,12 +46,26 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def append_table(df: DataFrame, target: str) -> None:
-    """Append rows atomically (parquet commit protocol / Iceberg snapshot)."""
+def append_table(df: DataFrame, target: str, precompressed: bool = False) -> None:
+    """Append rows atomically (parquet commit protocol / Iceberg snapshot).
+
+    ``precompressed=True`` marks tables whose payload bytes are already
+    compressed by the engine's own codecs (the stripes table): parquet's
+    page compression and dictionary attempts on such blobs cost CPU on
+    both write and scan and recover nothing, so they are disabled. In
+    Iceberg mode the same intent is a table property
+    (write.parquet.compression-codec=uncompressed); small metadata
+    tables keep the defaults.
+    """
     if is_iceberg(target):
         df.writeTo(target[len(ICEBERG_PREFIX) :]).append()
     else:
-        df.write.mode("append").parquet(target)
+        w = df.write.mode("append")
+        if precompressed:
+            w = w.option("compression", "none").option(
+                "parquet.enable.dictionary", "false"
+            )
+        w.parquet(target)
 
 
 def read_table(spark: SparkSession, target: str, schema=None) -> DataFrame:
