@@ -53,6 +53,28 @@ def success_rate(lineage: DataFrame) -> DataFrame:
     )
 
 
+def merge_child_runs(
+    parent: DataFrame, children: dict[str, DataFrame]
+) -> DataFrame:
+    """Fold child-run lineage into a parent ledger with prefixed run ids.
+
+    Mirrors the reference's hierarchical cost merge, where a child
+    workflow's per-phase ledger is folded into the parent under
+    ``prefix/name`` keys (/root/reference/internal/state/costs.go:101-128).
+    The engine analogue: a streaming ingest (or composite pipeline)
+    produces epoch-scoped child runs whose lineage rolls up under
+    ``parent_run/child_run`` so run_summary() reports both levels.
+    """
+    merged = parent
+    for prefix, child in children.items():
+        merged = merged.unionByName(
+            child.withColumn(
+                "run_id", F.concat(F.lit(prefix + "/"), F.col("run_id"))
+            )
+        )
+    return merged
+
+
 def run_summary(lineage: DataFrame) -> DataFrame:
     """Per-run rollup (≙ run-result.json / RunResult,
     /root/reference/internal/state/runresult.go:11-32)."""

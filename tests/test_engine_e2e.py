@@ -66,6 +66,22 @@ def test_lineage_ledger_complete(spark, webdf, tmp_path):
     assert sr.success_pct == 100.0
 
 
+def test_merge_child_runs_prefixes_and_rolls_up(spark, webdf, tmp_path):
+    """Hierarchical ledger merge: child-run lineage folds into the
+    parent under prefix/run_id keys (reference costs.go:101-128), and
+    run_summary reports both levels."""
+    out = str(tmp_path / "job")
+    cfg = pipeline.EncodeJobConfig(out_dir=out, run_id="parent", key="url", n_partitions=4)
+    pipeline.run_encode_job(spark, webdf, cfg)
+    lin = lineage.read_lineage(spark, out)
+    merged = metrics.merge_child_runs(
+        lin, {"ingest": lin.withColumn("run_id", F.lit("epoch-1"))}
+    )
+    runs = {r.run_id for r in metrics.run_summary(merged).collect()}
+    assert runs == {"parent", "ingest/epoch-1"}
+    assert merged.count() == 2 * lin.count()
+
+
 def test_resume_skips_completed_partitions(spark, webdf, tmp_path):
     """F5 kill-and-resume: first submission only sees partitions 0-7
     (simulating a job killed between waves — waves commit atomically),
