@@ -28,14 +28,28 @@ def token_count(text_col):
     )
 
 
+# BPE-style pre-tokenizer (GPT-2 family, simplified to the subset both
+# Java regex and RE2 support — no lookarounds): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_token_count(text_col):
+    """BPE-ish subword token count (0 for empty/null) — the unit a
+    training pipeline budgets by, approximated JVM-side (no UDF)."""
+    t = F.coalesce(text_col, F.lit(""))
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_chars, n_tokens, avg_token_len)."""
+    """(id, n_chars, n_tokens, n_subword_tokens, avg_token_len)."""
     t = F.col(text_col)
     n_tok = token_count(t)
     return df.select(
         F.col(id_col).alias("id"),
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
+        subword_token_count(t).alias("n_subword_tokens"),
         (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_tok, F.lit(1)))
         .alias("avg_token_len"),
     )
@@ -101,6 +115,9 @@ TOKEN_STATS_SQL = (
     "SELECT doc_id AS id, LENGTH(text) AS n_chars, "
     "CASE WHEN TRIM(text) = '' THEN 0 ELSE "
     "LEN(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens, "
+    "LEN(regexp_extract_all(COALESCE(text, ''), "
+    "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+    ")) AS n_subword_tokens, "
     "LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / "
     "GREATEST(CASE WHEN TRIM(text) = '' THEN 0 ELSE "
     "LEN(string_split_regex(TRIM(text), '\\s+')) END, 1) AS avg_token_len "

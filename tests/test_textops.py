@@ -77,6 +77,43 @@ def test_token_stats_matches_pandas(spark, docs):
     assert (got["n_chars"].to_numpy() == pdf["text"].str.len().to_numpy()).all()
 
 
+def test_subword_token_count_edges(spark):
+    """BPE-ish pre-tokenizer: contractions split off, digit/letter/punct
+    runs are separate tokens, empty/null count 0 — and the Spark (Java
+    regex) and DuckDB (RE2) sides agree on every edge case."""
+    import duckdb
+
+    cases = [
+        (1, "don't stop"),       # don + 't + _stop
+        (2, "abc123!?"),         # abc + 123 + !?
+        (3, "  spaced   out "),  # ws + spaced + ws + out + ws
+        (4, ""),
+        (5, None),
+        (6, "we'll we've we're"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r.id: r.n_subword_tokens
+        for r in analysis.token_stats(df).collect()
+    }
+    assert got[1] == 3 and got[4] == 0 and got[5] == 0
+    assert got[2] == 3
+    assert got[6] == 6  # we + 'll + _we + 've + _we + 're (spaces fold into words)
+
+    con = duckdb.connect()
+    def lit(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, {lit(s)})" for i, s in cases) +
+                ") v(doc_id, text)")
+    sql = analysis.TOKEN_STATS_SQL.format(table="t")
+    duck = {r[0]: r[2] for r in con.execute(
+        "SELECT id, n_tokens, n_subword_tokens FROM (" + sql + ")"
+    ).fetchall()}
+    assert duck == got
+
+
 def test_quality_score_ranges(spark, docs):
     q = analysis.quality_score(docs).toPandas()
     assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
