@@ -332,6 +332,14 @@ def _q_ngram_jaccard_dedup(spark, sf_dir):
     )
 
 
+def _q_near_dup_purge(spark, sf_dir):
+    """Training-corpus purge list: lower-quality member of each
+    near-dup pair (oracle-backed composition of Jaccard x quality)."""
+    from orc_spark.textops import dedup
+
+    return dedup.near_dup_purge(_load(spark, sf_dir, "documents"))
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """Rows-only: near-pair count per Hamming distance (the pair list
     itself is large on Zipf corpora where common tokens dominate the
@@ -409,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
+        "near_dup_purge": _q_near_dup_purge,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
@@ -447,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": dedup.ngram_jaccard_sql(
             "documents", shingle_k=3, threshold=0.5
         ),
+        "near_dup_purge": dedup.near_dup_purge_sql("documents"),
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),

@@ -212,6 +212,67 @@ ORDER BY id_a, id_b
 """
 
 
+def near_dup_purge(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Docs to DROP from a training corpus: for every near-dup pair,
+    the lower-quality member (ties break toward keeping the first id,
+    matching exact_dedup's min-id keeper).
+
+    The canonical cleaning composition — near-dup detection x quality
+    scoring — as one operator. Uses exact n-gram Jaccard pairs here
+    (oracle-checkable); at corpus scale swap the pair source for
+    minhash_lsh_pairs, the semantics are unchanged.
+    """
+    from . import analysis
+
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold)
+    q = analysis.quality_score(df, text_col, id_col).select("id", "quality")
+    j = pairs.join(
+        q.select(F.col("id").alias("id_a"), F.col("quality").alias("qa")), "id_a"
+    ).join(
+        q.select(F.col("id").alias("id_b"), F.col("quality").alias("qb")), "id_b"
+    )
+    win = F.col("qa") >= F.col("qb")
+    return (
+        j.select(
+            F.when(win, F.col("id_b")).otherwise(F.col("id_a")).alias("drop_id"),
+            F.when(win, F.col("qb")).otherwise(F.col("qa")).alias("quality"),
+        )
+        .groupBy("drop_id")
+        .agg(F.min("quality").alias("quality"))
+        .orderBy("drop_id")
+    )
+
+
+def near_dup_purge_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`near_dup_purge` (composes the Jaccard and
+    quality twins; identical rounded qualities make the winner CASE
+    branch identically)."""
+    from . import analysis
+
+    pairs = ngram_jaccard_sql(table, text_col, id_col, shingle_k, threshold)
+    quality = analysis.quality_score_sql(table)
+    return (
+        f"WITH p AS ({pairs}), q AS (SELECT id, quality FROM ({quality})) "
+        "SELECT drop_id, MIN(quality) AS quality FROM ("
+        "  SELECT CASE WHEN qa.quality >= qb.quality THEN p.id_b ELSE p.id_a END AS drop_id, "
+        "         CASE WHEN qa.quality >= qb.quality THEN qb.quality ELSE qa.quality END AS quality "
+        "  FROM p JOIN q qa ON qa.id = p.id_a JOIN q qb ON qb.id = p.id_b"
+        ") GROUP BY drop_id ORDER BY drop_id"
+    )
+
+
 def ngram_jaccard_sql(
     table: str,
     text_col: str = "text",
