@@ -40,6 +40,8 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # One Arrow batch = one stripe (~100 MB at 64k web rows)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
     # imported AFTER session start: the package arrives via --py-files
