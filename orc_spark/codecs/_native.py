@@ -13,7 +13,7 @@ import subprocess
 import tempfile
 
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
-_SO = os.path.join(os.path.dirname(__file__), "_native_build", "orcspark_native.so")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_native_build")
 
 _lib = None
 _tried = False
@@ -35,23 +35,34 @@ def _read_src() -> bytes | None:
 
 
 def _so_path() -> str:
-    """Writable .so location: package dir, else a content-keyed temp
-    path (zip imports / read-only installs, e.g. spark-submit
-    --py-files — one compile per host, shared by all workers)."""
-    pkg_dir = os.path.dirname(_SO)
-    try:
-        os.makedirs(pkg_dir, exist_ok=True)
-        if os.access(pkg_dir, os.W_OK):
-            return _SO
-    except OSError:
-        pass
+    """Writable .so location, ALWAYS keyed by the source hash so any
+    _native.c change (e.g. a table-ABI bump) forces recompilation — a
+    path-keyed cache would silently dlopen a stale binary built for the
+    old ABI. Package dir when writable; else a per-user 0700 temp dir
+    (zip imports / read-only installs, e.g. spark-submit --py-files —
+    one compile per host+user, shared by that user's workers; a
+    world-shared predictable path would let another local user plant a
+    library that every Spark worker then executes)."""
     import hashlib
 
     src = _read_src() or b""
     tag = hashlib.sha256(src).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), f"orcspark_native_{tag}", "orcspark_native.so"
-    )
+    name = f"orcspark_native_{tag}.so"
+    try:
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        if os.access(_BUILD_DIR, os.W_OK):
+            return os.path.join(_BUILD_DIR, name)
+    except OSError:
+        pass
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    user_dir = os.path.join(tempfile.gettempdir(), f"orcspark-{uid}")
+    os.makedirs(user_dir, mode=0o700, exist_ok=True)
+    st = os.stat(user_dir)
+    if st.st_uid != uid or (st.st_mode & 0o077):
+        # Pre-existing dir owned by someone else / group-writable:
+        # refuse to share it, fall back to a fresh private dir.
+        user_dir = tempfile.mkdtemp(prefix=f"orcspark-{uid}-")
+    return os.path.join(user_dir, name)
 
 
 def _compile() -> str | None:
@@ -62,7 +73,9 @@ def _compile() -> str | None:
     if src is None:
         return None
     os.makedirs(os.path.dirname(so), exist_ok=True)
-    csrc = os.path.join(os.path.dirname(so), "_native.c")
+    # csrc shares the .so's content tag: a path-keyed _native.c could be
+    # stale and would get compiled into the freshly-tagged .so.
+    csrc = so[: -len(".so")] + ".c"
     if not os.path.exists(csrc):
         with open(csrc + f".tmp{os.getpid()}", "wb") as f:
             f.write(src)

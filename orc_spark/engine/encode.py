@@ -43,6 +43,9 @@ STRIPE_SCHEMA = StructType(
         StructField("checksum", StringType(), False),
         StructField("encode_ms", DoubleType(), False),
         StructField("attempts", IntegerType(), False),
+        StructField("status", StringType(), False),
+        StructField("failure_category", StringType(), True),
+        StructField("epoch", LongType(), False),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -60,9 +63,33 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("checksum", pa.string()),
         ("encode_ms", pa.float64()),
         ("attempts", pa.int32()),
+        ("status", pa.string()),
+        ("failure_category", pa.string()),
+        ("epoch", pa.int64()),
         ("data", pa.binary()),
     ]
 )
+
+
+class InjectedFault(RuntimeError):
+    """Deliberate per-(partition, column) failure for resilience tests
+    (≙ the reference's mock-`claude` fault scripts, e2e/mocks/)."""
+
+
+def classify_failure(exc: BaseException) -> str:
+    """Map an encode exception onto the failure taxonomy — mirrors the
+    reference's 11-value failure_category enum
+    (/root/reference/internal/state/state.go:29-41), restricted to the
+    categories an encode engine can actually hit."""
+    if isinstance(exc, InjectedFault):
+        return "injected_fault"
+    if isinstance(exc, (KeyError, ValueError)):
+        return "codec_error"
+    if isinstance(exc, pa.ArrowInvalid):
+        return "validation_error"
+    if isinstance(exc, MemoryError):
+        return "resource_exhausted"
+    return "unknown_error"
 
 
 DEFAULT_SIZE_BUDGET = 0.95  # a codec must save >=5% vs input or we take raw
@@ -104,10 +131,25 @@ def encode_stage(
     plans: dict[str, selector.ColumnPlan],
     run_id: str,
     size_budget_ratio: float = 1.0,
+    epoch: int = 0,
+    fault_spec: dict | None = None,
 ) -> DataFrame:
-    """Encode every planned column of every arrow batch into stripes."""
+    """Encode every planned column of every arrow batch into stripes.
+
+    A stripe whose encode raises is recorded as ``status='failed'`` with
+    a taxonomy category instead of failing the whole wave — the ledger
+    keeps the trace and resume re-encodes the partition at the next
+    epoch (≙ the reference persisting failure_category in state.json,
+    /root/reference/internal/state/state.go:29-41).
+
+    ``fault_spec`` = {"columns": [...], "partitions": [...]} injects a
+    deliberate failure for those stripes (resilience tests / the
+    failure_categories oracle query).
+    """
     columns = sorted(plans)
     chains = {c: plans[c].chain for c in columns}
+    fault_cols = set((fault_spec or {}).get("columns", ()))
+    fault_pids = set((fault_spec or {}).get("partitions", ()))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -121,9 +163,16 @@ def encode_stage(
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 t0 = time.perf_counter()
-                codec, blob, attempts = encode_with_fallback(
-                    arr, chains[col], size_budget_ratio, state=col_state[col]
-                )
+                try:
+                    if col in fault_cols and pid in fault_pids:
+                        raise InjectedFault(f"injected fault p{pid}/{col}")
+                    codec, blob, attempts = encode_with_fallback(
+                        arr, chains[col], size_budget_ratio, state=col_state[col]
+                    )
+                    status, category, checksum = "completed", None, column_checksum(arr)
+                except Exception as exc:  # noqa: BLE001 — ledgered, not swallowed
+                    codec, blob, attempts = "error", b"", 0
+                    status, category, checksum = "failed", classify_failure(exc), ""
                 ms = (time.perf_counter() - t0) * 1000.0
                 rows["run_id"].append(run_id)
                 rows["partition_id"].append(pid)
@@ -133,9 +182,12 @@ def encode_stage(
                 rows["n_rows"].append(len(arr))
                 rows["bytes_in"].append(int(arr.nbytes))
                 rows["bytes_out"].append(len(blob))
-                rows["checksum"].append(column_checksum(arr))
+                rows["checksum"].append(checksum)
                 rows["encode_ms"].append(ms)
                 rows["attempts"].append(attempts)
+                rows["status"].append(status)
+                rows["failure_category"].append(category)
+                rows["epoch"].append(epoch)
                 rows["data"].append(blob)
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 

@@ -42,6 +42,8 @@ LINEAGE_SCHEMA = StructType(
         StructField("encode_ms", DoubleType(), False),
         StructField("checksum", StringType(), False),
         StructField("status", StringType(), False),
+        StructField("failure_category", StringType(), True),
+        StructField("epoch", LongType(), False),
         StructField("ts", TimestampType(), False),
     ]
 )
@@ -56,7 +58,10 @@ def stripes_dir(out_dir: str) -> str:
 
 
 def lineage_from_stripes(stripes: DataFrame, input_split: str | None = None) -> DataFrame:
-    """Project stripe metadata (sans blob) into lineage rows."""
+    """Project stripe metadata (sans blob) into lineage rows, carrying
+    the stripe's real status/failure_category (failed stripes leave a
+    ledger trace; ≙ reference failure_category persistence,
+    /root/reference/internal/state/state.go:29-41)."""
     return stripes.select(
         "run_id",
         "partition_id",
@@ -68,7 +73,9 @@ def lineage_from_stripes(stripes: DataFrame, input_split: str | None = None) -> 
         "bytes_out",
         "encode_ms",
         "checksum",
-        F.lit("completed").alias("status"),
+        "status",
+        "failure_category",
+        "epoch",
         F.current_timestamp().alias("ts"),
     )
 
@@ -88,11 +95,13 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
 def completed_partitions(
     spark: SparkSession, out_dir: str, run_id: str, n_columns: int
 ) -> list[int]:
-    """Partitions whose every column committed a completed stripe set.
+    """Partitions with a complete column set committed IN ONE EPOCH.
 
-    A partition counts as done only when all its columns are present
-    (a wave writes stripes for all columns of its partitions atomically
-    via the parquet commit, but be defensive anyway).
+    The same-epoch requirement is the row-alignment invariant: columns
+    encoded in different passes may have different Arrow batch
+    boundaries and row order, so a partition only counts as done when
+    one encode pass produced all of its columns — a partition with a
+    failed stripe stays todo and is re-encoded whole at the next epoch.
     """
     if not os.path.exists(lineage_dir(out_dir)):
         return []  # fresh run: no Spark job needed
@@ -100,10 +109,24 @@ def completed_partitions(
         (F.col("run_id") == run_id) & (F.col("status") == "completed")
     )
     rows = (
-        lin.groupBy("partition_id")
+        lin.groupBy("partition_id", "epoch")
         .agg(F.countDistinct("column").alias("n_cols"))
         .filter(F.col("n_cols") >= n_columns)
         .select("partition_id")
+        .distinct()
         .collect()
     )
     return sorted(r.partition_id for r in rows)
+
+
+def next_epoch(spark: SparkSession, out_dir: str, run_id: str) -> int:
+    """One past the highest epoch this run has written (0 for fresh)."""
+    if not os.path.exists(lineage_dir(out_dir)):
+        return 0
+    row = (
+        read_lineage(spark, out_dir)
+        .filter(F.col("run_id") == run_id)
+        .agg(F.max("epoch").alias("m"))
+        .first()
+    )
+    return 0 if row is None or row.m is None else int(row.m) + 1

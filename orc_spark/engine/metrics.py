@@ -53,6 +53,23 @@ def success_rate(lineage: DataFrame) -> DataFrame:
     )
 
 
+def failure_categories(lineage: DataFrame) -> DataFrame:
+    """Failure-category breakdown: count + percent of failed stripes,
+    count-desc then name-asc — mirrors the reference's failure stats
+    (/root/reference/internal/stats/stats.go:399-437)."""
+    from pyspark.sql import Window
+
+    failed = lineage.filter(F.col("status") == "failed")
+    by_cat = failed.groupBy("failure_category").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        by_cat.withColumn("pct_of_failed", F.col("n") * 100.0 / total)
+        .orderBy(F.desc("n"), "failure_category")
+    )
+
+
 def merge_child_runs(
     parent: DataFrame, children: dict[str, DataFrame]
 ) -> DataFrame:

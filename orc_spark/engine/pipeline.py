@@ -34,6 +34,9 @@ class EncodeJobConfig:
     waves: int = 1  # >1 = finer-grained checkpoints
     size_budget_ratio: float = encode_mod.DEFAULT_SIZE_BUDGET
     overrides: dict[str, list[str]] | None = None
+    # {"columns": [...], "partitions": [...]}: deliberate per-stripe
+    # failures for resilience tests (see encode_stage).
+    fault_spec: dict | None = None
 
 
 @dataclass
@@ -42,6 +45,7 @@ class EncodeJobResult:
     partitions_total: int
     partitions_skipped: int
     partitions_encoded: int
+    partitions_failed: int = 0
     waves: int = 0
     columns: list[str] = field(default_factory=list)
 
@@ -84,7 +88,8 @@ def run_encode_job(
         )
         stripe_done = {
             r.partition_id
-            for r in stripe_meta.groupBy("partition_id")
+            for r in stripe_meta.filter(F.col("status") == "completed")
+            .groupBy("partition_id", "epoch")
             .agg(F.countDistinct("column").alias("nc"))
             .filter(F.col("nc") >= len(columns))
             .collect()
@@ -109,6 +114,7 @@ def run_encode_job(
     if not todo:
         return result
 
+    epoch = lineage_mod.next_epoch(spark, cfg.out_dir, cfg.run_id)
     waves = max(1, min(cfg.waves, len(todo)))
     per_wave = -(-len(todo) // waves)
     for w in range(waves):
@@ -122,7 +128,8 @@ def run_encode_job(
             wave_df.drop("_pid"), cfg.n_partitions, cfg.key, cfg.salt
         )
         stripes = encode_mod.encode_stage(
-            wave_df, plans, cfg.run_id, cfg.size_budget_ratio
+            wave_df, plans, cfg.run_id, cfg.size_budget_ratio,
+            epoch=epoch, fault_spec=cfg.fault_spec,
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).
@@ -133,6 +140,7 @@ def run_encode_job(
             storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
             .filter(
                 (F.col("run_id") == cfg.run_id)
+                & (F.col("epoch") == epoch)  # not stale prior-epoch rows
                 & F.col("partition_id").isin(wave_ids)
             )
             .drop("data")  # column-pruned scan: blobs are never re-read
@@ -141,12 +149,13 @@ def run_encode_job(
         lineage_mod.append_lineage(
             lineage_mod.lineage_from_stripes(written), cfg.out_dir
         )
-        encoded_ids = {
-            r.partition_id
-            for r in written.select("partition_id").distinct().collect()
-        }
+        by_status = written.groupBy("partition_id").agg(
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("nf")
+        ).collect()
         written.unpersist()
-        result.partitions_encoded += len(encoded_ids)
+        failed_ids = {r.partition_id for r in by_status if r.nf}
+        result.partitions_encoded += len(by_status) - len(failed_ids)
+        result.partitions_failed += len(failed_ids)
         result.waves += 1
     return result
 
@@ -158,13 +167,44 @@ def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -
     return s
 
 
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-string config values: '134217728', '128m', '4mb'."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(float(s[:-1]) * _BYTE_SUFFIX[s[-1]])
+    return int(s)
+
+
 def _stripe_files_fit_one_task_each(spark: SparkSession, out_dir: str) -> bool:
-    """True when no stripe part-file can be split across scan tasks
-    (every file <= spark.sql.files.maxPartitionBytes), which guarantees
-    each task reads complete stripe groups — see decode_stage."""
+    """True when no stripe part-file can be split across scan tasks,
+    which guarantees each task reads complete stripe groups — see
+    decode_stage.
+
+    Spark splits files at maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/minPartitionNum)) — NOT plain
+    maxPartitionBytes (FilePartition.maxSplitBytes) — so a file under
+    maxPartitionBytes can still be split when the session raises that
+    limit or many cores shrink bytesPerCore. Replicate the full
+    formula, conservatively assuming parquet can split at any row-group
+    boundary (multi-row-group files written by a large wave).
+    """
     d = lineage_mod.stripes_dir(out_dir)
     try:
-        limit = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        min_pn_conf = spark.conf.get("spark.sql.files.minPartitionNum", None)
+        min_pn = (
+            int(min_pn_conf)
+            if min_pn_conf
+            else spark.sparkContext.defaultParallelism
+        )
     except ValueError:
         return False
     try:
@@ -175,7 +215,39 @@ def _stripe_files_fit_one_task_each(spark: SparkSession, out_dir: str) -> bool:
         ]
     except OSError:
         return False
-    return bool(sizes) and max(sizes) <= limit
+    if not sizes:
+        return False
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // max(min_pn, 1)))
+    return max(sizes) <= max_split
+
+
+def _epoch_keep_filter(spark: SparkSession, stripes: DataFrame, want_cols: set[str]):
+    """Per partition, keep only the max epoch whose requested column set
+    is complete (row alignment holds only within one encode pass).
+    Returns a filtered stripes DF; bounded driver collect (one row per
+    partition x epoch — metadata, never data)."""
+    meta = stripes.drop("data").filter(
+        (F.col("status") == "completed") & F.col("column").isin(list(want_cols))
+    )
+    max_epoch = meta.agg(F.max("epoch").alias("m")).first()
+    if max_epoch is None or max_epoch.m is None or int(max_epoch.m) == 0:
+        return stripes.filter(F.col("status") == "completed")  # common case
+    keep_rows = (
+        meta.groupBy("partition_id", "epoch")
+        .agg(F.countDistinct("column").alias("nc"))
+        .filter(F.col("nc") >= len(want_cols))
+        .groupBy("partition_id")
+        .agg(F.max("epoch").alias("epoch"))
+        .collect()
+    )
+    keep = spark.createDataFrame(
+        [(int(r.partition_id), int(r.epoch)) for r in keep_rows],
+        "partition_id int, epoch long",
+    )
+    return stripes.filter(F.col("status") == "completed").join(
+        F.broadcast(keep), ["partition_id", "epoch"], "left_semi"
+    )
 
 
 def decode_job(
@@ -189,9 +261,11 @@ def decode_job(
     layout proves co-location (the common case: encode tasks write one
     file each); falls back to an explicit repartition otherwise."""
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
-    return decode_mod.decode_stage(
-        read_stripes(spark, out_dir, run_id), result_schema, columns, colocated
+    want = set(columns or [f.name for f in result_schema.fields])
+    stripes = _epoch_keep_filter(
+        spark, read_stripes(spark, out_dir, run_id), want
     )
+    return decode_mod.decode_stage(stripes, result_schema, columns, colocated)
 
 
 def verify_roundtrip(

@@ -48,6 +48,47 @@ def salt_expr(key: str = "url", salt: int = 42):
     return F.xxhash64(F.col(key), F.lit(salt))
 
 
+def portable_bucket_expr(key: str, n_buckets: int, salt: int | None = 42):
+    """Salted bucket id from the top-32 bits of md5 — engine-portable:
+    the identical value is computable in ANSI-ish SQL (DuckDB:
+    ('0x' || substr(md5(k || ':' || salt), 1, 8))::BIGINT % n), which
+    makes bucket-balance reports oracle-checkable. The production
+    repartition path stays on xxhash64 (one JVM hash, no hex round
+    trip); this expression exists for verifiable skew REPORTING."""
+    s = F.col(key).cast("string")
+    if salt is not None:
+        s = F.concat_ws(":", s, F.lit(str(salt)))
+    h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def portable_bucket_sql(key: str, n_buckets: int, salt: int | None = 42) -> str:
+    """DuckDB twin of :func:`portable_bucket_expr`."""
+    s = f"CAST({key} AS VARCHAR)"
+    if salt is not None:
+        s = f"({s} || ':{salt}')"
+    return f"(('0x' || substr(md5({s}), 1, 8))::BIGINT % {n_buckets})"
+
+
+def bucket_balance_report(
+    df: DataFrame, key: str, n_buckets: int, salt: int | None = 42, strategy: str = "salted_hash"
+) -> DataFrame:
+    """One summary row: per-bucket row-count spread under the given
+    bucketing — max/min/avg prove (or disprove) balance. Computed with
+    the portable hash so a SQL oracle can recompute it exactly."""
+    per = df.groupBy(
+        portable_bucket_expr(key, n_buckets, salt).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.lit(strategy).alias("strategy"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+        F.count(F.lit(1)).alias("buckets_hit"),
+        F.max("n").alias("max_rows"),
+        F.min("n").alias("min_rows"),
+        F.sum("n").alias("total_rows"),
+    )
+
+
 def partition_id_expr(n_partitions: int, key: str = "url", salt: int = 42):
     """pmod(murmur3(xxhash64(key, salt)), n) — the physical partition id
     a row lands in under :func:`salted_repartition`, recomputable from

@@ -85,14 +85,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     est_jaccard is the signature agreement fraction — an unbiased
     Jaccard estimator. Candidate generation: equal band-slices bucket
-    together; only bucket collisions are joined.
+    together; only bucket collisions are joined. With ``exact_verify``
+    the candidates are scored with TRUE Jaccard instead of the
+    estimate and the output column is ``jaccard``.
     """
     rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+    ).select("id", F.array_distinct("sh").alias("sh"))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
         "id",
@@ -131,6 +137,27 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if exact_verify:
+        # Candidates from LSH, decision from TRUE Jaccard over the full
+        # shingle sets: the output is then exactly the >=threshold pair
+        # set (LSH can only lose pairs, and with rows_per_band=2 the
+        # miss probability at j is (1-j^2)^bands — ~1e-4 at j=0.5,
+        # bands=32, vanishing for higher j), which gives the query a
+        # plain exact-SQL oracle twin.
+        sets_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sets_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.select("id_a", "id_b")
+            .join(sets_a, "id_a")
+            .join(sets_b, "id_b")
+            .withColumn(
+                "jaccard", inter / (F.size("sh_a") + F.size("sh_b") - inter)
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b")
+        )
     est = (
         F.size(
             F.filter(
@@ -147,6 +174,9 @@ def minhash_lsh_pairs(
     )
 
 
+DEFAULT_SHINGLE_DF_CAP = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -154,29 +184,54 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_docs: int | None = None,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
 
     The inverted-index join (explode shingles -> self-join on shingle)
     is the scalable exact counterpart to minhash: candidates only,
-    never a cross join.
+    never a cross join. ``df_cap`` bounds the self-join: shingles
+    appearing in more than df_cap documents are dropped from the
+    *candidate index* (a stop-shingle in k docs would otherwise emit
+    k^2/2 join rows — quadratic on a web corpus where some 3-gram is
+    near-universal). Jaccard itself is then computed exactly over the
+    FULL shingle sets of each candidate pair, so the cap affects only
+    recall: a pair is missed only if every shingle it shares is more
+    common than df_cap, which at near-dup thresholds requires two
+    documents built entirely of stop-shingles. The DuckDB twin applies
+    the same cap, so parity holds even when it binds.
     """
     base = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
     if max_docs:
         base = base.limit(max_docs)
     base = base.select("id", F.array_distinct("sh").alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
     inv = base.select("id", F.explode("sh").alias("s"))
-    pairs = (
-        inv.alias("x")
-        .join(inv.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if df_cap is not None:
+        rare = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        inv_c = inv.join(rare, "s", "left_semi")
+    else:
+        inv_c = inv
+    cand = (
+        inv_c.alias("x")
+        .join(inv_c.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+    sets_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -187,7 +242,7 @@ NGRAM_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT {id} AS id, string_split_regex(lower({text}), '\s+') AS t FROM {table}
 ),
-sh AS (
+shng AS (
   SELECT id,
     CASE WHEN len(t) >= {k} THEN
       list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
@@ -195,19 +250,23 @@ sh AS (
     ELSE [array_to_string(t, ' ')] END AS sh
   FROM toks
 ),
-sizes AS (SELECT id, len(sh) AS n_sh FROM sh),
-inv AS (SELECT id, unnest(sh) AS s FROM sh),
-pairs AS (
-  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
-  FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id
-  GROUP BY 1, 2
+inv AS (SELECT id, unnest(sh) AS s FROM shng),
+rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {df_cap}),
+inv_c AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM inv_c x JOIN inv_c y ON x.s = y.s AND x.id < y.id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM cand JOIN shng a ON a.id = id_a JOIN shng b ON b.id = id_b
 )
 SELECT id_a, id_b,
-       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM j
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -218,6 +277,7 @@ def near_dup_purge(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Docs to DROP from a training corpus: for every near-dup pair,
     the lower-quality member (ties break toward keeping the first id,
@@ -230,7 +290,7 @@ def near_dup_purge(
     """
     from . import analysis
 
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold)
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold, df_cap=df_cap)
     q = analysis.quality_score(df, text_col, id_col).select("id", "quality")
     j = pairs.join(
         q.select(F.col("id").alias("id_a"), F.col("quality").alias("qa")), "id_a"
@@ -255,13 +315,14 @@ def near_dup_purge_sql(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    df_cap: int = DEFAULT_SHINGLE_DF_CAP,
 ) -> str:
     """DuckDB twin of :func:`near_dup_purge` (composes the Jaccard and
     quality twins; identical rounded qualities make the winner CASE
     branch identically)."""
     from . import analysis
 
-    pairs = ngram_jaccard_sql(table, text_col, id_col, shingle_k, threshold)
+    pairs = ngram_jaccard_sql(table, text_col, id_col, shingle_k, threshold, df_cap)
     quality = analysis.quality_score_sql(table)
     return (
         f"WITH p AS ({pairs}), q AS (SELECT id, quality FROM ({quality})) "
@@ -279,73 +340,103 @@ def ngram_jaccard_sql(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    df_cap: int = DEFAULT_SHINGLE_DF_CAP,
 ) -> str:
-    """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling,
-    same inverted-index candidate join, same exact-Jaccard filter)."""
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling, same
+    DF-capped candidate index, same exact intersection over full sets)."""
     return NGRAM_JACCARD_SQL.format(
-        table=table, text=text_col, id=id_col, k=shingle_k, threshold=threshold
+        table=table, text=text_col, id=id_col, k=shingle_k,
+        threshold=threshold, df_cap=df_cap,
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (Arrow-vectorized pandas UDF)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.array(
-                [hash_bytes64(tok.encode()) for tok in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = bits.sum(axis=0) * 2 - len(hs)
-            sig = np.uint64(0)
-            for b in np.flatnonzero(votes > 0):
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
-
-    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+def _simhash_bit(b: int, hash_fn: str):
+    """Bit ``b`` (0..63) of the per-token hash as a 0/1 int column over
+    an exploded token column named ``tok``."""
+    if hash_fn == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64("tok"), b).bitwiseAND(F.lit(1))
+    if hash_fn == "md5":
+        # Bit b of the top-64-bits of md5, via the b//4-th hex nibble —
+        # every step (md5, substring, conv, shift, mask) has an exact
+        # DuckDB counterpart, making the WHOLE simhash SQL-checkable.
+        nib = F.conv(F.substring(F.md5(F.col("tok")), b // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def hash_bytes64(b: bytes) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike
-    Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per document, entirely JVM-side: explode tokens,
+    hash each with ``xxhash64`` (default) or ``md5`` (DuckDB-replicable
+    oracle variant), majority-vote each bit via 64 partial-aggregating
+    sums — zero per-token Python (the r1 pandas-UDF FNV loop was the
+    exact row-at-a-time pattern the input_hint forbids).
+
+    Returns (id, simhash_hi, simhash_lo): two 32-bit halves (avoids
+    bit-63 signed overflow and keeps the DuckDB twin in plain BIGINT
+    arithmetic). Documents with no tokens get (0, 0).
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(_simhash_bit(b, hash_fn) * 2 - 1).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+
+    def _half(lo_bit: int):
+        acc = F.lit(0).cast("long")
+        for b in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - lo_bit)).cast("long")).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    sigs = votes.select("id", _half(32).alias("simhash_hi"), _half(0).alias("simhash_lo"))
+    return ids.join(sigs, "id", "left").select(
+        "id",
+        F.coalesce("simhash_hi", F.lit(0).cast("long")).alias("simhash_hi"),
+        F.coalesce("simhash_lo", F.lit(0).cast("long")).alias("simhash_lo"),
+    )
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    chunks (a pair within distance<=3 shares at least one of 4 chunks)."""
-    sig = simhash64(df, text_col, id_col)
+    chunks — a pair within distance <= 3 differs in at most 3 of the 4
+    chunks, so it shares at least one (pigeonhole): the blocking is
+    LOSSLESS for max_hamming <= 3, never all-pairs."""
+    sig = simhash64(df, text_col, id_col, hash_fn)
+    chunk_vals = [
+        F.shiftrightunsigned(F.col("simhash_lo"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("simhash_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("simhash_hi"), 0).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("simhash_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     chunks = sig.select(
         "id",
-        "simhash",
+        "simhash_hi",
+        "simhash_lo",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).alias("chunk"), v.alias("val"))
+                    for c, v in enumerate(chunk_vals)
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
+    ).select("id", "simhash_hi", "simhash_lo", "cc.chunk", "cc.val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -357,14 +448,69 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.simhash_hi").alias("ha"),
+            F.col("a.simhash_lo").alias("la"),
+            F.col("b.simhash_hi").alias("hb"),
+            F.col("b.simhash_lo").alias("lb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).alias("hamming")
     return (
         cand.select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def _simhash_bit_sql(b: int) -> str:
+    """DuckDB twin of _simhash_bit(b, 'md5')."""
+    j, s = b // 4 + 1, 3 - b % 4
+    return (
+        f"(((strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) >> {s}) & 1)"
+    )
+
+
+def simhash_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """Generated DuckDB twin of simhash_near_pairs(hash_fn='md5'):
+    identical tokenization, per-token md5 bit extraction, bit votes,
+    32-bit half assembly, and Hamming filter. The oracle side skips the
+    chunk blocking and joins all pairs — lossless equivalence for
+    max_hamming <= 3 (pigeonhole over 4 chunks), so any blocking bug on
+    the Spark side shows up as a missing pair."""
+    votes = ", ".join(
+        f"SUM(2 * {_simhash_bit_sql(b)} - 1) AS v{b}" for b in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest(string_split_regex(lower({text_col}), '\s+')) AS tok
+  FROM {table}
+),
+hashed AS (SELECT id, md5(tok) AS h FROM toks WHERE tok <> ''),
+votes AS (SELECT id, {votes} FROM hashed GROUP BY id),
+sigs AS (
+  SELECT d.{id_col} AS id,
+         CAST(COALESCE({hi.replace('v', 'votes.v')}, 0) AS BIGINT) AS hi,
+         CAST(COALESCE({lo.replace('v', 'votes.v')}, 0) AS BIGINT) AS lo
+  FROM {table} d LEFT JOIN votes ON votes.id = d.{id_col}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""

@@ -84,8 +84,16 @@ def wrap_html_expr(title: Column, text: Column) -> Column:
 
 def extract_series(html: pd.Series, body_only: bool = True, collapse_ws: bool = True) -> pd.Series:
     """The extraction pipeline over a pandas Series (str or bytes)."""
-    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
-        s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    # Sniff bytes-vs-str from the first NON-NULL element: a batch whose
+    # first value is NULL but holds bytes rows must still take the
+    # decode path, or pandas .str ops raise on inferred dtype bytes.
+    first = html.dropna()
+    if len(first) and isinstance(first.iloc[0], (bytes, bytearray)):
+        s = html.map(
+            lambda b: b.decode("utf-8", errors="replace")
+            if isinstance(b, (bytes, bytearray))
+            else b
+        )
     else:
         s = html.astype("object")
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)

@@ -67,6 +67,131 @@ def media_metadata(df: DataFrame, id_col: str, bytes_col: str, kind: str) -> Dat
     )
 
 
+def parse_image_header(data: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from real image headers — pure Python
+    over the public PNG / GIF / JPEG specs, no image libraries.
+
+    - PNG: 8-byte signature, IHDR chunk => width/height big-endian u32
+      at offsets 16/20.
+    - GIF: 'GIF87a'/'GIF89a', logical-screen width/height little-endian
+      u16 at offsets 6/8.
+    - JPEG: marker scan from SOI to the first SOFn segment (C0-CF minus
+      C4/C8/CC), which carries height/width big-endian u16.
+
+    Unknown/truncated payloads => (None, None, None).
+    """
+    try:
+        if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return "png", w, h
+        if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+            return "gif", w, h
+        if len(data) >= 4 and data[:2] == b"\xff\xd8":
+            pos, limit = 2, min(len(data), 1 << 16)
+            while pos + 4 <= limit:
+                if data[pos] != 0xFF:
+                    pos += 1  # spec allows fill bytes; resync
+                    continue
+                marker = data[pos + 1]
+                if marker == 0xFF:
+                    pos += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                    pos += 2  # standalone markers carry no length
+                    continue
+                seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if pos + 9 <= len(data):
+                        h = int.from_bytes(data[pos + 5 : pos + 7], "big")
+                        w = int.from_bytes(data[pos + 7 : pos + 9], "big")
+                        return "jpeg", w, h
+                    break
+                pos += 2 + seg_len
+            return "jpeg", None, None
+    except (IndexError, ValueError):
+        pass
+    return None, None, None
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def probe_media_headers(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """(media_id, format, width, height) via the real header parsers,
+    Arrow-batched mapInArrow. The per-row work is a bounded header
+    inspection (tens of bytes; the JPEG marker scan is inherently
+    sequential per the spec), so this stays cheap even though it runs
+    in Python."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col)
+            blobs = batch.column(bytes_col)
+            fmts, ws, hs = [], [], []
+            for b in blobs:
+                data = b.as_py() if b.is_valid else b""
+                fmt, w, h = parse_image_header(data or b"")
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(fmts, type=pa.string()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(hs, type=pa.int32()),
+                ],
+                names=["media_id", "format", "width", "height"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col)
+    ).mapInArrow(fn, PROBE_SCHEMA)
+
+
+def synth_image_expr(fmt_col, w_col, h_col):
+    """Deterministic spec-conformant image HEADER bytes as a binary
+    column (pure JVM hex concat + unhex — no UDF): fmt 'png'|'gif'|
+    'jpeg' with the given dimensions. Only headers (+ a JFIF APP0
+    segment for jpeg so the marker scan is exercised), no pixel data —
+    these exist to verify :func:`probe_media_headers` against an
+    arithmetic SQL oracle."""
+    w, h = w_col.cast("long"), h_col.cast("long")
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+    le16 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c.bitwiseAND(F.lit(255))), 2, "0"),
+        F.lpad(F.hex(F.shiftright(c, 8).bitwiseAND(F.lit(255))), 2, "0"),
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D49484452"),  # IHDR length + type
+        be32(w), be32(h),
+        F.lit("0806000000"),  # bit depth, color type, etc.
+    )
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("F70000"))
+    jpeg = F.concat(
+        F.lit("FFD8"),  # SOI
+        F.lit("FFE000104A46494600010200004800480000"),  # APP0/JFIF
+        F.lit("FFC0001108"), be16(h), be16(w), F.lit("03"),  # SOF0
+    )
+    return F.unhex(
+        F.when(fmt_col == "png", png)
+        .when(fmt_col == "gif", gif)
+        .otherwise(jpeg)
+    )
+
+
 def decode_image_stub(data: bytes, dim: int = 16) -> np.ndarray:
     """STUB decoder (no image libs in this container).
 

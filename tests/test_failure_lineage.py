@@ -1,0 +1,108 @@
+"""Failure taxonomy + epoch-scoped resume (≙ reference failure_category
+persistence, /root/reference/internal/state/state.go:29-41, and the
+failure-stats breakdown /root/reference/internal/stats/stats.go:399-437).
+
+Invariants pinned here:
+- a stripe whose encode raises becomes a ``status='failed'`` ledger row
+  with a taxonomy category — the wave itself succeeds;
+- a partition with any failed stripe stays todo: resume re-encodes it
+  WHOLE at the next epoch (row alignment holds only within one pass);
+- decode uses, per partition, only the max epoch with a complete column
+  set, and reproduces the input exactly;
+- the failure report aggregates by category like the reference stats.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.engine import encode, lineage, metrics, pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def _cfg(out, **kw):
+    base = dict(out_dir=out, run_id="fl", key="doc_id", n_partitions=4)
+    base.update(kw)
+    return pipeline.EncodeJobConfig(**base)
+
+
+def test_classify_failure_taxonomy():
+    assert encode.classify_failure(encode.InjectedFault("x")) == "injected_fault"
+    assert encode.classify_failure(ValueError("bad codec")) == "codec_error"
+    assert encode.classify_failure(KeyError("missing")) == "codec_error"
+    assert encode.classify_failure(MemoryError()) == "resource_exhausted"
+    assert encode.classify_failure(RuntimeError("?")) == "unknown_error"
+
+
+def test_injected_fault_ledgered_then_resumed(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    r1 = pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": ["text"], "partitions": [1, 3]}),
+    )
+    assert r1.partitions_failed == 2
+    assert r1.partitions_encoded == 2
+    lin = lineage.read_lineage(spark, out)
+    failed = lin.filter(F.col("status") == "failed").collect()
+    assert len(failed) == 2
+    assert {r.failure_category for r in failed} == {"injected_fault"}
+    assert {r.partition_id for r in failed} == {1, 3}
+    rep = metrics.failure_categories(lin).collect()
+    assert [(r.failure_category, r.n, r.pct_of_failed) for r in rep] == [
+        ("injected_fault", 2, 100.0)
+    ]
+
+    # resume without the fault: the 2 faulted partitions re-encode WHOLE
+    r2 = pipeline.run_encode_job(spark, docs, _cfg(out))
+    assert (r2.partitions_skipped, r2.partitions_encoded, r2.partitions_failed) == (2, 2, 0)
+    lin = lineage.read_lineage(spark, out)
+    epoch1 = lin.filter(F.col("epoch") == 1)
+    assert epoch1.filter(F.col("status") == "completed").count() == 2 * len(r2.columns)
+    assert sorted(
+        r.partition_id for r in epoch1.select("partition_id").distinct().collect()
+    ) == [1, 3]
+
+    # decode: per partition, only the max complete epoch; bit-exact result
+    dec = pipeline.decode_job(spark, out, "fl", docs.schema)
+    chk = pipeline.verify_roundtrip(docs, dec, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    # idempotent third run
+    r3 = pipeline.run_encode_job(spark, docs, _cfg(out))
+    assert (r3.partitions_skipped, r3.partitions_encoded) == (4, 0)
+
+
+def test_unknown_codec_is_codec_error_not_crash(spark, docs, tmp_path):
+    out = str(tmp_path / "run2")
+    r = pipeline.run_encode_job(
+        spark,
+        docs.select("doc_id", "lang"),
+        _cfg(out, columns=["doc_id", "lang"],
+             overrides={"lang": ["no_such_codec"]}),
+    )
+    assert r.partitions_failed == 4  # every partition's lang stripe failed
+    lin = lineage.read_lineage(spark, out)
+    cats = {r.failure_category for r in lin.filter(F.col("status") == "failed").collect()}
+    assert cats == {"codec_error"}
+    # the doc_id column of those partitions still encoded fine
+    ok = lin.filter((F.col("status") == "completed") & (F.col("column") == "doc_id"))
+    assert ok.count() == 4
+
+
+def test_success_rate_reflects_failures(spark, docs, tmp_path):
+    out = str(tmp_path / "run3")
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": ["text"], "partitions": [0]}),
+    )
+    row = metrics.success_rate(lineage.read_lineage(spark, out)).first()
+    n_cols = 5
+    expected = 100.0 * (4 * n_cols - 1) / (4 * n_cols)
+    assert abs(row.success_pct - expected) < 1e-9
