@@ -428,6 +428,36 @@ def _q_language_id(spark, sf_dir):
     return analysis.language_id(_load(spark, sf_dir, "documents"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction over text with deterministic synthesized PII
+    (email + phone + IPv4 derived from each row, so all three
+    patterns fire); the oracle builds the identical text in SQL and
+    applies the same regexp_replace chain."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org or +1-555-"),
+            F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.1.2."),
+            ((F.col("doc_id") % 254) + 1).cast("string"),
+        ).alias("text"),
+    )
+    return analysis.pii_scrub(seeded).orderBy("id")
+
+
+def _q_normalized_dedup(spark, sf_dir):
+    from orc_spark.textops import analysis
+
+    return analysis.normalized_dedup(_load(spark, sf_dir, "documents"))
+
+
 def _q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH candidates + exact-Jaccard verify: with 32 bands of
     2 rows the candidate set contains every >=0.5-Jaccard pair (miss
@@ -550,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
+        "pii_scrub": _q_pii_scrub,
+        "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
@@ -700,6 +732,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY media_id"
         ),
         "language_id": analysis.language_id_sql("documents"),
+        "pii_scrub": (
+            "WITH seeded AS (SELECT doc_id, text || ' contact u' || "
+            "CAST(doc_id AS VARCHAR) || '@ex.org or +1-555-' || "
+            "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.1.2.' || "
+            "CAST((doc_id % 254) + 1 AS VARCHAR) AS text FROM documents) "
+            + analysis.pii_scrub_sql("seeded")
+        ),
+        "normalized_dedup": analysis.NORMALIZED_DEDUP_SQL.format(table="documents"),
         "quality_score": analysis.quality_score_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "token_stats": analysis.TOKEN_STATS_SQL.format(table="documents"),

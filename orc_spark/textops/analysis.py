@@ -192,3 +192,78 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.sha2(F.col(text_col), 256).alias("content_sha"),
         F.sha2(F.concat_ws("\x00", toks), 256).alias("tokenset_sha"),
     )
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs. Order matters (email before
+# phone so the digits in a mailbox name aren't half-redacted); both
+# engines apply the same chain in the same order.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]?\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers — the standard
+    pre-training privacy scrub, pure JVM `regexp_replace` chain (zero
+    UDF, map-only, no shuffle). Returns (id, scrubbed, n_redactions).
+    """
+    scrubbed = F.coalesce(F.col(text_col), F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    n_red = (
+        F.size(F.split(scrubbed, "<EMAIL>|<IP>|<PHONE>")) - 1
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        scrubbed.alias("scrubbed"),
+        n_red.cast("int").alias("n_redactions"),
+    )
+
+
+def pii_scrub_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`pii_scrub` (same chain, same order; RE2
+    and Java agree on these conservative patterns)."""
+    expr = f"COALESCE({text_col}, '')"
+    for _, pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted strings are NOT backslash-escaped, so
+        # the raw regex goes in verbatim (only quotes need doubling)
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col} AS id, {expr} AS scrubbed, "
+        f"CAST(len(string_split_regex({expr}, '<EMAIL>|<IP>|<PHONE>')) - 1 AS INT) "
+        f"AS n_redactions FROM {table} ORDER BY id"
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lowercase, whitespace runs
+    collapsed, trimmed): catches trivially-reformatted copies that
+    byte-exact dedup misses. One shuffle on the normalized hash."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )
+    return (
+        df.groupBy(F.sha2(norm, 256).alias("norm_sha"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("norm_sha")
+    )
+
+
+NORMALIZED_DEDUP_SQL = (
+    "SELECT sha256(TRIM(regexp_replace(LOWER(COALESCE(text, '')), '\\s+', ' ', 'g'))) "
+    "AS norm_sha, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies "
+    "FROM {table} GROUP BY 1 ORDER BY norm_sha"
+)

@@ -191,3 +191,54 @@ def test_extract_text_null_first_bytes_batch(spark):
     got = {r.doc_id: r.extracted for r in extraction.extract_text(df).collect()}
     assert got[2] == "hello & bye"
     assert got[1] is None
+
+
+# -------------------------------------------------- PII scrub + norm dedup
+
+def test_pii_scrub_patterns(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.com today"),
+        (2, "server at 192.168.1.200 port 80"),
+        (3, "call +1-555-214-0042 now"),
+        (4, "clean text with no pii at all"),
+        (5, None),
+    ]
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.scrubbed, r.n_redactions) for r in analysis.pii_scrub(df).collect()}
+    assert got[1] == ("mail me at <EMAIL> today", 1)
+    assert got[2] == ("server at <IP> port 80", 1)
+    assert got[3] == ("call <PHONE> now", 1)
+    assert got[4] == ("clean text with no pii at all", 0)
+    assert got[5] == ("", 0)
+
+
+def test_pii_scrub_duckdb_parity(spark):
+    rows = [
+        (1, "x a@b.io y 10.0.0.1 z +44-123-456-7890"),
+        (2, "nothing here"),
+    ]
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.id, r.scrubbed, r.n_redactions)
+           for r in analysis.pii_scrub(df).orderBy("id").collect()]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    exp = con.execute(analysis.pii_scrub_sql("documents")).fetchall()
+    assert got == [tuple(t) for t in exp]
+
+
+def test_normalized_dedup_catches_reformatted(spark):
+    rows = [
+        (1, "The Quick   Brown Fox"),
+        (2, "the quick brown fox"),      # same after normalization
+        (3, "  THE QUICK\tBROWN FOX "),  # same after normalization
+        (4, "a different document"),
+    ]
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r.keeper_id: r.n_copies for r in analysis.normalized_dedup(df).collect()}
+    assert groups == {1: 3, 4: 1}
