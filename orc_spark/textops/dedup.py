@@ -22,16 +22,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One row per distinct text: keeper id (min), copy count."""
-    return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
-        .agg(
-            F.min(id_col).alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .orderBy("content_sha")
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """One row per distinct text: keeper id (min), copy count.
+
+    ``sort=True`` adds a global order on the hash — wanted for
+    deterministic oracle comparison, pointless (one extra total-order
+    exchange) when the result feeds a join or a write; pass False on
+    the data path at scale."""
+    out = df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
+    return out.orderBy("content_sha") if sort else out
 
 
 def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -85,6 +85,28 @@ def signature_col(vec_col: str, planes: np.ndarray, band_bits: int = 4):
     return F.array(*bands)
 
 
+def signature_col_vectorized(vec_col: str, planes: np.ndarray, band_bits: int = 4):
+    """LSH band values via ONE ``x @ planes.T`` matmul per Arrow batch
+    (vectorized pandas UDF) — the scale path when n_planes is large:
+    the JVM :func:`signature_col` evaluates one `F.aggregate` pass per
+    plane (O(planes x dim) expression work per row), while this runs
+    the whole batch through BLAS. Bit-for-bit identical output to
+    signature_col except at exact dot==0 boundaries (float summation
+    order), which have measure zero on real embeddings."""
+    p = planes.copy()
+    n_bands = len(p) // band_bits
+    weights = (2 ** np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (x @ p.T >= 0).astype(np.int64)  # (rows, planes)
+        bands = bits.reshape(len(x), n_bands, band_bits) @ weights
+        return pd.Series(list(bands.astype(np.int32)))
+
+    return _sig(F.col(vec_col))
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -94,9 +116,12 @@ def lsh_topk(
     n_planes: int = 64,
     band_bits: int = 4,
     seed: int = 42,
+    sig_impl: str = "jvm",
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors sharing >=1 LSH band
-    with the query, then exact-rank the candidates."""
+    with the query, then exact-rank the candidates. ``sig_impl='pandas'``
+    computes signatures with one BLAS matmul per Arrow batch (the scale
+    path for large n_planes); 'jvm' stays expression-only."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -109,7 +134,8 @@ def lsh_topk(
             acc = acc * 2 + int(q_bits[b * band_bits + i])
         q_bands.append(acc)
 
-    sig = signature_col(vec_col, planes, band_bits)
+    sig_fn = signature_col_vectorized if sig_impl == "pandas" else signature_col
+    sig = sig_fn(vec_col, planes, band_bits)
     match_any = None
     for b, qb in enumerate(q_bands):
         cond = F.col("_sig")[b] == F.lit(qb)  # positional band equality
@@ -126,6 +152,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 64,
     band_bits: int = 4,
     seed: int = 42,
+    sig_impl: str = "jvm",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine(a, b) >= threshold.
 
@@ -153,7 +180,8 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes, seed)
-        sig = signature_col(vec_col, planes, band_bits)
+        sig_fn = signature_col_vectorized if sig_impl == "pandas" else signature_col
+        sig = sig_fn(vec_col, planes, band_bits)
         # (band_idx, band_val) bucket join: same-bucket rows collide.
         bands = df.select(
             F.col(id_col).alias("_id"),

