@@ -112,6 +112,35 @@ def cmd_stats(args) -> int:
     return EXIT_OK
 
 
+def cmd_failures(args) -> int:
+    """Failure-category breakdown across the ledger (≙ `orc stats`
+    failure section, /root/reference/internal/stats/stats.go:399-437)."""
+    from orc_spark.engine import lineage, metrics
+
+    spark = _session(args.cores)
+    lin = lineage.read_lineage(spark, args.out)
+    rate = metrics.success_rate(lin).first()
+    print(
+        json.dumps(
+            {
+                "n_stripes": rate.n_stripes,
+                "success_pct": round(rate.success_pct, 3),
+            }
+        )
+    )
+    for r in metrics.failure_categories(lin).collect():
+        print(
+            json.dumps(
+                {
+                    "failure_category": r.failure_category,
+                    "n": r.n,
+                    "pct_of_failed": round(r.pct_of_failed, 2),
+                }
+            )
+        )
+    return EXIT_OK
+
+
 def cmd_prune(args) -> int:
     from orc_spark.engine import retention
 
@@ -152,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="summaries across runs")
     st.add_argument("--out", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    fl = sub.add_parser("failures", help="failure-category breakdown")
+    fl.add_argument("--out", required=True)
+    fl.set_defaults(fn=cmd_failures)
 
     pr = sub.add_parser("prune", help="expire old runs (history retention)")
     pr.add_argument("--out", required=True)
