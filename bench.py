@@ -289,6 +289,10 @@ def scale_pair_child(small: int, large: int) -> None:
     t_start = time.perf_counter()
     smalls, larges = [], []
     for _ in range(max_rounds):
+        # between-round health check: phases can START mid-child; a
+        # degraded round only wastes budget, so back off briefly
+        if not probe_host_health()["healthy"]:
+            time.sleep(15)
         _pin_tree(cpus_small)
         smalls.append(run(small))
         _pin_tree(cpus_large)
@@ -446,89 +450,16 @@ def main() -> None:
     # measure the host, not the engine. The 1->4 pair stays inside the
     # linear region while still evidencing the N->4N north-rule
     # criterion. Analysis in BENCH.md; override with
-    # ORCSPARK_SCALE_PAIR=2,8 etc. Measurement happens after the main
-    # phase below.
+    # ORCSPARK_SCALE_PAIR=2,8 etc.
     thr_small = thr_large_kernel = None
     pair = os.environ.get("ORCSPARK_SCALE_PAIR", "1,4")
     small, large = (int(x) for x in pair.split(","))
 
-    spark = make_session(MAIN_CORES)
-    spark.sparkContext.setLogLevel("ERROR")
-    warm_workers(spark, MAIN_CORES)
-
-    # --- headline: encode the web table (best of 2 — the second run
-    # reuses faulted-in worker/JVM memory, i.e. cluster steady state) ---
-    sec0, _, _, warm_dir, _ = encode_web_job(spark, web_path, MAIN_CORES, "warm")
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    sec, bi, bo, out_dir, run_id = encode_web_job(spark, web_path, MAIN_CORES, "main")
-    web_runs = [sec0, sec]
-    if max(web_runs) / min(web_runs) > 1.8:
-        # >1.8x spread between back-to-back identical runs = a host
-        # degradation burst hit one of them; one more attempt.
-        sec2, _, _, d2, _ = encode_web_job(spark, web_path, MAIN_CORES, "retry")
-        shutil.rmtree(d2, ignore_errors=True)
-        web_runs.append(sec2)
-    extras["encode_web_runs_sec"] = [round(s, 3) for s in web_runs]  # best-of-N
-    sec = min(web_runs)
-    queries["encode_web"] = round(sec, 3)
-    extras["web_rows"] = WEB_ROWS
-    extras["web_bytes_in"] = bi
-    extras["web_bytes_out"] = bo
-    extras["web_ratio"] = round(bi / bo, 3)
-    extras["encode_web_mb_s"] = round(bi / 1e6 / sec, 1)
-
-    # --- decode the web table back ---
-    from orc_spark.engine import pipeline
-
-    df = spark.read.parquet(web_path)
-    dec_runs = []
-    for _ in range(3):  # best of 3 (host-noise robustness)
-        t0 = time.perf_counter()
-        dec = pipeline.decode_job(spark, out_dir, run_id, df.schema)
-        n_dec = dec.count()
-        dec_runs.append(time.perf_counter() - t0)
-    sec = min(dec_runs)
-    queries["decode_web"] = round(sec, 3)
-    extras["decode_web_runs_sec"] = [round(s, 3) for s in dec_runs]  # best-of-3
-    extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
-    assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
-
-    # --- documents table at the requested sf ---
-    from pyspark.sql import functions as F
-
-    from orc_spark.engine import lineage, stats
-
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    out2 = tempfile.mkdtemp(prefix="orcspark_bench_docs_")
-    cfg2 = pipeline.EncodeJobConfig(
-        out_dir=out2, run_id="bench-docs", key="doc_id", n_partitions=max(MAIN_CORES, 8)
-    )
-    t0 = time.perf_counter()
-    pipeline.run_encode_job(spark, docs, cfg2)
-    queries["encode_documents"] = round(time.perf_counter() - t0, 3)
-    lin2 = lineage.read_lineage(spark, out2)
-    a2 = lin2.agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")).first()
-    extras["documents_ratio"] = round(a2.bi / a2.bo, 3)
-
-    ss = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        stats.stats_sample(docs).collect()
-        ss = min(ss, time.perf_counter() - t0)
-    queries["stats_sample_documents"] = round(ss, 3)
-
-    shutil.rmtree(out2, ignore_errors=True)
-    spark.stop()
-
-    # --- scaling: pinned subprocesses at N and 4N cpus, AFTER the main
-    # phase so the headline runs on the freshest host state.
-    # Host bursts (memory-subsystem stalls, BENCH.md) only ever
-    # DEGRADE a run — the noise is upward-censored — so the best
-    # observed attempt is the closest estimate of the noise-free value.
-    # Burst amplitude is concentration-dependent: the small-N child is
-    # stable (+-10%, one attempt + its in-process best-of-3 suffices)
-    # while the large-N side swings 168-260 MB/s across minutes, so it
-    # gets three attempts spaced across the scaling phase. ---
+    # --- scaling FIRST, on the freshest host state: the main phase's
+    # 8-way allocation churn can itself tip this host into a
+    # degradation phase (observed repeatedly), and the scaling number
+    # is the pass/fail north-rule criterion while the headline numbers
+    # are informational. ---
     rounds: list[dict] = []
     if RUN_SCALING and CPUS >= large:
         # Both parallelism levels are measured INSIDE ONE pinned JVM
@@ -622,6 +553,75 @@ def main() -> None:
         except OSError:
             pass
         extras["scaling"]["best_observed_on_host"] = best_rec
+
+    spark = make_session(MAIN_CORES)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark, MAIN_CORES)
+
+    # --- headline: encode the web table (best of 2 — the second run
+    # reuses faulted-in worker/JVM memory, i.e. cluster steady state) ---
+    sec0, _, _, warm_dir, _ = encode_web_job(spark, web_path, MAIN_CORES, "warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    sec, bi, bo, out_dir, run_id = encode_web_job(spark, web_path, MAIN_CORES, "main")
+    web_runs = [sec0, sec]
+    if max(web_runs) / min(web_runs) > 1.8:
+        # >1.8x spread between back-to-back identical runs = a host
+        # degradation burst hit one of them; one more attempt.
+        sec2, _, _, d2, _ = encode_web_job(spark, web_path, MAIN_CORES, "retry")
+        shutil.rmtree(d2, ignore_errors=True)
+        web_runs.append(sec2)
+    extras["encode_web_runs_sec"] = [round(s, 3) for s in web_runs]  # best-of-N
+    sec = min(web_runs)
+    queries["encode_web"] = round(sec, 3)
+    extras["web_rows"] = WEB_ROWS
+    extras["web_bytes_in"] = bi
+    extras["web_bytes_out"] = bo
+    extras["web_ratio"] = round(bi / bo, 3)
+    extras["encode_web_mb_s"] = round(bi / 1e6 / sec, 1)
+
+    # --- decode the web table back ---
+    from orc_spark.engine import pipeline
+
+    df = spark.read.parquet(web_path)
+    dec_runs = []
+    for _ in range(3):  # best of 3 (host-noise robustness)
+        t0 = time.perf_counter()
+        dec = pipeline.decode_job(spark, out_dir, run_id, df.schema)
+        n_dec = dec.count()
+        dec_runs.append(time.perf_counter() - t0)
+    sec = min(dec_runs)
+    queries["decode_web"] = round(sec, 3)
+    extras["decode_web_runs_sec"] = [round(s, 3) for s in dec_runs]  # best-of-3
+    extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
+    assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
+
+    # --- documents table at the requested sf ---
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import lineage, stats
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    out2 = tempfile.mkdtemp(prefix="orcspark_bench_docs_")
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=out2, run_id="bench-docs", key="doc_id", n_partitions=max(MAIN_CORES, 8)
+    )
+    t0 = time.perf_counter()
+    pipeline.run_encode_job(spark, docs, cfg2)
+    queries["encode_documents"] = round(time.perf_counter() - t0, 3)
+    lin2 = lineage.read_lineage(spark, out2)
+    a2 = lin2.agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")).first()
+    extras["documents_ratio"] = round(a2.bi / a2.bo, 3)
+
+    ss = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stats.stats_sample(docs).collect()
+        ss = min(ss, time.perf_counter() - t0)
+    queries["stats_sample_documents"] = round(ss, 3)
+
+    shutil.rmtree(out2, ignore_errors=True)
+    spark.stop()
+
     shutil.rmtree(out_dir, ignore_errors=True)
 
     result = {
