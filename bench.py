@@ -289,10 +289,12 @@ def scale_pair_child(small: int, large: int) -> None:
     t_start = time.perf_counter()
     smalls, larges = [], []
     for _ in range(max_rounds):
+        if time.perf_counter() - t_start > budget_s:
+            break
         # between-round health check: phases can START mid-child; a
         # degraded round only wastes budget, so back off briefly
         if not probe_host_health()["healthy"]:
-            time.sleep(15)
+            time.sleep(10)
         _pin_tree(cpus_small)
         smalls.append(run(small))
         _pin_tree(cpus_large)
@@ -481,7 +483,7 @@ def main() -> None:
             # hypervisor (4-way page supply serialized VM-wide), not
             # the engine. Probe readings are recorded either way.
             wait_for_healthy_host(
-                float(os.environ.get("ORCSPARK_HEALTH_WAIT_S", "150")) if i == 0 else 60,
+                float(os.environ.get("ORCSPARK_HEALTH_WAIT_S", "120")) if i == 0 else 30,
                 probes,
             )
             r = run_scale_subprocess(small, large)
@@ -490,8 +492,10 @@ def main() -> None:
             )
             rounds.append(r)
             # retry with a fresh child only while it's both useful
-            # (gate not cleared) and affordable (scaling phase < 8 min)
-            if r["efficiency"] >= 0.85 or time.perf_counter() - scale_t0 > 480:
+            # (gate not cleared) and affordable: the whole bench must
+            # land inside the driver's budget — a missing BENCH
+            # snapshot is worse than a mediocre efficiency number
+            if r["efficiency"] >= 0.85 or time.perf_counter() - scale_t0 > 330:
                 break
         best = max(rounds, key=lambda r: r["efficiency"])
         thr_small = best["bytes_in"] / 1e6 / best["sec_small"]
