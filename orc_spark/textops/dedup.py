@@ -357,18 +357,27 @@ def ngram_jaccard_sql(
     )
 
 
-def _simhash_bit(b: int, hash_fn: str):
-    """Bit ``b`` (0..63) of the per-token hash as a 0/1 int column over
-    an exploded token column named ``tok``."""
+def _simhash_hash_col(hash_fn: str):
+    """The per-token hash, projected ONCE (the 64 bit extracts then
+    reference this column — writing hash(tok) inside every bit
+    expression would hash each token 64 times unless codegen CSE
+    happens to save it)."""
     if hash_fn == "xxhash64":
-        return F.shiftrightunsigned(F.xxhash64("tok"), b).bitwiseAND(F.lit(1))
+        return F.xxhash64("tok")
     if hash_fn == "md5":
-        # Bit b of the top-64-bits of md5, via the b//4-th hex nibble —
-        # every step (md5, substring, conv, shift, mask) has an exact
-        # DuckDB counterpart, making the WHOLE simhash SQL-checkable.
-        nib = F.conv(F.substring(F.md5(F.col("tok")), b // 4 + 1, 1), 16, 10).cast("int")
-        return F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+        return F.md5(F.col("tok"))
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _simhash_bit(b: int, hash_fn: str):
+    """Bit ``b`` (0..63) of the hash column ``h`` as a 0/1 int column."""
+    if hash_fn == "xxhash64":
+        return F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
+    # md5: bit b of the top-64-bits via the b//4-th hex nibble — every
+    # step (md5, substring, conv, shift, mask) has an exact DuckDB
+    # counterpart, making the WHOLE simhash SQL-checkable.
+    nib = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
 
 
 def simhash64(
@@ -391,6 +400,7 @@ def simhash64(
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok"))
         .filter(F.col("tok") != "")
+        .select("id", _simhash_hash_col(hash_fn).alias("h"))
     )
     votes = toks.groupBy("id").agg(
         *[
