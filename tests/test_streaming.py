@@ -51,3 +51,39 @@ def test_incremental_encode_exactly_once(spark, tmp_path):
     v = pipeline.verify_roundtrip(docs, alldec, "doc_id")
     assert v["count_original"] == v["count_decoded"]
     assert v["missing_from_decoded"] == 0 and v["extra_in_decoded"] == 0
+
+
+def test_incremental_encode_faulted_batch_then_recovery(spark, tmp_path):
+    """A fault inside one micro-batch leaves failed ledger rows but does
+    not kill the stream; a later batch-mode resume of that epoch's
+    run_id re-encodes the failed partitions whole (epoch 1) and the
+    epoch decodes bit-identically — streaming output shares all batch
+    failure-recovery semantics because it IS the batch job per epoch."""
+    from dataclasses import replace
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "enc2")
+    ckpt = str(tmp_path / "ckpt2")
+    docs.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out_dir, run_id="sfault", key="doc_id", n_partitions=4,
+        fault_spec={"columns": ["text"], "partitions": [0]},
+    )
+    r1 = ingest.incremental_encode(spark, str(in_dir), docs.schema, cfg, ckpt)
+    assert sum(r.partitions_failed for r in r1) == 1
+    lin = lineage.read_lineage(spark, out_dir)
+    assert lin.filter(F.col("status") == "failed").count() == 1
+
+    # resume THAT epoch's run in batch mode, fault removed
+    epoch_run = r1[0].run_id
+    r2 = pipeline.run_encode_job(
+        spark, docs,
+        replace(cfg, run_id=epoch_run, fault_spec=None),
+    )
+    assert r2.partitions_encoded == 1 and r2.partitions_skipped == 3
+    dec = pipeline.decode_job(spark, out_dir, epoch_run, docs.schema)
+    v = pipeline.verify_roundtrip(docs, dec, "doc_id")
+    assert v["missing_from_decoded"] == 0 and v["extra_in_decoded"] == 0
