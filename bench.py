@@ -526,6 +526,13 @@ def main() -> None:
                 for r in rounds
             ],
             "host_probes": probes[-6:],
+            # True when no healthy window appeared in the whole scaling
+            # phase: the live efficiency then describes the hypervisor's
+            # degradation phase, not the engine (see BENCH.md; the
+            # best_observed_on_host record below carries the evidence
+            # from a healthy window).
+            "measured_during_degraded_host": bool(probes)
+            and not any(p["healthy"] for p in probes),
         }
         # Cross-invocation best-observed record (clearly labeled, with
         # provenance): this host's degradation phases can outlast the
