@@ -337,6 +337,74 @@ def _q_checkpoint_resume(spark, sf_dir):
     )
 
 
+def _q_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming incremental encode, oracle-backed end to
+    end: split documents into two crawl files (doc_id parity), drain
+    them as two bounded micro-batches (maxFilesPerTrigger=1 +
+    trigger(availableNow)), re-run to prove the file-source WAL admits
+    zero new epochs (exactly-once over files), then decode every
+    epoch's stripes and fingerprint the union. The oracle pins the
+    epoch/stripe counts (2 epochs x 4 partitions x 3 columns) and
+    recomputes the md5 fingerprint over the source table — so a lost
+    file, a replayed epoch, or a decode misalignment all hash-mismatch.
+    ≙ reference resume-after-interrupt semantics applied to a growing
+    input (/root/reference/internal/runner/runner.go:316-322)."""
+    from orc_spark.engine import lineage, pipeline
+    from orc_spark.streaming import ingest
+
+    cols = _RESUME_FP_COLS
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    in_dir = tempfile.mkdtemp(prefix="orcspark_stream_in_")
+    out = tempfile.mkdtemp(prefix="orcspark_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_stream_ckpt_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(in_dir)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="stream", key="doc_id", columns=cols, n_partitions=4
+    )
+    results = ingest.incremental_encode(
+        spark, in_dir, docs.schema, cfg, ckpt, max_files_per_trigger=1
+    )
+    rerun = ingest.incremental_encode(
+        spark, in_dir, docs.schema, cfg, ckpt, max_files_per_trigger=1
+    )
+    n_stripes = (
+        lineage.read_lineage(spark, out)
+        .filter(F.col("status") == "completed")
+        .count()
+    )
+    dec = None
+    for r in results:
+        d = pipeline.decode_job(spark, out, r.run_id, docs.schema, cols)
+        dec = d if dec is None else dec.unionByName(d)
+    fp = dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("lang"),
+                            F.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [(len(results), len(rerun), int(n_stripes), int(fp.n), int(fp.fp))],
+        "n_epochs int, rerun_epochs int, n_stripes bigint, "
+        "decoded_rows bigint, decoded_fingerprint bigint",
+    )
+
+
 def _q_media_dimensions(spark, sf_dir):
     """Real image-header parsing, fully oracle-backed: spec-conformant
     PNG/GIF/JPEG headers are synthesized JVM-side with dimensions
@@ -607,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_skew": _q_partition_skew,
         "checkpoint_resume": _q_checkpoint_resume,
         "failure_categories": _q_failure_categories,
+        "streaming_ingest": _q_streaming_ingest,
         "media_dimensions": _q_media_dimensions,
     }
 
@@ -632,10 +701,24 @@ _EMBEDDING_NEAR_DUP_SQL = (
 )
 
 _RESUME_FP_SQL = (
+    # CAST(SUM(..) AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT,
+    # which the driver's typed value-hash serializes differently from
+    # Spark's int64 even when every value is equal (r2 adjudication).
     "SELECT 4 AS first_encoded, 4 AS resumed_skipped, 4 AS resumed_encoded, "
     "0 AS idempotent_encoded, COUNT(*) AS decoded_rows, "
-    "SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':' "
-    "|| CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS decoded_fingerprint "
+    "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':' "
+    "|| CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS decoded_fingerprint "
+    "FROM documents"
+)
+
+# Pinned epoch/stripe layout (2 micro-batches x 4 partitions x 3
+# columns at this corpus size) + the same md5 fingerprint scheme as
+# _RESUME_FP_SQL, recomputed over the source table.
+_STREAMING_INGEST_SQL = (
+    "SELECT 2 AS n_epochs, 0 AS rerun_epochs, "
+    "CAST(24 AS BIGINT) AS n_stripes, COUNT(*) AS decoded_rows, "
+    "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':' "
+    "|| CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS decoded_fingerprint "
     "FROM documents"
 )
 
@@ -667,12 +750,15 @@ def _partition_skew_sql() -> str:
     src = skew.portable_bucket_sql("source", 8, salt=None)
     doc = skew.portable_bucket_sql("doc_id", 8, salt=42)
     return (
+        # CAST(SUM(n) AS BIGINT): avoid DuckDB's HUGEINT widening of
+        # SUM(BIGINT), which fails the driver's typed value-hash on
+        # values that are otherwise identical to Spark's int64.
         f"WITH a AS (SELECT {src} AS bucket, COUNT(*) AS n FROM documents GROUP BY 1), "
         f"b AS (SELECT {doc} AS bucket, COUNT(*) AS n FROM documents GROUP BY 1) "
         "SELECT 'salted_hash' AS strategy, 8 AS n_buckets, COUNT(*) AS buckets_hit, "
-        "MAX(n) AS max_rows, MIN(n) AS min_rows, SUM(n) AS total_rows FROM b "
+        "MAX(n) AS max_rows, MIN(n) AS min_rows, CAST(SUM(n) AS BIGINT) AS total_rows FROM b "
         "UNION ALL "
-        "SELECT 'source_clustered', 8, COUNT(*), MAX(n), MIN(n), SUM(n) FROM a "
+        "SELECT 'source_clustered', 8, COUNT(*), MAX(n), MIN(n), CAST(SUM(n) AS BIGINT) FROM a "
         "ORDER BY strategy"
     )
 
@@ -708,9 +794,14 @@ def oracle_sql() -> dict[str, str]:
         "partition_skew": _partition_skew_sql(),
         "checkpoint_resume": _RESUME_FP_SQL,
         "failure_categories": _FAILURE_CATEGORIES_SQL,
+        "streaming_ingest": _STREAMING_INGEST_SQL,
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
+        # df_cap=None: the Spark side (LSH candidates + exact verify,
+        # no DF cap) equals the exact pair set, so its oracle must be
+        # the UNcapped exact SQL — a capped twin is a different
+        # approximation that could diverge on a corpus change.
         "minhash_dedup": dedup.ngram_jaccard_sql(
-            "documents", shingle_k=3, threshold=0.5
+            "documents", shingle_k=3, threshold=0.5, df_cap=None
         ),
         "simhash_dedup": dedup.simhash_pairs_sql("documents", max_hamming=3),
         "ann_lsh": _ANN_BRUTE_FORCE_SQL,

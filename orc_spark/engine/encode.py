@@ -83,10 +83,12 @@ def classify_failure(exc: BaseException) -> str:
     categories an encode engine can actually hit."""
     if isinstance(exc, InjectedFault):
         return "injected_fault"
-    if isinstance(exc, (KeyError, ValueError)):
-        return "codec_error"
+    # ArrowInvalid subclasses ValueError — it must be checked first or
+    # every Arrow validation failure would be ledgered as codec_error.
     if isinstance(exc, pa.ArrowInvalid):
         return "validation_error"
+    if isinstance(exc, (KeyError, ValueError)):
+        return "codec_error"
     if isinstance(exc, MemoryError):
         return "resource_exhausted"
     return "unknown_error"

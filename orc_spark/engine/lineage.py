@@ -120,13 +120,36 @@ def completed_partitions(
 
 
 def next_epoch(spark: SparkSession, out_dir: str, run_id: str) -> int:
-    """One past the highest epoch this run has written (0 for fresh)."""
-    if not os.path.exists(lineage_dir(out_dir)):
-        return 0
-    row = (
-        read_lineage(spark, out_dir)
-        .filter(F.col("run_id") == run_id)
-        .agg(F.max("epoch").alias("m"))
-        .first()
-    )
-    return 0 if row is None or row.m is None else int(row.m) + 1
+    """One past the highest epoch this run has written (0 for fresh).
+
+    Derived from the STRIPES table — the atomic commit unit — not the
+    lineage ledger: a crash between the stripe commit and the lineage
+    append would otherwise let resume reuse the epoch and write a
+    second stripe set at the same (partition_id, epoch, stripe_idx),
+    which decode_stage would merge into one misaligned stripe group.
+    The lineage ledger is still consulted as a fallback (a stripes dir
+    pruned by retention can outlive its ledger, never vice versa).
+    """
+    from . import storage
+
+    m = -1
+    sd = stripes_dir(out_dir)
+    if os.path.exists(sd):
+        row = (
+            storage.read_table(spark, sd)
+            .filter(F.col("run_id") == run_id)
+            .agg(F.max("epoch").alias("m"))  # metadata-only: blob column pruned
+            .first()
+        )
+        if row is not None and row.m is not None:
+            m = int(row.m)
+    if os.path.exists(lineage_dir(out_dir)):
+        row = (
+            read_lineage(spark, out_dir)
+            .filter(F.col("run_id") == run_id)
+            .agg(F.max("epoch").alias("m"))
+            .first()
+        )
+        if row is not None and row.m is not None:
+            m = max(m, int(row.m))
+    return m + 1

@@ -127,8 +127,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if exact_verify:
+        # The verify path never reads the signatures again — select only
+        # (id, band, bucket) into the self-join so the hottest shuffle
+        # carries 3 narrow ints per exploded row instead of dragging the
+        # 64-bigint sig array (x bands) through the exchange.
+        banded = banded.drop("sig")
     a = banded.alias("a")
     b = banded.alias("b")
+    sig_cols = (
+        []
+        if exact_verify
+        else [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+    )
     cand = (
         a.join(
             b,
@@ -139,8 +150,7 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            *sig_cols,
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -258,8 +268,7 @@ shng AS (
   FROM toks
 ),
 inv AS (SELECT id, unnest(sh) AS s FROM shng),
-rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {df_cap}),
-inv_c AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),
+{cap_ctes}
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM inv_c x JOIN inv_c y ON x.s = y.s AND x.id < y.id
@@ -347,13 +356,23 @@ def ngram_jaccard_sql(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    df_cap: int = DEFAULT_SHINGLE_DF_CAP,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
 ) -> str:
     """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling, same
-    DF-capped candidate index, same exact intersection over full sets)."""
+    DF-capped candidate index, same exact intersection over full sets).
+    ``df_cap=None`` omits the cap entirely — the EXACT >=threshold pair
+    set, the right oracle for queries whose Spark side has provable full
+    recall (minhash exact-verify)."""
+    if df_cap is None:
+        cap_ctes = "inv_c AS (SELECT id, s FROM inv),"
+    else:
+        cap_ctes = (
+            f"rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {df_cap}),\n"
+            "inv_c AS (SELECT inv.id, inv.s FROM inv JOIN rare USING (s)),"
+        )
     return NGRAM_JACCARD_SQL.format(
         table=table, text=text_col, id=id_col, k=shingle_k,
-        threshold=threshold, df_cap=df_cap,
+        threshold=threshold, cap_ctes=cap_ctes,
     )
 
 

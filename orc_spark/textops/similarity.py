@@ -107,6 +107,28 @@ def signature_col_vectorized(vec_col: str, planes: np.ndarray, band_bits: int = 
     return _sig(F.col(vec_col))
 
 
+VECTORIZED_SIG_MIN_PLANES = 16
+
+
+def _resolve_sig_impl(sig_impl: str, n_planes: int):
+    """'auto' -> the vectorized matmul path once the plane count makes
+    per-plane JVM aggregates the bottleneck (one F.aggregate pass per
+    plane = O(planes x dim) expression work per row vs one BLAS matmul
+    per Arrow batch). Parity between the two is pinned by
+    tests/test_round2_ops.py."""
+    if sig_impl == "auto":
+        return (
+            signature_col_vectorized
+            if n_planes >= VECTORIZED_SIG_MIN_PLANES
+            else signature_col
+        )
+    if sig_impl == "pandas":
+        return signature_col_vectorized
+    if sig_impl == "jvm":
+        return signature_col
+    raise ValueError(f"unknown sig_impl {sig_impl!r}")
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -116,12 +138,13 @@ def lsh_topk(
     n_planes: int = 64,
     band_bits: int = 4,
     seed: int = 42,
-    sig_impl: str = "jvm",
+    sig_impl: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors sharing >=1 LSH band
     with the query, then exact-rank the candidates. ``sig_impl='pandas'``
     computes signatures with one BLAS matmul per Arrow batch (the scale
-    path for large n_planes); 'jvm' stays expression-only."""
+    path for large n_planes); 'jvm' stays expression-only; 'auto'
+    (default) picks pandas once n_planes >= 16."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -134,8 +157,7 @@ def lsh_topk(
             acc = acc * 2 + int(q_bits[b * band_bits + i])
         q_bands.append(acc)
 
-    sig_fn = signature_col_vectorized if sig_impl == "pandas" else signature_col
-    sig = sig_fn(vec_col, planes, band_bits)
+    sig = _resolve_sig_impl(sig_impl, n_planes)(vec_col, planes, band_bits)
     match_any = None
     for b, qb in enumerate(q_bands):
         cond = F.col("_sig")[b] == F.lit(qb)  # positional band equality
@@ -152,7 +174,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 64,
     band_bits: int = 4,
     seed: int = 42,
-    sig_impl: str = "jvm",
+    sig_impl: str = "auto",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine(a, b) >= threshold.
 
@@ -180,8 +202,7 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes, seed)
-        sig_fn = signature_col_vectorized if sig_impl == "pandas" else signature_col
-        sig = sig_fn(vec_col, planes, band_bits)
+        sig = _resolve_sig_impl(sig_impl, n_planes)(vec_col, planes, band_bits)
         # (band_idx, band_val) bucket join: same-bucket rows collide.
         bands = df.select(
             F.col(id_col).alias("_id"),

@@ -34,11 +34,16 @@ def _cfg(out, **kw):
 
 
 def test_classify_failure_taxonomy():
+    import pyarrow as pa
+
     assert encode.classify_failure(encode.InjectedFault("x")) == "injected_fault"
     assert encode.classify_failure(ValueError("bad codec")) == "codec_error"
     assert encode.classify_failure(KeyError("missing")) == "codec_error"
     assert encode.classify_failure(MemoryError()) == "resource_exhausted"
     assert encode.classify_failure(RuntimeError("?")) == "unknown_error"
+    # ArrowInvalid subclasses ValueError — must map to validation_error,
+    # not fall through to codec_error.
+    assert encode.classify_failure(pa.ArrowInvalid("bad")) == "validation_error"
 
 
 def test_injected_fault_ledgered_then_resumed(spark, docs, tmp_path):
@@ -94,6 +99,42 @@ def test_unknown_codec_is_codec_error_not_crash(spark, docs, tmp_path):
     # the doc_id column of those partitions still encoded fine
     ok = lin.filter((F.col("status") == "completed") & (F.col("column") == "doc_id"))
     assert ok.count() == 4
+
+
+def test_crash_before_lineage_append_never_reuses_epoch(spark, docs, tmp_path):
+    """A wave whose stripes commit but whose lineage append is lost (the
+    crash window) must not lead resume to reuse the epoch: with every
+    partition failed in the crashed wave there are no complete column
+    sets to orphan-backfill, so only the stripes table knows epoch 0
+    happened. next_epoch derives from it (the atomic commit unit) —
+    re-encoding lands at epoch 1 and decode never merges two encode
+    passes into one stripe group."""
+    import shutil
+
+    out = str(tmp_path / "run4")
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": ["text"], "partitions": [0, 1, 2, 3]}),
+    )
+    shutil.rmtree(lineage.lineage_dir(out))  # die before append_lineage
+
+    r = pipeline.run_encode_job(spark, docs, _cfg(out))
+    assert r.partitions_encoded == 4
+    stripes = pipeline.read_stripes(spark, out, "fl").drop("data")
+    dup = (
+        stripes.filter(F.col("status") == "completed")
+        .groupBy("partition_id", "epoch", "stripe_idx", "column")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "epoch reused: duplicate stripe set at same coordinates"
+    assert stripes.agg(F.max("epoch")).first()[0] == 1
+
+    dec = pipeline.decode_job(spark, out, "fl", docs.schema)
+    chk = pipeline.verify_roundtrip(docs, dec, "doc_id")
+    assert chk["count_original"] == chk["count_decoded"] == 500
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
 
 
 def test_success_rate_reflects_failures(spark, docs, tmp_path):

@@ -285,4 +285,10 @@ def test_exact_dedup_sort_optional(spark):
     unsorted = {(r.content_sha, r.keeper_id, r.n_copies)
                 for r in dedup.exact_dedup(df, sort=False).collect()}
     assert {(r.content_sha, r.keeper_id, r.n_copies) for r in sorted_rows} == unsorted
-    assert "Sort" not in dedup.exact_dedup(df, sort=False)._jdf.queryExecution().executedPlan().toString() or True
+    plan = (
+        dedup.exact_dedup(df, sort=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" not in plan  # sort=False must elide the global order
