@@ -108,7 +108,39 @@ def _q_roundtrip_for_ts(spark, sf_dir):
 
 
 def _q_roundtrip_raw_float(spark, sf_dir):
-    return _roundtrip(spark, sf_dir, "events", "event_id", ["event_id", "value"])
+    """Raw float fallback, forced: the identity codec must stay
+    bit-identical (events.value would otherwise auto-select alp)."""
+    return _roundtrip(
+        spark, sf_dir, "events", "event_id", ["event_id", "value"],
+        overrides={"value": ["raw"]},
+    )
+
+
+def _q_roundtrip_alp_float(spark, sf_dir):
+    """ALP-style decimal-scaled doubles (framing._encode_float_alp,
+    public pseudodecimal/ALP semantics — BtrBlocks SIGMOD'23, ALP
+    SIGMOD'24): events.value is 2-decimal, so it scales to ints and
+    must still decode bit-identically (the exactness check runs per
+    value at encode time)."""
+    return _roundtrip(
+        spark, sf_dir, "events", "event_id", ["event_id", "value"],
+        overrides={"value": ["alp", "raw"]},
+    )
+
+
+def _q_roundtrip_lineitem_auto(spark, sf_dir):
+    """'Encode any user table': the full 11-column TPC-H lineitem
+    through codec auto-selection — int64/int32 keys (rle), decimal
+    doubles (alp), low-cardinality strings (dict), timestamps (FOR) —
+    decoded back bit-identically. The widest typed roundtrip gate."""
+    return _roundtrip(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
 
 
 def _q_roundtrip_documents_auto(spark, sf_dir):
@@ -664,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_rle_ints": _q_roundtrip_rle_ints,
         "roundtrip_for_ts": _q_roundtrip_for_ts,
         "roundtrip_raw_float": _q_roundtrip_raw_float,
+        "roundtrip_alp_float": _q_roundtrip_alp_float,
+        "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -774,7 +808,8 @@ def _metrics_report_sql() -> str:
     )
     return (
         f'SELECT s."column", s.codec, s.n_stripes, '
-        "(SELECT COUNT(*) FROM documents) AS n_rows, 100.0 AS success_pct "
+        "(SELECT COUNT(*) FROM documents) AS n_rows, "
+        "CAST(100.0 AS DOUBLE) AS success_pct "
         f'FROM ({sel}) s ORDER BY s."column", s.codec'
     )
 
@@ -843,6 +878,12 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_rle_ints": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",
         "roundtrip_raw_float": "SELECT event_id, value FROM events",
+        "roundtrip_alp_float": "SELECT event_id, value FROM events",
+        "roundtrip_lineitem_auto": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, "
+            "l_returnflag, l_linestatus, l_shipdate FROM lineitem"
+        ),
         "roundtrip_documents_auto": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),

@@ -94,6 +94,21 @@ def ensure_web_parquet(rows: int) -> str:
     return path
 
 
+def ensure_web_parquet_distributed(spark, rows: int, n_parts: int = 64) -> str:
+    """Distributed-generated web table (globally-unique urls, Zipf
+    hosts), cached as a parquet directory. Used by the >bench-size
+    scale smoke; generation is mapInArrow over a range so it never
+    touches driver memory."""
+    from orc_spark.engine import webgen
+
+    path = f"/tmp/orcspark_bench_web_dist_{rows}.parquet"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    df = webgen.generate_distributed(spark, rows, n_parts)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def encode_kernel_job(spark, web_path: str) -> tuple[float, int, int]:
     """Scan-side encode throughput: parquet -> mapInArrow encode -> agg.
 
@@ -439,6 +454,7 @@ def run_kernel_subprocess(cores: int, runs: int | None = None) -> dict:
 
 
 def main() -> None:
+    bench_t0 = time.perf_counter()
     queries: dict[str, float] = {}
     extras: dict = {}
 
@@ -540,8 +556,17 @@ def main() -> None:
         # the hypervisor. The live measurement above is always
         # reported as-is; this field preserves the best healthy-window
         # measurement this host has produced with the same method.
+        # Path is keyed by uid (not world-shared) and records carry a
+        # method hash, so a stale record from an older estimator — or a
+        # file pre-created by another local user — is never republished
+        # as this method's best.
+        import hashlib
+
+        method_hash = hashlib.sha256(
+            extras["scaling"]["estimator"].encode()
+        ).hexdigest()[:12]
         cache_path = os.path.join(
-            tempfile.gettempdir(), "orcspark_scaling_best.json"
+            tempfile.gettempdir(), f"orcspark_scaling_best_{os.getuid()}.json"
         )
         best_rec = {
             "efficiency": extras["scaling"]["efficiency"],
@@ -549,12 +574,24 @@ def main() -> None:
             "mb_s_large": extras["scaling"]["mb_s_large"],
             "measured_at": int(time.time()),
             "method": extras["scaling"]["estimator"],
+            "method_hash": method_hash,
         }
         try:
             with open(cache_path) as f:
                 prior = json.load(f)
-            if prior.get("efficiency", 0) > best_rec["efficiency"]:
-                best_rec = prior
+            # Same method = same estimator string (the hash is derived
+            # from it; records predating the hash field are validated
+            # by the string itself).
+            prior_hash = prior.get("method_hash") or (
+                hashlib.sha256(str(prior.get("method", "")).encode()).hexdigest()[:12]
+            )
+            if (
+                prior_hash == method_hash
+                and isinstance(prior.get("efficiency"), (int, float))
+                and 0 < prior["efficiency"] <= 1.5
+                and prior["efficiency"] > best_rec["efficiency"]
+            ):
+                best_rec = dict(prior, method_hash=method_hash)
         except (OSError, ValueError):
             pass
         try:
@@ -569,18 +606,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, MAIN_CORES)
 
+    # Main-phase snapshots must be self-describing too (the scaling
+    # phase already is): probe the memory subsystem around the headline
+    # runs so a burst-hit number like r2's 40.6 MB/s (vs 146.7 on the
+    # same code minutes later) carries its own explanation.
+    main_probes: list[dict] = [probe_host_health()]
+
     # --- headline: encode the web table (best of 2 — the second run
     # reuses faulted-in worker/JVM memory, i.e. cluster steady state) ---
     sec0, _, _, warm_dir, _ = encode_web_job(spark, web_path, MAIN_CORES, "warm")
     shutil.rmtree(warm_dir, ignore_errors=True)
     sec, bi, bo, out_dir, run_id = encode_web_job(spark, web_path, MAIN_CORES, "main")
     web_runs = [sec0, sec]
-    if max(web_runs) / min(web_runs) > 1.8:
+    main_probes.append(probe_host_health())
+    if (
+        max(web_runs) / min(web_runs) > 1.8
+        and time.perf_counter() - bench_t0 < 420
+    ):
         # >1.8x spread between back-to-back identical runs = a host
-        # degradation burst hit one of them; one more attempt.
+        # degradation burst hit one of them; one more attempt — but only
+        # while the bench still has budget (a degraded-phase retry can
+        # itself take 90+ s and a missing snapshot is worse than a
+        # flagged mediocre one).
         sec2, _, _, d2, _ = encode_web_job(spark, web_path, MAIN_CORES, "retry")
         shutil.rmtree(d2, ignore_errors=True)
         web_runs.append(sec2)
+        main_probes.append(probe_host_health())
     extras["encode_web_runs_sec"] = [round(s, 3) for s in web_runs]  # best-of-N
     sec = min(web_runs)
     queries["encode_web"] = round(sec, 3)
@@ -606,6 +657,18 @@ def main() -> None:
     extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
     assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
 
+    main_probes.append(probe_host_health())
+    extras["main_phase"] = {
+        "host_probes": main_probes,
+        # True when every probe around the headline runs was degraded:
+        # the encode/decode numbers above then describe the hypervisor's
+        # page-supply phase, not the engine (same semantics as the
+        # scaling phase's flag).
+        "measured_during_degraded_host": not any(
+            p["healthy"] for p in main_probes
+        ),
+    }
+
     # --- documents table at the requested sf ---
     from pyspark.sql import functions as F
 
@@ -629,6 +692,70 @@ def main() -> None:
         stats.stats_sample(docs).collect()
         ss = min(ss, time.perf_counter() - t0)
     queries["stats_sample_documents"] = round(ss, 3)
+
+    # --- >bench-size scale smoke (2M rows / ~3.4 GB raw), probe-gated ---
+    # Purpose: one healthy-window throughput number ABOVE the bench
+    # size, self-describing either way (r2 finding: the 2M story rested
+    # on host forensics, not an in-file measurement). Auto mode runs
+    # only when the bench still has budget AND a healthy window appears
+    # within a bounded wait; otherwise it records the probe evidence
+    # that no healthy window appeared. ORCSPARK_BENCH_SCALE_SMOKE:
+    # 0=off, 1=force (longer wait, measures even degraded), auto.
+    smoke_mode = os.environ.get("ORCSPARK_BENCH_SCALE_SMOKE", "auto")
+    smoke_deadline = float(os.environ.get("ORCSPARK_SMOKE_DEADLINE_S", "400"))
+    elapsed = time.perf_counter() - bench_t0
+    if smoke_mode != "0" and smoke_mode != "1" and elapsed >= smoke_deadline:
+        extras["scale_smoke"] = {
+            "skipped": (
+                f"bench already at {round(elapsed)}s (budget {round(smoke_deadline)}s) "
+                "before the smoke phase — a degraded-host main phase ate "
+                "the budget; see main_phase.host_probes"
+            )
+        }
+    if smoke_mode != "0" and (smoke_mode == "1" or elapsed < smoke_deadline):
+        smoke: dict = {"workload": "full encode+decode pipeline, distributed-generated table"}
+        sprobes: list[dict] = []
+        healthy = wait_for_healthy_host(
+            240.0 if smoke_mode == "1" else 45.0, sprobes
+        )
+        if healthy or smoke_mode == "1":
+            smoke_rows = int(os.environ.get("ORCSPARK_SMOKE_ROWS", "2000000"))
+            spath = ensure_web_parquet_distributed(spark, smoke_rows)
+            esec, sbi, sbo, sdir, srun = encode_web_job(
+                spark, spath, MAIN_CORES, "smoke"
+            )
+            sprobes.append(probe_host_health())
+            sdf = spark.read.parquet(spath)
+            t0 = time.perf_counter()
+            sdec = pipeline.decode_job(spark, sdir, srun, sdf.schema)
+            n_sdec = sdec.count()
+            dsec = time.perf_counter() - t0
+            sprobes.append(probe_host_health())
+            shutil.rmtree(sdir, ignore_errors=True)
+            assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
+            smoke.update(
+                {
+                    "rows": smoke_rows,
+                    "bytes_in": sbi,
+                    "ratio": round(sbi / sbo, 3),
+                    "encode_sec": round(esec, 3),
+                    "encode_mb_s": round(sbi / 1e6 / esec, 1),
+                    "decode_sec": round(dsec, 3),
+                    "decode_mb_s": round(sbi / 1e6 / dsec, 1),
+                    "decoded_rows": n_sdec,
+                    "measured_during_degraded_host": not any(
+                        p["healthy"] for p in sprobes
+                    ),
+                }
+            )
+        else:
+            smoke["skipped"] = (
+                "no healthy memory-subsystem window within bounded wait; "
+                "measuring would profile the hypervisor's page-supply "
+                "phase, not the engine (probes recorded)"
+            )
+        smoke["host_probes"] = sprobes[-6:]
+        extras["scale_smoke"] = smoke
 
     shutil.rmtree(out2, ignore_errors=True)
     spark.stop()

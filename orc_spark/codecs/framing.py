@@ -41,6 +41,7 @@ CODECS = {
     "dict": 6,
     "fsst": 7,
     "for_ts": 8,  # frame-of-reference for timestamps (rle_auto on int64 view)
+    "alp": 9,  # decimal-scaled doubles -> int codecs, verbatim exceptions
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -63,6 +64,8 @@ _DT_LARGE_STRING = 7
 _DT_LARGE_BINARY = 8
 _DT_FLOAT32 = 9
 _DT_DATE32 = 10
+_DT_BOOL = 11
+_DT_DECIMAL128 = 12
 
 
 def _dtype_id(t: pa.DataType) -> int:
@@ -86,6 +89,10 @@ def _dtype_id(t: pa.DataType) -> int:
         return _DT_FLOAT32
     if pa.types.is_date32(t):
         return _DT_DATE32
+    if pa.types.is_boolean(t):
+        return _DT_BOOL
+    if pa.types.is_decimal128(t):
+        return _DT_DECIMAL128
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -248,6 +255,124 @@ def _decode_strings_dict(payload: bytes, n_valid: int) -> tuple[np.ndarray, byte
     return lengths, data
 
 
+# ---------------------------------------------------------- float helpers
+
+# ALP-style decimal scaling (public algorithm family: pseudodecimal in
+# BtrBlocks, SIGMOD 2023; ALP, SIGMOD 2024 — semantics only, not a
+# port): most real-world doubles are decimals, so v * 10^e rounds to an
+# integer that divides back BITWISE-identically. Store the integers via
+# the existing RLE/bitpack path (they are tiny: a 2-decimal price column
+# packs in ~20 bits vs 64) and patch the few non-conforming values
+# (NaN/inf/-0.0/true reals) verbatim. Exactness is *verified per value
+# at encode time* with the identical float op decode will run, so the
+# round trip is bit-identical by construction.
+
+_ALP_MAX_EXP = 14
+_F64_EXACT = float(1 << 53)
+_ALP_MAX_EXC_FRAC = 0.05
+
+
+def _alp_ok_mask(v: np.ndarray, e: int) -> np.ndarray:
+    """True where int64(round(v*10^e)) -> float64 -> /10^e reproduces v
+    bitwise — the exact op chain the decoder performs (the int64 cast
+    matters: it is what drops -0.0's sign, so -0.0 must patch)."""
+    scale = np.float64(10.0**e)
+    with np.errstate(invalid="ignore", over="ignore"):
+        r = np.rint(v * scale)
+        ok = np.isfinite(r) & (np.abs(r) < _F64_EXACT)
+        ints = np.where(ok, r, 0.0).astype(np.int64)
+        back = ints.astype(np.float64) / scale
+    return ok & (back.view(np.int64) == v.view(np.int64))
+
+
+def alp_pick_exponent(v: np.ndarray) -> int | None:
+    """Smallest decimal exponent covering >=95% of values exactly
+    (exact coverage short-circuits); None = column is not decimal-like
+    and alp should not be attempted."""
+    if len(v) == 0:
+        return 0
+    best_e, best_bad = None, 1.0
+    for e in range(_ALP_MAX_EXP + 1):
+        bad = 1.0 - float(_alp_ok_mask(v, e).mean())
+        if bad == 0.0:
+            return e
+        if bad < best_bad:
+            best_e, best_bad = e, bad
+    return best_e if best_bad <= _ALP_MAX_EXC_FRAC else None
+
+
+def alp_viable(sample: np.ndarray) -> bool:
+    return alp_pick_exponent(sample) is not None
+
+
+def _encode_float_alp(values: np.ndarray) -> bytes:
+    """values: dense (no-null) float64. Layout:
+    e(1) | n_exc(<I) | ints_len(<I) | encode_ints_auto(rounded, exc=0)
+    | pos_len(<I) | encode_ints_auto(exc positions) | exc f8 verbatim
+    """
+    v = values.astype(np.float64, copy=False)
+    # exponent from a bounded sample (the full mask below still verifies
+    # every value, so a sample-unlucky exponent only costs size)
+    sample = v[:: max(1, len(v) // 4096)] if len(v) > 4096 else v
+    e = alp_pick_exponent(sample)
+    if e is None:
+        e = 0  # encode everything as exceptions; size budget takes raw
+    ok = _alp_ok_mask(v, e)
+    scale = np.float64(10.0**e)
+    with np.errstate(invalid="ignore", over="ignore"):
+        ints = np.where(ok, np.rint(v * scale), 0.0).astype(np.int64)
+    exc_pos = np.flatnonzero(~ok).astype(np.int64)
+    ib = encode_ints_auto(ints)
+    pb = encode_ints_auto(exc_pos)
+    return (
+        struct.pack("<BII", e, len(exc_pos), len(ib))
+        + ib
+        + struct.pack("<I", len(pb))
+        + pb
+        + v[~ok].astype("<f8").tobytes()
+    )
+
+
+def _decode_float_alp(payload: bytes, n_valid: int) -> np.ndarray:
+    e, n_exc, ib_len = struct.unpack("<BII", payload[:9])
+    off = 9
+    ints = decode_ints_auto(payload[off : off + ib_len], n_valid)
+    off += ib_len
+    (pb_len,) = struct.unpack("<I", payload[off : off + 4])
+    off += 4
+    exc_pos = decode_ints_auto(payload[off : off + pb_len], n_exc)
+    off += pb_len
+    exc_vals = np.frombuffer(payload, dtype="<f8", count=n_exc, offset=off)
+    # identical op sequence to the encoder's verification pass
+    out = ints.astype(np.float64) / np.float64(10.0**e)
+    if n_exc:
+        out[exc_pos] = exc_vals
+    return out
+
+
+# -------------------------------------------------- bool/decimal helpers
+
+def _decimal_halves(dense: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) little-endian int64 halves of decimal128's 16-byte
+    two's-complement values. A value fits in int64 iff hi is the sign
+    extension of lo (always true for precision <= 18)."""
+    n = len(dense)
+    if n == 0 or dense.buffers()[1] is None:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    raw = np.frombuffer(
+        dense.buffers()[1], dtype=np.int64, count=2 * n, offset=dense.offset * 16
+    )
+    return raw[0::2], raw[1::2]
+
+
+def _interleave_decimal(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    out = np.empty(2 * len(lo), dtype=np.int64)
+    out[0::2] = lo
+    out[1::2] = hi
+    return out
+
+
 # ------------------------------------------------------------- the frame
 
 def encode_frame(
@@ -294,12 +419,44 @@ def encode_frame(
         else:
             raise ValueError(f"codec {codec} not valid for int column")
     elif dt in (_DT_FLOAT64, _DT_FLOAT32):
-        if codec != "raw":
-            raise ValueError(f"codec {codec} not valid for float column")
         dense = arr.drop_null()
         np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
         values = dense.to_numpy(zero_copy_only=False)
-        payload = values.astype(np_dt).tobytes()
+        if codec == "alp" and dt == _DT_FLOAT64:
+            payload = _encode_float_alp(values)
+        elif codec == "raw" or (codec == "alp" and dt == _DT_FLOAT32):
+            codec = "raw"  # alp is defined over f8; f4 takes raw
+            payload = values.astype(np_dt).tobytes()
+        else:
+            raise ValueError(f"codec {codec} not valid for float column")
+    elif dt == _DT_BOOL:
+        dense = arr.drop_null()
+        values = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if codec == "raw":
+            payload = np.packbits(
+                values.astype(np.uint8), bitorder="little"
+            ).tobytes()
+        elif codec == "rle_auto" or codec in _INT_SUBMODES:
+            payload = encode_ints_auto(values)
+            codec = "rle_auto"
+        else:
+            raise ValueError(f"codec {codec} not valid for bool column")
+    elif dt == _DT_DECIMAL128:
+        t = arr.type
+        params["precision"], params["scale"] = t.precision, t.scale
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        lo, hi = _decimal_halves(dense)
+        fits64 = bool(np.all(hi == (lo >> 63)))
+        if codec in ("rle_auto", *_INT_SUBMODES) and fits64:
+            payload = encode_ints_auto(lo)
+            codec = "rle_auto"
+        elif codec in ("raw", "rle_auto", *_INT_SUBMODES):
+            codec = "raw"  # 16-byte verbatim (covers precision > 18)
+            payload = _interleave_decimal(lo, hi).astype("<i8").tobytes()
+        else:
+            raise ValueError(f"codec {codec} not valid for decimal column")
     elif dt in _STRING_DTS:
         if codec == "dict":
             payload = _encode_strings_dict(arr)
@@ -364,8 +521,11 @@ def decode_frame(blob: bytes) -> pa.Array:
             values = decode_ints_auto(payload, n_valid)
         return _build_int_array(values, valid_mask, n, dt, params)
     if dt in (_DT_FLOAT64, _DT_FLOAT32):
-        np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
-        values = np.frombuffer(payload, dtype=np_dt)
+        if codec == "alp":
+            values = _decode_float_alp(payload, n_valid)
+        else:
+            np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
+            values = np.frombuffer(payload, dtype=np_dt)
         return _build_float_array(values, valid_mask, n, dt)
     if dt in _STRING_DTS:
         if codec == "dict":
@@ -375,6 +535,23 @@ def decode_frame(blob: bytes) -> pa.Array:
         else:
             lengths, data = _decode_strings_raw(payload, n_valid)
         return _build_string_array(lengths, data, valid_mask, n, dt)
+    if dt == _DT_BOOL:
+        if codec == "raw":
+            values = np.unpackbits(
+                np.frombuffer(payload, dtype=np.uint8),
+                bitorder="little", count=n_valid,
+            ).astype(np.int64)
+        else:
+            values = decode_ints_auto(payload, n_valid)
+        return _build_bool_array(values, valid_mask, n)
+    if dt == _DT_DECIMAL128:
+        if codec == "raw":
+            pairs = np.frombuffer(payload, dtype="<i8")
+            lo, hi = pairs[0::2], pairs[1::2]
+        else:
+            lo = decode_ints_auto(payload, n_valid)
+            hi = lo >> 63  # sign extension (verified <= int64 at encode)
+        return _build_decimal_array(lo, hi, valid_mask, n, params)
     raise TypeError(f"unhandled dtype id {dt}")
 
 
@@ -416,6 +593,28 @@ def _build_float_array(values, valid_mask, n, dt):
     t = pa.float64() if dt == _DT_FLOAT64 else pa.float32()
     return pa.Array.from_buffers(
         t, n, [_arrow_validity(valid_mask, n), pa.py_buffer(full.tobytes())],
+        null_count=-1 if valid_mask is not None else 0,
+    )
+
+
+def _build_bool_array(values, valid_mask, n):
+    full = _expand_valid(values.astype(np.uint8), valid_mask, n)
+    bits = np.packbits(full, bitorder="little")
+    return pa.Array.from_buffers(
+        pa.bool_(), n,
+        [_arrow_validity(valid_mask, n), pa.py_buffer(bits.tobytes())],
+        null_count=-1 if valid_mask is not None else 0,
+    )
+
+
+def _build_decimal_array(lo, hi, valid_mask, n, params):
+    lo_f = _expand_valid(lo.astype(np.int64), valid_mask, n)
+    hi_f = _expand_valid(hi.astype(np.int64), valid_mask, n)
+    buf = _interleave_decimal(lo_f, hi_f).astype("<i8").tobytes()
+    t = pa.decimal128(params["precision"], params["scale"])
+    return pa.Array.from_buffers(
+        t, n,
+        [_arrow_validity(valid_mask, n), pa.py_buffer(buf)],
         null_count=-1 if valid_mask is not None else 0,
     )
 
@@ -472,6 +671,15 @@ def column_checksum(arr: pa.Array) -> str:
         lengths, data = _string_parts(arr)
         h.update(lengths.astype("<i8").tobytes())
         h.update(data)
+    elif dt == _DT_BOOL:
+        vals = arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h.update(vals.astype("<i8").tobytes())
+    elif dt == _DT_DECIMAL128:
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        lo, hi = _decimal_halves(dense)
+        h.update(_interleave_decimal(lo, hi).astype("<i8").tobytes())
     else:
         raise TypeError(str(arr.type))
     return h.hexdigest()

@@ -46,8 +46,19 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
             or pa.types.is_date32(t)
         ):
             chain = ["rle_auto", "raw"]
+        elif pa.types.is_float64(t):
+            # ALP-style decimal scaling (framing._encode_float_alp):
+            # real-world doubles (prices, quantities, sensor decimals)
+            # scale exactly to small ints; choose_codec prunes it for
+            # genuinely-real-valued columns via a sampled viability
+            # check, and the size budget still guards the residue.
+            chain = ["alp", "raw"]
         elif pa.types.is_floating(t):
             chain = ["raw"]
+        elif pa.types.is_boolean(t) or pa.types.is_decimal128(t):
+            # bools RLE beautifully; decimals <= precision 18 ride the
+            # int64 path (framing falls back to 16-byte raw above it)
+            chain = ["rle_auto", "raw"]
         else:
             chain = ["raw"]
         plans[f.name] = ColumnPlan(f.name, chain)
@@ -84,6 +95,13 @@ def stripe_stats(arr: pa.Array) -> dict:
             d = np.diff(v) if len(v) > 1 else np.zeros(0, dtype=np.int64)
             out["run_frac"] = float((d == 0).mean()) if len(d) else 0.0
             out["sorted_frac"] = float((d >= 0).mean()) if len(d) else 1.0
+    elif pa.types.is_float64(t):
+        from ..codecs import framing
+
+        sample = (
+            arr.slice(0, min(n, 4096)).drop_null().to_numpy(zero_copy_only=False)
+        )
+        out["alp_viable"] = bool(framing.alp_viable(sample))
     return out
 
 
@@ -137,6 +155,8 @@ def choose_codec(arr: pa.Array, chain: list[str]) -> list[str]:
             order.remove("dict")  # dictionary would not pay for itself
     if "fsst" in order and stats.get("total_bytes", 1 << 30) < FSST_MIN_BYTES:
         order.remove("fsst")
+    if "alp" in order and not stats.get("alp_viable", True):
+        order.remove("alp")  # real-valued doubles: scaling can't win
     if "raw" not in order:
         order.append("raw")
     return order

@@ -131,3 +131,171 @@ def test_fsst_table_determinism():
     t1 = fsst.train(data)
     t2 = fsst.train(data)
     assert t1.symbols == t2.symbols
+
+
+# ------------------------------------------------------------------ alp
+
+ALP_RNG = np.random.default_rng(7)
+
+ALP_FIXTURES = {
+    "alp_empty": np.zeros(0, dtype=np.float64),
+    "alp_single": np.array([3.25]),
+    "alp_prices_2dec": np.round(ALP_RNG.uniform(0, 1e5, 4096), 2),
+    "alp_ints_as_double": ALP_RNG.integers(1, 51, 4096).astype(np.float64),
+    "alp_4dec": np.round(ALP_RNG.uniform(0, 1, 4096), 4),
+    "alp_all_equal": np.full(1024, 2.71),
+    "alp_specials": np.array(
+        [np.nan, np.inf, -np.inf, -0.0, 0.0, 1e300, -1e-300,
+         float(2**60), 0.1 + 0.2, 7.5, -99.99, 1.23456789012345e-5]
+    ),
+    "alp_true_reals": ALP_RNG.standard_normal(4096),
+    "alp_mixed": np.where(
+        ALP_RNG.random(4096) < 0.02,
+        ALP_RNG.standard_normal(4096),
+        np.round(ALP_RNG.uniform(-500, 500, 4096), 2),
+    ),
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(ALP_FIXTURES))
+def test_alp_roundtrip_bit_identical(fixture):
+    """decode(encode(x)) reproduces every float64 BITWISE (incl. NaN
+    payloads, -0.0, infinities — they ride the exception path)."""
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    v = ALP_FIXTURES[fixture]
+    arr = pa.array(v, type=pa.float64())
+    back = framing.decode_frame(framing.encode_frame(arr, "alp"))
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+    got = back.to_numpy(zero_copy_only=False)
+    assert np.array_equal(got.view(np.int64), v.view(np.int64))
+
+
+def test_alp_compresses_decimals_not_reals():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    prices = pa.array(ALP_FIXTURES["alp_prices_2dec"])
+    assert len(framing.encode_frame(prices, "alp")) < prices.nbytes * 0.5
+    # true reals: nearly everything patches -> bigger than raw, and the
+    # selector prunes alp for such columns up front
+    from orc_spark.engine import selector
+
+    reals = pa.array(ALP_FIXTURES["alp_true_reals"])
+    assert not selector.stripe_stats(reals)["alp_viable"]
+    assert selector.choose_codec(reals, ["alp", "raw"]) == ["raw"]
+    assert selector.stripe_stats(prices)["alp_viable"]
+    assert selector.choose_codec(prices, ["alp", "raw"])[0] == "alp"
+
+
+def test_alp_nulls_preserved():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    arr = pa.array([1.25, None, 3.5, None, -0.0, np.nan], type=pa.float64())
+    back = framing.decode_frame(framing.encode_frame(arr, "alp"))
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+    assert back.null_count == 2
+
+
+def test_alp_float32_falls_back_to_raw():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    arr = pa.array(
+        ALP_RNG.standard_normal(256).astype(np.float32), type=pa.float32()
+    )
+    blob = framing.encode_frame(arr, "alp")
+    back = framing.decode_frame(blob)
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+
+
+# --------------------------------------------------------- bool/decimal
+
+def test_bool_roundtrip_rle_and_raw():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    rng = np.random.default_rng(11)
+    fixtures = [
+        pa.array([], type=pa.bool_()),
+        pa.array([True] * 1000),
+        pa.array([False] * 7),
+        pa.array(rng.random(4096) < 0.3),
+        pa.array([True, None, False, None, True]),
+    ]
+    for arr in fixtures:
+        for codec in ("rle_auto", "raw"):
+            back = framing.decode_frame(framing.encode_frame(arr, codec))
+            assert back.type == pa.bool_()
+            assert framing.column_checksum(back) == framing.column_checksum(arr)
+            assert back.to_pylist() == arr.to_pylist()
+
+
+def test_bool_rle_compresses_runs():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    arr = pa.array([True] * 50000)
+    blob = framing.encode_frame(arr, "rle_auto")
+    assert len(blob) < 1000  # 50k identical bools -> a handful of runs
+
+
+def test_decimal128_roundtrip_int64_path():
+    """precision <= 18 rides the rle int64 path; values + type params
+    (precision, scale) must round-trip exactly."""
+    import decimal
+
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    vals = [
+        decimal.Decimal("12345.67"), decimal.Decimal("-0.01"),
+        decimal.Decimal("0.00"), None, decimal.Decimal("99999999999999.99"),
+        decimal.Decimal("-99999999999999.99"),
+    ]
+    arr = pa.array(vals, type=pa.decimal128(16, 2))
+    for codec in ("rle_auto", "raw"):
+        back = framing.decode_frame(framing.encode_frame(arr, codec))
+        assert back.type == pa.decimal128(16, 2)
+        assert back.to_pylist() == vals
+        assert framing.column_checksum(back) == framing.column_checksum(arr)
+
+
+def test_decimal128_wide_precision_raw_fallback():
+    """precision > 18 can't fit int64: rle_auto request must fall back
+    to the 16-byte verbatim path and still be exact."""
+    import decimal
+
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    big = decimal.Decimal(2**90) + decimal.Decimal("0.123456789")
+    vals = [big, -big, decimal.Decimal("1.000000000"), None]
+    arr = pa.array(vals, type=pa.decimal128(38, 9))
+    blob = framing.encode_frame(arr, "rle_auto")
+    back = framing.decode_frame(blob)
+    assert back.type == pa.decimal128(38, 9)
+    assert back.to_pylist() == vals
+
+
+def test_selector_chains_bool_decimal():
+    import pyarrow as pa
+
+    from orc_spark.engine import selector
+
+    schema = pa.schema(
+        [("flag", pa.bool_()), ("amount", pa.decimal128(12, 2))]
+    )
+    plans = selector.plan_for_schema(schema)
+    assert plans["flag"].chain == ["rle_auto", "raw"]
+    assert plans["amount"].chain == ["rle_auto", "raw"]

@@ -91,11 +91,62 @@ def test_oracle_parity(spark, duck, key):
 
     res = duck.execute(entry.oracle_sql()[key])
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_arrow = res.arrow()
+    duck_rows = [tuple(r.values()) for r in duck_arrow.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{key}: column mismatch {spark_cols} vs {duck_cols}"
     )
+
+    # Typed check (driver fidelity): the driver's value-hash is TYPED —
+    # r2 lost two rows to DuckDB widening SUM(BIGINT) to HUGEINT
+    # (arrow decimal128) against Spark's int64, with every value equal.
+    # Compare coarse arrow-type families so that class of drift fails
+    # here first. Int widths are allowed to differ (both sides
+    # canonicalize to int64-representable values).
+    def family(t) -> str:
+        import pyarrow as pa
+
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_decimal(t):
+            return "decimal"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return "list"
+        return str(t)
+
+    _SPARK_FAMILY = {
+        "BooleanType": "bool", "ByteType": "int", "ShortType": "int",
+        "IntegerType": "int", "LongType": "int", "FloatType": "float",
+        "DoubleType": "float", "StringType": "string",
+        "BinaryType": "binary", "TimestampType": "timestamp",
+        "TimestampNTZType": "timestamp", "DateType": "date",
+    }
+    for f in sdf.schema.fields:
+        tname = type(f.dataType).__name__
+        sfam = _SPARK_FAMILY.get(
+            tname, "decimal" if tname == "DecimalType" else
+            "list" if tname == "ArrayType" else tname
+        )
+        dfam = family(duck_arrow.schema.field(f.name).type)
+        assert sfam == dfam, (
+            f"{key}.{f.name}: typed mismatch — Spark {tname} ({sfam}) vs "
+            f"DuckDB arrow {duck_arrow.schema.field(f.name).type} ({dfam}); "
+            "the driver's typed value-hash will fail on this even if "
+            "values are identical (cast the oracle)"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{key}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
