@@ -143,6 +143,33 @@ def _q_roundtrip_lineitem_auto(spark, sf_dir):
     )
 
 
+def _q_zonemap_prune(spark, sf_dir):
+    """Zone-map predicate pushdown (orc_spark/engine/zonemap.py —
+    ORC row-group-index / parquet column-statistics semantics, public
+    formats): encode events clustered by event_id, then decode ONLY
+    the stripe groups whose min/max can satisfy the predicate; the
+    conservative residual filter makes the result exactly the SQL
+    WHERE. The oracle is the plain filtered SELECT — correctness of
+    pruning IS the query."""
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select("event_id", "value")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_zm_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-zm-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value"],
+        n_partitions=8,
+        cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    pred = [("event_id", "between", (2500, 4999))]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -699,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
+        "zonemap_prune": _q_zonemap_prune,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
         "lang_distribution": _q_lang_distribution,
@@ -886,6 +914,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_documents_auto": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "zonemap_prune": (
+            "SELECT event_id, value FROM events "
+            "WHERE event_id BETWEEN 2500 AND 4999"
         ),
         "stats_sample_documents": stats.stats_sample_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"], {"lang", "source"}

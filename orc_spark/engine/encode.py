@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 )
 
 from ..codecs import column_checksum, encode_frame
-from . import selector
+from . import selector, zonemap
 
 STRIPE_SCHEMA = StructType(
     [
@@ -46,6 +46,15 @@ STRIPE_SCHEMA = StructType(
         StructField("status", StringType(), False),
         StructField("failure_category", StringType(), True),
         StructField("epoch", LongType(), False),
+        # zone map (zonemap.stripe_zone_stats): typed min/max + null
+        # count; all-null = "no stats, never prune"
+        StructField("min_int", LongType(), True),
+        StructField("max_int", LongType(), True),
+        StructField("min_num", DoubleType(), True),
+        StructField("max_num", DoubleType(), True),
+        StructField("min_str", StringType(), True),
+        StructField("max_str", StringType(), True),
+        StructField("null_count", LongType(), True),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -66,6 +75,13 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("failure_category", pa.string()),
         ("epoch", pa.int64()),
+        ("min_int", pa.int64()),
+        ("max_int", pa.int64()),
+        ("min_num", pa.float64()),
+        ("max_num", pa.float64()),
+        ("min_str", pa.string()),
+        ("max_str", pa.string()),
+        ("null_count", pa.int64()),
         ("data", pa.binary()),
     ]
 )
@@ -172,9 +188,14 @@ def encode_stage(
                         arr, chains[col], size_budget_ratio, state=col_state[col]
                     )
                     status, category, checksum = "completed", None, column_checksum(arr)
+                    zstats = zonemap.stripe_zone_stats(arr)
                 except Exception as exc:  # noqa: BLE001 — ledgered, not swallowed
                     codec, blob, attempts = "error", b"", 0
                     status, category, checksum = "failed", classify_failure(exc), ""
+                    zstats = dict.fromkeys(
+                        ("min_int", "max_int", "min_num", "max_num",
+                         "min_str", "max_str", "null_count")
+                    )
                 ms = (time.perf_counter() - t0) * 1000.0
                 rows["run_id"].append(run_id)
                 rows["partition_id"].append(pid)
@@ -190,6 +211,8 @@ def encode_stage(
                 rows["status"].append(status)
                 rows["failure_category"].append(category)
                 rows["epoch"].append(epoch)
+                for k, v in zstats.items():
+                    rows[k].append(v)
                 rows["data"].append(blob)
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 

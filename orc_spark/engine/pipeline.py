@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from . import decode as decode_mod
 from . import encode as encode_mod
 from . import lineage as lineage_mod
-from . import selector, skew, storage
+from . import selector, skew, storage, zonemap
 
 
 @dataclass
@@ -32,6 +32,10 @@ class EncodeJobConfig:
     n_partitions: int = 32
     salt: int = 42
     waves: int = 1  # >1 = finer-grained checkpoints
+    # Sort within partitions on this column before striping: makes
+    # stripes range-local so zone maps actually prune (no extra
+    # shuffle — the sort rides the encode exchange's output).
+    cluster_by: str | None = None
     size_budget_ratio: float = encode_mod.DEFAULT_SIZE_BUDGET
     overrides: dict[str, list[str]] | None = None
     # {"columns": [...], "partitions": [...]}: deliberate per-stripe
@@ -127,6 +131,8 @@ def run_encode_job(
         wave_df = skew.salted_repartition(
             wave_df.drop("_pid"), cfg.n_partitions, cfg.key, cfg.salt
         )
+        if cfg.cluster_by:
+            wave_df = wave_df.sortWithinPartitions(cfg.cluster_by)
         stripes = encode_mod.encode_stage(
             wave_df, plans, cfg.run_id, cfg.size_budget_ratio,
             epoch=epoch, fault_spec=cfg.fault_spec,
@@ -256,15 +262,25 @@ def decode_job(
     run_id: str,
     result_schema,
     columns: list[str] | None = None,
+    predicate: list[tuple] | None = None,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
-    file each); falls back to an explicit repartition otherwise."""
+    file each); falls back to an explicit repartition otherwise.
+
+    ``predicate`` — zonemap conjuncts ((col, op, value), ...): stripe
+    groups whose min/max provably cannot satisfy it are pruned from
+    the metadata scan before any blob is decoded. Pruning is
+    conservative; callers still apply
+    ``zonemap.predicate_expr(predicate)`` to the decoded rows.
+    """
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     want = set(columns or [f.name for f in result_schema.fields])
     stripes = _epoch_keep_filter(
         spark, read_stripes(spark, out_dir, run_id), want
     )
+    if predicate:
+        stripes = zonemap.prune_stripes(stripes, predicate)
     return decode_mod.decode_stage(stripes, result_schema, columns, colocated)
 
 
