@@ -124,3 +124,63 @@ def test_float_frame_roundtrip_nan_inf(floats):
     # NaN != NaN, so compare via checksum (bit-level) + null mask
     assert framing.column_checksum(out) == framing.column_checksum(arr)
     assert out.is_null().equals(arr.is_null())
+
+
+# ------------------------------------------------------------- alp (r3)
+
+@st.composite
+def float_arrays(draw):
+    """Decimal-ish, true-real, and special-value-laced float64s."""
+    n = draw(st.integers(min_value=0, max_value=300))
+    specials = [
+        float("nan"), float("inf"), float("-inf"), -0.0, 0.0,
+        5e-324, 1.7e308, float(2**53), float(2**60),
+    ]
+    elem = st.one_of(
+        st.sampled_from(specials),
+        st.integers(-10**6, 10**6).map(lambda v: v / 100.0),  # 2-dec
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+    )
+    return np.array(draw(st.lists(elem, min_size=n, max_size=n)), dtype=np.float64)
+
+
+@settings(max_examples=120, deadline=None)
+@given(float_arrays())
+def test_alp_roundtrip_bitwise_property(vals):
+    """decode(encode(x, 'alp')) is BITWISE x for arbitrary float64
+    content — NaN payloads, infinities, signed zero, subnormals."""
+    arr = pa.array(vals, type=pa.float64())
+    back = framing.decode_frame(framing.encode_frame(arr, "alp"))
+    got = back.to_numpy(zero_copy_only=False)
+    assert np.array_equal(
+        got.view(np.int64), vals.view(np.int64)
+    ), "alp round trip not bit-identical"
+
+
+@settings(max_examples=80, deadline=None)
+@given(float_arrays())
+def test_zone_stats_bound_all_values(vals):
+    """Zone-map float stats, when present, truly bound every value —
+    a violated bound is a wrong pruning decision waiting to happen."""
+    from orc_spark.engine import zonemap
+
+    arr = pa.array(vals, type=pa.float64())
+    s = zonemap.stripe_zone_stats(arr)
+    if s["min_num"] is None:
+        return  # empty / NaN-poisoned: no bounds, never pruned
+    assert not np.isnan(vals).any()  # NaN must have suppressed stats
+    assert s["min_num"] <= vals.min() and vals.max() <= s["max_num"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(int_arrays())
+def test_zone_stats_int_bounds_property(vals):
+    from orc_spark.engine import zonemap
+
+    arr = pa.array(vals, type=pa.int64())
+    s = zonemap.stripe_zone_stats(arr)
+    if len(vals):
+        assert s["min_int"] == int(vals.min())
+        assert s["max_int"] == int(vals.max())
+    else:
+        assert s["min_int"] is None
