@@ -143,6 +143,31 @@ def _q_roundtrip_lineitem_auto(spark, sf_dir):
     )
 
 
+def _q_decode_projection(spark, sf_dir):
+    """Column-pruned decode: documents is encoded with all five
+    columns, but the decode requests only (doc_id, lang) — the stripe
+    scan prunes the other columns' blobs via the metadata `column`
+    filter, so text/html bytes are never decoded. Oracle is the
+    2-column SELECT."""
+    from orc_spark.engine import pipeline
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    df = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_proj_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-proj-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=cols,
+        n_partitions=8,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    return pipeline.decode_job(
+        spark, out, cfg.run_id,
+        df.select("doc_id", "lang").schema, columns=["doc_id", "lang"],
+    )
+
+
 def _q_zonemap_prune(spark, sf_dir):
     """Zone-map predicate pushdown (orc_spark/engine/zonemap.py —
     ORC row-group-index / parquet column-statistics semantics, public
@@ -727,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "zonemap_prune": _q_zonemap_prune,
+        "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
         "lang_distribution": _q_lang_distribution,
@@ -919,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, value FROM events "
             "WHERE event_id BETWEEN 2500 AND 4999"
         ),
+        "decode_projection": "SELECT doc_id, lang FROM documents",
         "stats_sample_documents": stats.stats_sample_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"], {"lang", "source"}
         ),
