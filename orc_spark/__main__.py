@@ -50,6 +50,7 @@ def cmd_encode(args) -> int:
         key=args.key,
         n_partitions=args.partitions,
         waves=args.waves,
+        cluster_by=args.cluster_by,
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     print(
@@ -72,12 +73,44 @@ def cmd_encode(args) -> int:
     return EXIT_OK
 
 
+_WHERE_OPS = (">=", "<=", "==", ">", "<", "=")  # longest first
+
+
+def _parse_where(clause: str) -> tuple[str, str, object]:
+    """`col>=value` -> a zonemap conjunct; value is int, then float,
+    then bare string (no quoting needed at the CLI)."""
+    for op in _WHERE_OPS:
+        if op in clause:
+            col, raw = clause.split(op, 1)
+            col, raw = col.strip(), raw.strip()
+            if not col or not raw:
+                break
+            value: object
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw.strip("'\"")
+            return col, op, value
+    raise ValueError(f"cannot parse --where clause: {clause!r}")
+
+
 def cmd_decode(args) -> int:
-    from orc_spark.engine import pipeline
+    from orc_spark.engine import pipeline, zonemap
 
     spark = _session(args.cores)
     original = spark.read.parquet(args.schema_from)
-    dec = pipeline.decode_job(spark, args.out, args.run_id, original.schema)
+    columns = args.columns.split(",") if args.columns else None
+    schema = original.select(columns).schema if columns else original.schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    dec = pipeline.decode_job(
+        spark, args.out, args.run_id, schema,
+        columns=columns, predicate=predicate or None,
+    )
+    if predicate:
+        dec = dec.filter(zonemap.predicate_expr(predicate))
     dec.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return EXIT_OK
@@ -162,6 +195,10 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--key", required=True)
     enc.add_argument("--partitions", type=int, default=32)
     enc.add_argument("--waves", type=int, default=1)
+    enc.add_argument(
+        "--cluster-by",
+        help="sort within partitions on this column so zone maps prune",
+    )
     enc.add_argument("--verify", action="store_true")
     enc.set_defaults(fn=cmd_encode)
 
@@ -170,6 +207,14 @@ def main(argv: list[str] | None = None) -> int:
     dec.add_argument("--run-id", required=True)
     dec.add_argument("--schema-from", required=True)
     dec.add_argument("--output", required=True)
+    dec.add_argument(
+        "--columns", help="comma-separated projection (default: all)"
+    )
+    dec.add_argument(
+        "--where", action="append",
+        help="conjunct like 'event_id>=2500' — zone-map pruned, then "
+        "row-filtered (repeatable)",
+    )
     dec.set_defaults(fn=cmd_decode)
 
     rep = sub.add_parser("report", help="render a run report")

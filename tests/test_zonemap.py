@@ -193,3 +193,56 @@ def test_predicate_validation():
         zonemap._conjunct_keep("!=", 3)
     with pytest.raises(TypeError):
         zonemap._as_scalar(object())
+
+
+# ---------------------------------------------------------- CLI surface
+
+def test_cli_where_parse():
+    from orc_spark.__main__ import _parse_where
+
+    assert _parse_where("event_id>=2500") == ("event_id", ">=", 2500)
+    assert _parse_where("value < 1.5") == ("value", "<", 1.5)
+    assert _parse_where("lang=='en'") == ("lang", "==", "en")
+    assert _parse_where("lang = en") == ("lang", "=", "en")
+    with pytest.raises(ValueError):
+        _parse_where("no clause here")
+    with pytest.raises(ValueError):
+        _parse_where(">=5")
+
+
+def test_cli_encode_cluster_decode_where(spark, tmp_path):
+    """encode --cluster-by -> decode --where/--columns through the CLI
+    entry (in-process: the CLI reuses the session via getOrCreate)."""
+    import pyarrow.parquet as pq
+
+    from orc_spark.__main__ import main
+
+    src = str(tmp_path / "events_src.parquet")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").parquet(src)
+    )
+    out = str(tmp_path / "stripes")
+    dec_out = str(tmp_path / "decoded.parquet")
+    assert main([
+        "encode", src, "--out", out, "--run-id", "cli-zm",
+        "--key", "event_id", "--partitions", "4",
+        "--cluster-by", "event_id",
+    ]) == 0
+    assert main([
+        "decode", "--out", out, "--run-id", "cli-zm",
+        "--schema-from", src, "--output", dec_out,
+        "--columns", "event_id,value",
+        "--where", "event_id>=2000", "--where", "event_id<=3999",
+    ]) == 0
+    got = pq.read_table(dec_out)
+    assert got.schema.names == ["event_id", "value"]
+    ids = sorted(got.column("event_id").to_pylist())
+    want = sorted(
+        r.event_id
+        for r in spark.read.parquet(src)
+        .filter("event_id between 2000 and 3999")
+        .select("event_id").collect()
+    )
+    assert ids == want
