@@ -14,6 +14,7 @@ Mirrors the reference CLI's surface (`orc run/stats/report`,
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import sys
 
@@ -51,6 +52,8 @@ def cmd_encode(args) -> int:
         n_partitions=args.partitions,
         waves=args.waves,
         cluster_by=args.cluster_by,
+        compression=None if args.compression == "none" else args.compression,
+        compression_level=args.compression_level,
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     print(
@@ -92,7 +95,16 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
                 try:
                     value = float(raw)
                 except ValueError:
-                    value = raw.strip("'\"")
+                    bare = raw.strip("'\"")
+                    try:
+                        # ISO timestamps/dates prune timestamp columns
+                        # (plain strings stay strings)
+                        value = datetime.datetime.fromisoformat(bare)
+                        if (value.hour, value.minute, value.second,
+                                value.microsecond) == (0, 0, 0, 0) and "T" not in bare and " " not in bare:
+                            value = value.date()
+                    except ValueError:
+                        value = bare
             return col, op, value
     raise ValueError(f"cannot parse --where clause: {clause!r}")
 
@@ -199,6 +211,11 @@ def main(argv: list[str] | None = None) -> int:
         "--cluster-by",
         help="sort within partitions on this column so zone maps prune",
     )
+    enc.add_argument(
+        "--compression", choices=["zlib", "none"], default="zlib",
+        help="block compressor layered over the lightweight codecs",
+    )
+    enc.add_argument("--compression-level", type=int, default=1)
     enc.add_argument("--verify", action="store_true")
     enc.set_defaults(fn=cmd_encode)
 

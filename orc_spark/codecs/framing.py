@@ -6,11 +6,17 @@ single binary blob:
     magic(2)=b"OS" | ver(1) | codec_id(1) | dtype(1) | flags(1)
     | n_rows(<q) | params_len(<H) | params(utf8 json)
     | [flags&1: nullmap_len(<I) | nullmap]   # arrow-style LSB validity
-    | payload
+    | payload                                # flags&2: zlib-deflated
 
 Codec kernels (bitpack / rle / fsst / dict) see only dense non-null
 values; this layer strips and reinserts nulls, preserving the
 None-vs-"" distinction bit-identically (FIXTURES.md F2 `str_with_nulls`).
+
+flags bit 2 layers an optional general block compressor (stdlib zlib)
+over the lightweight-encoded payload — the ORC spec's CompressionKind
+layered over column encodings (semantics, not byte layout). The bit is
+only set when deflate actually shrinks the payload, so `raw`+bit2 is
+the unconditional floor and old blobs (bit clear) decode unchanged.
 
 Mirrors the role of ORC's stripe footer (public ORC v1 spec: per-column
 encoding id + parameters), not its byte layout.
@@ -21,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import json
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -29,6 +36,9 @@ from . import fsst, rle
 
 MAGIC = b"OS"
 VERSION = 1
+# below this payload size the deflate header/dictionary overhead and the
+# per-call latency outweigh any win — skip the attempt entirely
+_COMPRESS_MIN_BYTES = 256
 
 # codec ids
 CODECS = {
@@ -98,6 +108,15 @@ def _dtype_id(t: pa.DataType) -> int:
 
 _STRING_DTS = {_DT_STRING, _DT_BINARY, _DT_LARGE_STRING, _DT_LARGE_BINARY}
 _INT_DTS = {_DT_INT64, _DT_INT32, _DT_TS_US, _DT_DATE32}
+
+
+def _int64_values(dense: pa.Array) -> np.ndarray:
+    """int64 numpy view of a dense int-family array. Arrow has no
+    direct date32->int64 cast kernel, so dates hop through int32
+    (epoch-days are preserved exactly)."""
+    if pa.types.is_date32(dense.type):
+        dense = dense.cast(pa.int32())
+    return dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 # ------------------------------------------------------------ int helpers
@@ -380,8 +399,14 @@ def encode_frame(
     codec: str,
     params: dict | None = None,
     state: dict | None = None,
+    compression: str | None = None,
+    compression_level: int = 1,
 ) -> bytes:
     """Encode one Arrow column chunk into a self-describing blob.
+
+    ``compression='zlib'`` deflates the lightweight-encoded payload
+    (ORC CompressionKind semantics); the frame's flags bit 2 records
+    whether it actually won, so decode needs no out-of-band config.
 
     ``state`` is an optional mutable per-caller cache: fsst reuses the
     symbol table trained on the first stripe (key "fsst_table") —
@@ -404,10 +429,7 @@ def encode_frame(
     # dense values
     if dt in _INT_DTS:
         dense = arr.drop_null()
-        if dt == _DT_TS_US:
-            values = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        else:
-            values = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        values = _int64_values(dense)
         if codec == "raw":
             payload = values.astype("<i8").tobytes()
         elif codec in ("rle_auto", "for_ts"):
@@ -475,6 +497,13 @@ def encode_frame(
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
+    if compression is not None and len(payload) >= _COMPRESS_MIN_BYTES:
+        if compression != "zlib":
+            raise ValueError(f"unknown compression {compression!r}")
+        deflated = zlib.compress(payload, compression_level)
+        if len(deflated) < len(payload):
+            payload = deflated
+            flags |= 2
     pjson = json.dumps(params, separators=(",", ":")).encode() if params else b""
     head = (
         MAGIC
@@ -512,6 +541,8 @@ def decode_frame(blob: bytes) -> pa.Array:
         valid_mask = np.unpackbits(nullmap, bitorder="little", count=n).astype(bool)
         n_valid = int(valid_mask.sum())
     payload = blob[off:]
+    if flags & 2:
+        payload = zlib.decompress(payload)
     codec = CODEC_NAMES[codec_id]
 
     if dt in _INT_DTS:
@@ -662,7 +693,7 @@ def column_checksum(arr: pa.Array) -> str:
     h.update(validity.tobytes())
     dt = _dtype_id(arr.type)
     if dt in _INT_DTS:
-        vals = arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = _int64_values(arr.drop_null())
         h.update(vals.astype("<i8").tobytes())
     elif dt in (_DT_FLOAT64, _DT_FLOAT32):
         vals = arr.drop_null().to_numpy(zero_copy_only=False)

@@ -118,6 +118,8 @@ def encode_with_fallback(
     chain: list[str],
     size_budget_ratio: float = DEFAULT_SIZE_BUDGET,
     state: dict | None = None,
+    compression: str | None = None,
+    compression_level: int = 1,
 ) -> tuple[str, bytes, int]:
     """Walk the stripe's codec chain until the size budget is met.
 
@@ -126,6 +128,10 @@ def encode_with_fallback(
     misses the budget (bytes_out > ratio * bytes_in) falls through to
     the next; ``raw`` terminates the chain unconditionally (a sub-5%
     saving isn't worth a non-trivial decode path).
+
+    ``compression`` layers the frame-level block compressor (ORC
+    CompressionKind semantics) over every attempt, so the budget walk
+    judges each codec by the bytes that actually land on disk.
     """
     order = selector.choose_codec(arr, chain)
     budget = max(64, int(arr.nbytes * size_budget_ratio))
@@ -134,13 +140,19 @@ def encode_with_fallback(
     codec = "raw"
     for codec in order:
         attempts += 1
-        blob = encode_frame(arr, codec, state=state)
+        blob = encode_frame(
+            arr, codec, state=state,
+            compression=compression, compression_level=compression_level,
+        )
         if len(blob) <= budget or codec == "raw":
             break
     else:  # chain exhausted without raw (custom override chains)
         attempts += 1
         codec = "raw"
-        blob = encode_frame(arr, "raw")
+        blob = encode_frame(
+            arr, "raw",
+            compression=compression, compression_level=compression_level,
+        )
     return codec, blob, attempts
 
 
@@ -151,6 +163,8 @@ def encode_stage(
     size_budget_ratio: float = 1.0,
     epoch: int = 0,
     fault_spec: dict | None = None,
+    compression: str | None = None,
+    compression_level: int = 1,
 ) -> DataFrame:
     """Encode every planned column of every arrow batch into stripes.
 
@@ -185,7 +199,9 @@ def encode_stage(
                     if col in fault_cols and pid in fault_pids:
                         raise InjectedFault(f"injected fault p{pid}/{col}")
                     codec, blob, attempts = encode_with_fallback(
-                        arr, chains[col], size_budget_ratio, state=col_state[col]
+                        arr, chains[col], size_budget_ratio,
+                        state=col_state[col], compression=compression,
+                        compression_level=compression_level,
                     )
                     status, category, checksum = "completed", None, column_checksum(arr)
                     zstats = zonemap.stripe_zone_stats(arr)

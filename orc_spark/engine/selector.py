@@ -88,7 +88,9 @@ def stripe_stats(arr: pa.Array) -> dict:
             out["avg_len"] = 0.0
         out["total_bytes"] = int(arr.nbytes)
     elif pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t):
-        v = arr.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        from ..codecs.framing import _int64_values
+
+        v = _int64_values(arr.drop_null())
         if len(v):
             out["min"] = int(v.min())
             out["max"] = int(v.max())

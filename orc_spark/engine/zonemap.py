@@ -95,11 +95,16 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
 
 def _as_scalar(v):
     """Normalize a predicate value onto the stat columns' domains:
-    (int_value, num_value, str_value) — exactly one is non-None."""
+    (int_values, num_value, str_value) — exactly one is non-None.
+    int_values is a LIST: temporal values carry both their epoch-us
+    and epoch-days encodings, because the predicate's author may not
+    know whether the column is timestamp (us stats) or date32 (days
+    stats) — checking both, OR-combined, keeps pruning conservative
+    under the mismatch instead of silently dropping rows."""
     if isinstance(v, bool):
-        return int(v), None, None
+        return [int(v)], None, None
     if isinstance(v, int):
-        return v, None, None
+        return [v], None, None
     if isinstance(v, float):
         return None, v, None
     if isinstance(v, str):
@@ -108,9 +113,11 @@ def _as_scalar(v):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         epoch = datetime.datetime(1970, 1, 1)
-        return int((v - epoch) / datetime.timedelta(microseconds=1)), None, None
+        us = int((v - epoch) / datetime.timedelta(microseconds=1))
+        return [us, (v.date() - epoch.date()).days], None, None
     if isinstance(v, datetime.date):
-        return (v - datetime.date(1970, 1, 1)).days, None, None
+        days = (v - datetime.date(1970, 1, 1)).days
+        return [days * 86_400_000_000, days], None, None
     raise TypeError(f"unsupported predicate value type: {type(v).__name__}")
 
 
@@ -133,14 +140,28 @@ def _range_overlap(lo, hi) -> Column:
         checked = fam("min_str", "max_str", slo, shi)
         stats_present = F.col("min_str").isNotNull()
     else:
-        # numeric predicates check whichever family the stripe recorded
-        # (an int predicate on a float column compares via min_num)
-        checked = fam("min_int", "max_int", ilo if ilo is not None else nlo,
-                      ihi if ihi is not None else nhi) | fam(
+        # int candidates pair by index (us with us, days with days);
+        # a bare int has one candidate
+        n_cand = max(len(ilo or ()), len(ihi or ()))
+        int_checks = [
+            fam(
+                "min_int", "max_int",
+                ilo[i] if ilo is not None and i < len(ilo) else None,
+                ihi[i] if ihi is not None and i < len(ihi) else None,
+            )
+            for i in range(n_cand)
+        ]
+        # numeric predicates also check the float family (an int
+        # predicate on a float column compares via min_num)
+        first_ilo = ilo[0] if ilo else None
+        first_ihi = ihi[0] if ihi else None
+        checked = fam(
             "min_num", "max_num",
-            float(ilo) if ilo is not None else nlo,
-            float(ihi) if ihi is not None else nhi,
+            float(first_ilo) if first_ilo is not None else nlo,
+            float(first_ihi) if first_ihi is not None else nhi,
         )
+        for c in int_checks:
+            checked = checked | c
         stats_present = F.col("min_int").isNotNull() | F.col("min_num").isNotNull()
     return checked | ~stats_present  # no stats -> never prune
 

@@ -108,3 +108,49 @@ def test_checksum_is_layout_independent():
     a = pa.array(["aa", "bb", "cc"])
     sliced = pa.array(["zz", "aa", "bb", "cc"]).slice(1, 3)
     assert column_checksum(a) == column_checksum(sliced)
+
+
+# --------------------------------------------------- block compression
+
+def _rt_compressed(arr: pa.Array, codec: str, level: int = 1):
+    blob = encode_frame(arr, codec, compression="zlib", compression_level=level)
+    out = decode_frame(blob)
+    if out.type != arr.type:
+        out = out.cast(arr.type)
+    assert out.equals(arr), f"zlib {codec} {arr.type}"
+    assert column_checksum(out) == column_checksum(arr)
+    return blob
+
+
+@pytest.mark.parametrize(
+    "arr,codec",
+    [
+        (pa.array(list(range(4000)) + [None] * 5), "rle_auto"),
+        (pa.array(["paragraph %d of web text" % (i % 97) for i in range(3000)]), "fsst"),
+        (pa.array(["en", "fr", "de", None] * 800), "dict"),
+        (pa.array([b"\x00\xffhtml" * 40] * 500, type=pa.binary()), "raw"),
+    ],
+)
+def test_zlib_layer_roundtrips_and_shrinks(arr, codec):
+    blob = _rt_compressed(arr, codec)
+    plain = encode_frame(arr, codec)
+    assert blob[5] & 2  # flag bit set: deflate won on these payloads
+    assert len(blob) < len(plain)
+
+
+def test_zlib_flag_clear_when_deflate_loses_or_payload_tiny():
+    tiny = pa.array([1, 2, 3])
+    assert not (encode_frame(tiny, "raw", compression="zlib")[5] & 2)
+    # high-entropy payload: deflate can't win, frame stays lightweight
+    rng = np.random.default_rng(7)
+    noise = pa.array([bytes(rng.integers(0, 256, 64, dtype=np.uint8).tobytes()) for _ in range(64)], type=pa.binary())
+    blob = encode_frame(noise, "raw", compression="zlib")
+    assert decode_frame(blob).equals(noise)
+
+
+def test_uncompressed_frames_decode_unchanged():
+    # bit 2 clear (the r1/r2 on-disk format) must keep decoding as-is
+    arr = pa.array(["legacy", "frame", None, ""])
+    blob = encode_frame(arr, "raw")
+    assert not (blob[5] & 2)
+    assert decode_frame(blob).equals(arr)

@@ -20,17 +20,22 @@ from orc_spark.engine.encode import encode_with_fallback
 def sizes():
     tbl = webgen.generate(8000)
     plans = selector.plan_for_schema(tbl.schema)
-    ours = 0
+    ours = ours_zlib = 0
     for col in tbl.column_names:
         arr = tbl.column(col).combine_chunks()
-        _, blob, _ = encode_with_fallback(arr, plans[col].chain)
+        _, blob, _ = encode_with_fallback(arr, plans[col].chain, state={})
         ours += len(blob)
+        _, zblob, _ = encode_with_fallback(
+            arr, plans[col].chain, state={}, compression="zlib"
+        )
+        ours_zlib += len(zblob)
     out = {}
     for comp in ("uncompressed", "zlib"):
         buf = io.BytesIO()
         pa_orc.write_table(tbl, buf, compression=comp)
         out[comp] = buf.tell()
     out["ours"] = ours
+    out["ours_zlib"] = ours_zlib
     return out
 
 
@@ -40,5 +45,14 @@ def test_beats_orc_lightweight_encodings(sizes):
 
 
 def test_within_bounded_factor_of_orc_zlib(sizes):
-    # zlib adds entropy coding (outside lightweight scope); stay close
+    # lightweight-only mode stays close to zlib-ORC even without an
+    # entropy coder of its own
     assert sizes["ours"] < sizes["zlib"] * 1.5, sizes
+
+
+def test_zlib_mode_beats_orc_zlib(sizes):
+    # the pipeline default (lightweight codecs + frame-level deflate,
+    # ORC CompressionKind semantics) must land AT OR UNDER the
+    # reference writer's zlib stripes — the north rule's size gate,
+    # now met like-for-like (measured ~0.8x on this corpus)
+    assert sizes["ours_zlib"] < sizes["zlib"], sizes

@@ -246,3 +246,39 @@ def test_cli_encode_cluster_decode_where(spark, tmp_path):
         .select("event_id").collect()
     )
     assert ids == want
+
+
+def test_date_column_and_mismatched_temporal_predicates(spark):
+    """Date32 stats are epoch-days; a datetime predicate (epoch-us,
+    11 orders of magnitude off) must still never wrongly prune — both
+    encodings are checked, OR-combined. And the matched date-on-date
+    case both prunes and stays exact."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    base = dt.date(2024, 1, 1)
+    # partition BY quarter: partitions carry disjoint date ranges, so
+    # a selective date predicate can drop whole stripe groups (the
+    # test_prune_string_and_float_conjuncts layout trick)
+    rows = [
+        ((i % 365) // 92, base + dt.timedelta(days=i % 365))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "q long, d date")
+    out, cfg = _encode(spark, df, "q", cluster_by="d")
+
+    cut = dt.date(2024, 10, 1)
+    for pred_val in (cut, dt.datetime(2024, 10, 1, 12, 0)):
+        pred = [("d", ">=", pred_val)]
+        got = pipeline.decode_job(
+            spark, out, cfg.run_id, df.schema, predicate=pred
+        ).filter(zonemap.predicate_expr(pred))
+        want = df.filter(F.col("d") >= F.lit(pred_val))
+        assert _rows(got) == _rows(want), type(pred_val)
+
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    kept = zonemap.prune_stripes(stripes, [("d", ">=", cut)]).count()
+    assert kept < stripes.count()  # matched-type pruning is effective
