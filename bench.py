@@ -12,6 +12,10 @@ Workloads
   (seed 42, FIXTURES.md F1) and cached as parquet in /tmp; full
   engine pipeline (salted repartition -> codec auto-select ->
   mapInArrow encode -> stripes parquet -> lineage), then full decode.
+- encode_web_zlib / decode_web_zlib: the same job in the pipeline's
+  default configuration (frame-level zlib over the lightweight
+  codecs — the north rule's size-gate mode; ratio beats reference
+  ORC+zlib stripes, see test_reference_size.py).
 - encode_documents: the driver-provided documents table at
   $SPARK_GRAFT_SF_DIR.
 - Scaling: the same encode_web job at local[N/4] vs local[N] on the
@@ -164,8 +168,12 @@ def warm_workers(spark, cores: int) -> None:
     df.mapInArrow(fn, "id long").count()
 
 
-def encode_web_job(spark, web_path: str, cores: int, tag: str):
-    """Returns (seconds, bytes_in, out_dir, run_id)."""
+def encode_web_job(spark, web_path: str, cores: int, tag: str, compression=None):
+    """Returns (seconds, bytes_in, out_dir, run_id).
+
+    compression=None keeps the headline comparable to r1/r2 snapshots
+    (lightweight codecs only); 'zlib' measures the pipeline default
+    (frame-level deflate, the north rule's size-gate configuration)."""
     from pyspark.sql import functions as F
 
     from orc_spark.engine import lineage, pipeline
@@ -177,6 +185,7 @@ def encode_web_job(spark, web_path: str, cores: int, tag: str):
         run_id=f"bench-{uuid.uuid4().hex[:8]}",
         key="url",
         n_partitions=max(2 * cores, 16),
+        compression=compression,
     )
     t0 = time.perf_counter()
     pipeline.run_encode_job(spark, df, cfg)
@@ -656,6 +665,25 @@ def main() -> None:
     extras["decode_web_runs_sec"] = [round(s, 3) for s in dec_runs]  # best-of-3
     extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
     assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
+
+    # --- pipeline-default mode: lightweight codecs + frame-level zlib
+    # (ORC CompressionKind semantics). Headline encode_web/decode_web
+    # above stay compression=None for r1/r2 comparability; this phase
+    # is the north rule's size-gate configuration: ratio must beat the
+    # reference ORC writer's zlib stripes (test_reference_size).
+    zsec, zbi, zbo, zdir, zrun = encode_web_job(
+        spark, web_path, MAIN_CORES, "zlib", compression="zlib"
+    )
+    queries["encode_web_zlib"] = round(zsec, 3)
+    extras["web_ratio_zlib"] = round(zbi / zbo, 3)
+    extras["encode_web_zlib_mb_s"] = round(zbi / 1e6 / zsec, 1)
+    t0 = time.perf_counter()
+    n_zdec = pipeline.decode_job(spark, zdir, zrun, df.schema).count()
+    zdsec = time.perf_counter() - t0
+    queries["decode_web_zlib"] = round(zdsec, 3)
+    extras["decode_web_zlib_mb_s"] = round(zbi / 1e6 / zdsec, 1)
+    assert n_zdec == WEB_ROWS, (n_zdec, WEB_ROWS)
+    shutil.rmtree(zdir, ignore_errors=True)
 
     main_probes.append(probe_host_health())
     extras["main_phase"] = {
