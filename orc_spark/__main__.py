@@ -54,6 +54,7 @@ def cmd_encode(args) -> int:
         cluster_by=args.cluster_by,
         compression=None if args.compression == "none" else args.compression,
         compression_level=args.compression_level,
+        stripe_rows=args.stripe_rows,
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     print(
@@ -216,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         help="block compressor layered over the lightweight codecs",
     )
     enc.add_argument("--compression-level", type=int, default=1)
+    enc.add_argument(
+        "--stripe-rows", type=int, default=None,
+        help="fixed rows per stripe (bounds stripe memory, sets "
+        "zone-map granularity; default: one stripe per Arrow batch)",
+    )
     enc.add_argument("--verify", action="store_true")
     enc.set_defaults(fn=cmd_encode)
 

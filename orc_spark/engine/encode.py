@@ -165,6 +165,7 @@ def encode_stage(
     fault_spec: dict | None = None,
     compression: str | None = None,
     compression_level: int = 1,
+    stripe_rows: int | None = None,
 ) -> DataFrame:
     """Encode every planned column of every arrow batch into stripes.
 
@@ -177,18 +178,50 @@ def encode_stage(
     ``fault_spec`` = {"columns": [...], "partitions": [...]} injects a
     deliberate failure for those stripes (resilience tests / the
     failure_categories oracle query).
+
+    ``stripe_rows`` re-chunks incoming Arrow batches to a fixed row
+    count before encoding, making stripe size a property of the JOB
+    rather than of `spark.sql.execution.arrow.maxRecordsPerBatch` —
+    at cluster scale this bounds per-stripe executor memory and sets
+    zone-map granularity deterministically.
     """
     columns = sorted(plans)
     chains = {c: plans[c].chain for c in columns}
     fault_cols = set((fault_spec or {}).get("columns", ()))
     fault_pids = set((fault_spec or {}).get("partitions", ()))
 
+    def _rechunk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if stripe_rows is None:
+            yield from batches
+            return
+        # Accumulate-and-slice to exactly stripe_rows per stripe (the
+        # final partial stripe keeps the remainder). Slices are
+        # zero-copy views; only the cross-batch seam concatenates.
+        pending: list[pa.RecordBatch] = []
+        have = 0
+        for b in batches:
+            pending.append(b)
+            have += b.num_rows
+            while have >= stripe_rows:
+                tbl = pa.Table.from_batches(pending)
+                head = tbl.slice(0, stripe_rows).combine_chunks()
+                rest = tbl.slice(stripe_rows)
+                yield from head.to_batches(max_chunksize=stripe_rows)
+                pending = rest.to_batches()
+                have = rest.num_rows
+        if have:
+            yield from (
+                pa.Table.from_batches(pending)
+                .combine_chunks()
+                .to_batches(max_chunksize=stripe_rows)
+            )
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         col_state: dict[str, dict] = {c: {} for c in columns}
-        for sidx, batch in enumerate(batches):
+        for sidx, batch in enumerate(_rechunk(batches)):
             rows = {k: [] for k in _STRIPE_PA_SCHEMA.names}
             for col in columns:
                 arr = batch.column(col)

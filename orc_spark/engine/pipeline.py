@@ -45,6 +45,11 @@ class EncodeJobConfig:
     # codecs only (the r1/r2 format — decode reads both).
     compression: str | None = "zlib"
     compression_level: int = 1
+    # Fixed rows per stripe (None = one stripe per incoming Arrow
+    # batch, i.e. spark.sql.execution.arrow.maxRecordsPerBatch).
+    # Setting it makes stripe memory footprint and zone-map
+    # granularity a job property, not a session-conf side effect.
+    stripe_rows: int | None = None
     # {"columns": [...], "partitions": [...]}: deliberate per-stripe
     # failures for resilience tests (see encode_stage).
     fault_spec: dict | None = None
@@ -145,6 +150,7 @@ def run_encode_job(
             epoch=epoch, fault_spec=cfg.fault_spec,
             compression=cfg.compression,
             compression_level=cfg.compression_level,
+            stripe_rows=cfg.stripe_rows,
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).

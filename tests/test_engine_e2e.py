@@ -194,3 +194,34 @@ def test_distributed_webgen_deterministic(spark):
     assert r1 == r2
     assert set(a.columns) == {"url", "warc_ts", "html", "text", "lang"}
     assert a.select("url").distinct().count() == 4000  # globally unique urls
+
+
+def test_stripe_rows_rechunk_roundtrip(spark, webdf, tmp_path):
+    """stripe_rows makes stripe size a job property: every stripe but
+    each partition's last has exactly stripe_rows rows, regardless of
+    the session's Arrow batch conf — and the roundtrip stays exact."""
+    out = str(tmp_path / "job_sr")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="sr1", key="url", n_partitions=4,
+        stripe_rows=500,
+    )
+    pipeline.run_encode_job(spark, webdf, cfg)
+    per_stripe = (
+        pipeline.read_stripes(spark, out, "sr1")
+        .filter(F.col("column") == "url")
+        .select("partition_id", "stripe_idx", "n_rows")
+        .collect()
+    )
+    by_pid: dict[int, list] = {}
+    for r in per_stripe:
+        by_pid.setdefault(r.partition_id, []).append(r)
+    assert len(by_pid) == 4
+    for pid, rows in by_pid.items():
+        rows.sort(key=lambda r: r.stripe_idx)
+        body, last = rows[:-1], rows[-1]
+        assert all(r.n_rows == 500 for r in body), (pid, rows)
+        assert 0 < last.n_rows <= 500
+    assert sum(r.n_rows for r in per_stripe) == webdf.count()
+    dec = pipeline.decode_job(spark, out, "sr1", webdf.schema)
+    chk = pipeline.verify_roundtrip(webdf, dec, "url")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
