@@ -580,6 +580,14 @@ def _q_language_id(spark, sf_dir):
     return analysis.language_id(_load(spark, sf_dir, "documents"))
 
 
+def _q_repetition_ratio(spark, sf_dir):
+    # n=2: bigram repetition has real variance on this corpus (349/500
+    # docs nonzero at sf0.01); trigrams are almost all zero
+    from orc_spark.textops import analysis
+
+    return analysis.repetition_ratio(_load(spark, sf_dir, "documents"), n=2)
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII redaction over text with deterministic synthesized PII
     (email + phone + IPv4 derived from each row, so all three
@@ -732,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
+        "repetition_ratio": _q_repetition_ratio,
         "pii_scrub": _q_pii_scrub,
         "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -912,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY media_id"
         ),
         "language_id": analysis.language_id_sql("documents"),
+        "repetition_ratio": analysis.repetition_ratio_sql("documents", n=2),
         "pii_scrub": (
             "WITH seeded AS (SELECT doc_id, text || ' contact u' || "
             "CAST(doc_id AS VARCHAR) || '@ex.org or +1-555-' || "

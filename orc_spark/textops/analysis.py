@@ -267,3 +267,55 @@ NORMALIZED_DEDUP_SQL = (
     "AS norm_sha, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies "
     "FROM {table} GROUP BY 1 ORDER BY norm_sha"
 )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signal: the
+    fraction of word n-grams that are duplicates of an earlier n-gram
+    in the same document (1 - distinct/total). High values flag
+    boilerplate and looping generations — a standard pretraining-data
+    quality filter. Pure JVM expressions (split -> transform(sequence)
+    n-gram build -> array_distinct): zero shuffle, map-only at any
+    scale.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), 6
+        ).alias("repetition"),
+    ).orderBy("id")
+
+
+def repetition_ratio_sql(table: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`repetition_ratio` — same n-gram
+    construction via 1-indexed list_transform, same rounding."""
+    joined = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return (
+        f"WITH t AS (SELECT doc_id AS id, "
+        f"string_split_regex(TRIM(COALESCE(text, '')), '\\s+') AS w "
+        f"FROM {table}), g AS (SELECT id, CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 2}), i -> {joined}) "
+        f"ELSE [] END AS ng FROM t) "
+        f"SELECT id, CAST(len(ng) AS INT) AS n_ngrams, "
+        f"CAST(len(list_distinct(ng)) AS INT) AS n_distinct, "
+        f"ROUND(CASE WHEN len(ng) > 0 THEN 1.0 - "
+        f"len(list_distinct(ng)) * 1.0 / len(ng) ELSE 0.0 END, 6) "
+        f"AS repetition FROM g ORDER BY id"
+    )

@@ -252,3 +252,20 @@ def test_ivf_partial_probe_finds_self(spark, emb):
     out = similarity.ivf_topk(emb, q, cent, k=3, nprobe=2).collect()
     # the query vector itself lives in the probed (nearest) list
     assert out and out[0].id == 3 and out[0].cosine > 0.999999
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),                 # pure 2-word loop
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in analysis.repetition_ratio(df, n=3).collect()}
+    assert rows[1].repetition > 0.9
+    assert rows[2].repetition == 0.0
+    assert rows[3].repetition == 0.0 and rows[3].n_ngrams == 0
