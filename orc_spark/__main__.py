@@ -129,6 +129,31 @@ def cmd_decode(args) -> int:
     return EXIT_OK
 
 
+def cmd_compact(args) -> int:
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    res = pipeline.compact_run(
+        spark, args.out, args.run_id, schema, key=args.key,
+        new_run_id=args.new_run_id,
+        n_partitions=args.partitions,
+        stripe_rows=args.stripe_rows,
+        compression=None if args.compression == "none" else args.compression,
+        cluster_by=args.cluster_by,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "partitions_encoded": res.partitions_encoded,
+                "partitions_skipped": res.partitions_skipped,
+            }
+        )
+    )
+    return EXIT_OK
+
+
 def cmd_report(args) -> int:
     from orc_spark.engine import report
 
@@ -239,6 +264,20 @@ def main(argv: list[str] | None = None) -> int:
         "row-filtered (repeatable)",
     )
     dec.set_defaults(fn=cmd_decode)
+
+    cp = sub.add_parser(
+        "compact", help="merge a run's stripes into fewer, larger ones"
+    )
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--run-id", required=True)
+    cp.add_argument("--schema-from", required=True)
+    cp.add_argument("--key", required=True)
+    cp.add_argument("--new-run-id", default=None)
+    cp.add_argument("--partitions", type=int, default=32)
+    cp.add_argument("--stripe-rows", type=int, default=65536)
+    cp.add_argument("--compression", choices=["zlib", "none"], default="zlib")
+    cp.add_argument("--cluster-by", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     rep = sub.add_parser("report", help="render a run report")
     rep.add_argument("--out", required=True)

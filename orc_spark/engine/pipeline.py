@@ -181,6 +181,49 @@ def run_encode_job(
     return result
 
 
+def compact_run(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    schema,
+    key: str,
+    new_run_id: str | None = None,
+    n_partitions: int = 32,
+    stripe_rows: int | None = 65536,
+    compression: str | None = "zlib",
+    compression_level: int = 1,
+    cluster_by: str | None = None,
+    salt: int = 42,
+) -> EncodeJobResult:
+    """Merge a run's stripes into fewer, larger ones (ORC file-merge /
+    Iceberg rewrite-data-files semantics): decode ``run_id`` and
+    re-encode it UNDER A NEW run_id with a large fixed ``stripe_rows``.
+
+    Small stripes accumulate from streaming micro-batches and narrow
+    encode waves; at cluster scale they cost metadata rows, per-stripe
+    codec headers (dict/FSST symbol tables amortize worse), and scan
+    tasks. Writing the compacted copy as a separate run reuses the
+    normal wave commit + resume machinery (a killed compaction resumes
+    like any encode job) and never mixes epochs with the source run;
+    the source stays decodable until the caller expires it
+    (`python -m orc_spark prune`).
+    """
+    df = decode_job(spark, out_dir, run_id, schema)
+    cfg = EncodeJobConfig(
+        out_dir=out_dir,
+        run_id=new_run_id or f"{run_id}-compact",
+        key=key,
+        columns=[f.name for f in schema.fields],
+        n_partitions=n_partitions,
+        salt=salt,
+        cluster_by=cluster_by,
+        compression=compression,
+        compression_level=compression_level,
+        stripe_rows=stripe_rows,
+    )
+    return run_encode_job(spark, df, cfg)
+
+
 def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
     s = storage.read_table(spark, lineage_mod.stripes_dir(out_dir))
     if run_id:

@@ -225,3 +225,57 @@ def test_stripe_rows_rechunk_roundtrip(spark, webdf, tmp_path):
     dec = pipeline.decode_job(spark, out, "sr1", webdf.schema)
     chk = pipeline.verify_roundtrip(webdf, dec, "url")
     assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+
+def test_compact_run_merges_stripes(spark, webdf, tmp_path):
+    """Many tiny stripes (streaming-shaped layout) -> one compaction
+    pass -> far fewer stripes, exact same rows on decode."""
+    out = str(tmp_path / "job_cp")
+    small = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="cp-src", key="url", n_partitions=4,
+        stripe_rows=200,
+    )
+    pipeline.run_encode_job(spark, webdf, small)
+    n_small = (
+        pipeline.read_stripes(spark, out, "cp-src")
+        .filter(F.col("column") == "url").count()
+    )
+    res = pipeline.compact_run(
+        spark, out, "cp-src", webdf.schema, key="url",
+        n_partitions=4, stripe_rows=65536,
+    )
+    assert res.run_id == "cp-src-compact"
+    assert res.partitions_encoded == 4
+    n_big = (
+        pipeline.read_stripes(spark, out, "cp-src-compact")
+        .filter(F.col("column") == "url").count()
+    )
+    assert n_big <= 4 and n_big < n_small / 4, (n_small, n_big)
+    dec = pipeline.decode_job(spark, out, "cp-src-compact", webdf.schema)
+    chk = pipeline.verify_roundtrip(webdf, dec, "url")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+    # the source run is untouched and still decodable
+    assert (
+        pipeline.decode_job(spark, out, "cp-src", webdf.schema).count()
+        == webdf.count()
+    )
+
+
+def test_cli_compact(spark, webdf, tmp_path):
+    from orc_spark.__main__ import main
+
+    src = str(tmp_path / "cli_src.parquet")
+    webdf.select("url", "warc_ts", "text", "lang").write.parquet(src)
+    out = str(tmp_path / "cli_stripes")
+    assert main([
+        "encode", src, "--out", out, "--run-id", "c1", "--key", "url",
+        "--partitions", "4", "--stripe-rows", "250",
+    ]) == 0
+    assert main([
+        "compact", "--out", out, "--run-id", "c1", "--schema-from", src,
+        "--key", "url", "--partitions", "4",
+    ]) == 0
+    dec = pipeline.decode_job(
+        spark, out, "c1-compact", spark.read.parquet(src).schema
+    )
+    assert dec.count() == webdf.count()
