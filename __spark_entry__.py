@@ -195,6 +195,40 @@ def _q_zonemap_prune(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_compact_roundtrip(spark, sf_dir):
+    """Stripe compaction (pipeline.compact_run — ORC file-merge /
+    Iceberg rewrite-data-files semantics): encode documents into
+    deliberately tiny stripes (stripe_rows=32, the streaming-backlog
+    shape), compact into one large stripe per partition, decode the
+    compacted run. The query asserts the stripe count actually
+    dropped, and the oracle (plain SELECT) pins bit-identical rows."""
+    from orc_spark.engine import pipeline
+
+    cols = ["doc_id", "text", "lang"]
+    df = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_cp_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="cp", key="doc_id", columns=cols,
+        n_partitions=4, stripe_rows=32,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    n_small = (
+        pipeline.read_stripes(spark, out, "cp")
+        .filter(F.col("column") == "doc_id").count()
+    )
+    res = pipeline.compact_run(
+        spark, out, "cp", df.schema, key="doc_id",
+        n_partitions=4, stripe_rows=65536,
+    )
+    n_big = (
+        pipeline.read_stripes(spark, out, res.run_id)
+        .filter(F.col("column") == "doc_id").count()
+    )
+    if not n_big < n_small:
+        raise AssertionError(f"compaction did not merge: {n_small}->{n_big}")
+    return pipeline.decode_job(spark, out, res.run_id, df.schema, cols)
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -760,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
+        "compact_roundtrip": _q_compact_roundtrip,
         "zonemap_prune": _q_zonemap_prune,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -938,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": _ANN_BRUTE_FORCE_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
+        "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_rle_ints": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",
