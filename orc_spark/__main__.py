@@ -221,6 +221,15 @@ def cmd_prune(args) -> int:
     return EXIT_OK
 
 
+def cmd_vacuum(args) -> int:
+    from orc_spark.engine import retention
+
+    spark = _session(args.cores)
+    removed = retention.vacuum_epochs(spark, args.out, args.run_id)
+    print(json.dumps({"stripes_removed": removed}))
+    return EXIT_OK
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orc_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -297,6 +306,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--limit", type=int, default=10)
     pr.set_defaults(fn=cmd_prune)
+
+    vac = sub.add_parser(
+        "vacuum", help="reclaim stripes superseded by newer complete epochs"
+    )
+    vac.add_argument("--out", required=True)
+    vac.add_argument("--run-id", default=None)
+    vac.set_defaults(fn=cmd_vacuum)
 
     try:
         args = p.parse_args(argv)

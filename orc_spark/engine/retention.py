@@ -34,7 +34,10 @@ def list_runs(spark: SparkSession, out_dir: str) -> list[str]:
     return [r.run_id for r in rows]
 
 
-def _rewrite_without(spark: SparkSession, path: str, keep_runs: list[str], schema=None):
+def _rewrite_without(
+    spark: SparkSession, path: str, keep_runs: list[str], schema=None,
+    precompressed: bool = False,
+):
     if not os.path.exists(path):
         return
     reader = spark.read
@@ -42,7 +45,12 @@ def _rewrite_without(spark: SparkSession, path: str, keep_runs: list[str], schem
         reader = reader.schema(schema)
     df = reader.parquet(path).filter(F.col("run_id").isin(keep_runs))
     tmp = path + ".retention_tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if precompressed:  # stripe blobs are engine-compressed already
+        w = w.option("compression", "none").option(
+            "parquet.enable.dictionary", "false"
+        )
+    w.parquet(tmp)
     old = path + ".retention_old"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -59,9 +67,98 @@ def prune_history(
         return []
     keep = runs[:limit]
     _rewrite_without(
-        spark, lineage_mod.stripes_dir(out_dir), keep
+        spark, lineage_mod.stripes_dir(out_dir), keep, precompressed=True
     )
     _rewrite_without(
         spark, lineage_mod.lineage_dir(out_dir), keep, lineage_mod.LINEAGE_SCHEMA
     )
     return expired
+
+
+def vacuum_epochs(
+    spark: SparkSession, out_dir: str, run_id: str | None = None
+) -> int:
+    """Physically drop stripes (and their lineage rows) superseded by a
+    newer COMPLETE epoch of the same (run, partition) — the space-
+    reclaim half of re-encode-on-resume and epoch-based retries (the
+    parquet stand-in for Iceberg ``remove_orphan_files`` after a
+    rewrite). Conservative keep rule, mirroring decode's epoch
+    selection (pipeline._epoch_keep_filter):
+
+    - the newest epoch whose column set is complete for the run is kept;
+    - anything NEWER is kept too (an in-flight resume must not lose
+      its partial progress);
+    - partitions with no complete epoch keep everything.
+
+    Returns the number of stripe rows removed. Rewrites are atomic
+    (temp dir + rename swap, as prune_history).
+    """
+    spath = lineage_mod.stripes_dir(out_dir)
+    if not os.path.exists(spath):
+        return 0
+    stripes = spark.read.parquet(spath)
+    scope = stripes if run_id is None else stripes.filter(F.col("run_id") == run_id)
+    run_cols = scope.drop("data").groupBy("run_id").agg(
+        F.countDistinct("column").alias("run_nc")
+    )
+    # Materialize the keep-map before any rename: it is tiny metadata
+    # (one row per run x partition), and a lazy plan over the stripes
+    # path would re-list files AFTER the atomic swap below.
+    keep_rows = (
+        scope.drop("data")
+        .filter(F.col("status") == "completed")
+        .groupBy("run_id", "partition_id", "epoch")
+        .agg(F.countDistinct("column").alias("nc"))
+        .join(run_cols, "run_id")
+        .filter(F.col("nc") >= F.col("run_nc"))
+        .groupBy("run_id", "partition_id")
+        .agg(F.max("epoch").alias("keep_from"))
+        .collect()
+    )
+    complete = spark.createDataFrame(
+        [(r.run_id, int(r.partition_id), int(r.keep_from)) for r in keep_rows],
+        "run_id string, partition_id int, keep_from long",
+    )
+    before = stripes.count()
+    kept = (
+        stripes.join(
+            F.broadcast(complete), ["run_id", "partition_id"], "left"
+        )
+        .filter(
+            F.col("keep_from").isNull()  # out of scope or never complete
+            | (F.col("epoch") >= F.col("keep_from"))
+        )
+        .drop("keep_from")
+    )
+    removed = before - kept.count()
+    if removed == 0:
+        return 0
+    tmp = spath + ".vacuum_tmp"
+    # blobs are engine-compressed: skip parquet page compression /
+    # dictionary attempts, matching storage.append_table(precompressed)
+    kept.write.mode("overwrite").option("compression", "none").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(tmp)
+    old = spath + ".vacuum_old"
+    os.rename(spath, old)
+    os.rename(tmp, spath)
+    shutil.rmtree(old, ignore_errors=True)
+
+    lpath = lineage_mod.lineage_dir(out_dir)
+    if os.path.exists(lpath):
+        lin = spark.read.schema(lineage_mod.LINEAGE_SCHEMA).parquet(lpath)
+        lkept = (
+            lin.join(F.broadcast(complete), ["run_id", "partition_id"], "left")
+            .filter(
+                F.col("keep_from").isNull()
+                | (F.col("epoch") >= F.col("keep_from"))
+            )
+            .drop("keep_from")
+        )
+        ltmp = lpath + ".vacuum_tmp"
+        lkept.write.mode("overwrite").parquet(ltmp)
+        lold = lpath + ".vacuum_old"
+        os.rename(lpath, lold)
+        os.rename(ltmp, lpath)
+        shutil.rmtree(lold, ignore_errors=True)
+    return removed

@@ -147,3 +147,40 @@ def test_success_rate_reflects_failures(spark, docs, tmp_path):
     n_cols = 5
     expected = 100.0 * (4 * n_cols - 1) / (4 * n_cols)
     assert abs(row.success_pct - expected) < 1e-9
+
+
+def test_vacuum_reclaims_superseded_epochs(spark, docs, tmp_path):
+    """After a fault + resume, the faulted partitions' epoch-0 stripes
+    are superseded; vacuum drops exactly those (stripes AND lineage),
+    keeps every healthy partition's epoch 0, and decode still
+    reproduces the input bit-exactly."""
+    from orc_spark.engine import retention
+
+    out = str(tmp_path / "run_vac")
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": ["text"], "partitions": [1, 3]}),
+    )
+    pipeline.run_encode_job(spark, docs, _cfg(out))  # resume, epoch 1
+    n_cols = len(docs.columns)
+    before = pipeline.read_stripes(spark, out, "fl").count()
+
+    removed = retention.vacuum_epochs(spark, out, "fl")
+    # partitions 1 and 3 each had (n_cols - 1) completed + 1 failed
+    # epoch-0 stripes, all superseded by their complete epoch 1
+    assert removed == 2 * n_cols, (removed, n_cols)
+    after = pipeline.read_stripes(spark, out, "fl")
+    assert after.count() == before - removed
+    assert after.filter(F.col("status") == "failed").count() == 0
+    assert (
+        after.filter((F.col("partition_id").isin(1, 3)) & (F.col("epoch") == 0))
+        .count() == 0
+    )
+    dec = pipeline.decode_job(spark, out, "fl", docs.schema)
+    chk = pipeline.verify_roundtrip(docs, dec, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+    # idempotent: nothing left to reclaim
+    assert retention.vacuum_epochs(spark, out, "fl") == 0
+    # the lineage ledger shrank consistently with the stripes table
+    lin = lineage.read_lineage(spark, out)
+    assert lin.filter(F.col("status") == "failed").count() == 0
