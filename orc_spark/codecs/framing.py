@@ -39,6 +39,11 @@ VERSION = 1
 # below this payload size the deflate header/dictionary overhead and the
 # per-call latency outweigh any win — skip the attempt entirely
 _COMPRESS_MIN_BYTES = 256
+# adaptive attempt-skip (see encode_frame): a frame gaining less than
+# this fraction counts as a miss; after this many consecutive misses a
+# column's later frames skip the deflate attempt (per-task state)
+_COMPRESS_WORTH_RATIO = 0.95
+_COMPRESS_SKIP_AFTER = 2
 
 # codec ids
 CODECS = {
@@ -497,13 +502,28 @@ def encode_frame(
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
-    if compression is not None and len(payload) >= _COMPRESS_MIN_BYTES:
+    if (
+        compression is not None
+        and len(payload) >= _COMPRESS_MIN_BYTES
+        and (state is None or state.get("zlib_skip", 0) < _COMPRESS_SKIP_AFTER)
+    ):
         if compression != "zlib":
             raise ValueError(f"unknown compression {compression!r}")
         deflated = zlib.compress(payload, compression_level)
         if len(deflated) < len(payload):
+            if state is not None:
+                # adaptive: a column whose frames keep gaining <5%
+                # (random ints, pre-compressed bytes) stops paying the
+                # deflate attempt after _COMPRESS_SKIP_AFTER misses in
+                # a row; any real win resets the counter
+                if len(deflated) > _COMPRESS_WORTH_RATIO * len(payload):
+                    state["zlib_skip"] = state.get("zlib_skip", 0) + 1
+                else:
+                    state["zlib_skip"] = 0
             payload = deflated
             flags |= 2
+        elif state is not None:
+            state["zlib_skip"] = state.get("zlib_skip", 0) + 1
     pjson = json.dumps(params, separators=(",", ":")).encode() if params else b""
     head = (
         MAGIC

@@ -154,3 +154,27 @@ def test_uncompressed_frames_decode_unchanged():
     blob = encode_frame(arr, "raw")
     assert not (blob[5] & 2)
     assert decode_frame(blob).equals(arr)
+
+
+def test_zlib_adaptive_skip_after_consecutive_misses():
+    """A column whose frames keep deflating to >95% stops paying the
+    attempt (per-task state); a compressible column never trips it."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # random int64 payloads: deflate gains ~nothing
+    incompressible = pa.array(rng.integers(-2**62, 2**62, 2000))
+    st = {}
+    for _ in range(4):
+        encode_frame(incompressible, "raw", state=st, compression="zlib")
+    assert st.get("zlib_skip", 0) >= 2
+    blob = encode_frame(incompressible, "raw", state=st, compression="zlib")
+    assert not (blob[5] & 2)  # attempt skipped entirely
+    assert decode_frame(blob).equals(incompressible)
+
+    compressible = pa.array(["boiler plate " * 10] * 500)
+    st2 = {}
+    for _ in range(4):
+        blob = encode_frame(compressible, "raw", state=st2, compression="zlib")
+    assert st2.get("zlib_skip", 0) == 0
+    assert blob[5] & 2
