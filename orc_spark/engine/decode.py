@@ -24,11 +24,18 @@ def decode_stage(
     result_schema: StructType,
     columns: list[str] | None = None,
     colocated: bool = False,
+    fill_missing: list[str] | None = None,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
     ``result_schema`` must name the decoded columns in their Spark
     types; ``columns`` defaults to the schema's field names.
+
+    ``fill_missing`` names requested columns that have NO stripes in
+    this run (added to the table schema after the run was encoded);
+    they are rebuilt as all-null arrays of the schema type — Iceberg
+    add-column read semantics. Callers (decode_job) compute the list
+    from the stripe metadata.
 
     ``colocated=True`` skips the blob shuffle: every encode task writes
     *all* columns of its partitions into one parquet file, so stripe
@@ -42,7 +49,8 @@ def decode_stage(
     from pyspark.sql.pandas.types import to_arrow_type
 
     cols = columns or [f.name for f in result_schema.fields]
-    want = set(cols)
+    missing = set(fill_missing or ())
+    want = set(cols) - missing
     n_cols = len(want)
     arrow_types = {
         f.name: to_arrow_type(f.dataType) for f in result_schema.fields
@@ -60,8 +68,17 @@ def decode_stage(
                 grp = pending.setdefault(key, {})
                 grp[col] = d["data"][i]
                 if len(grp) == n_cols:
+                    decoded = {
+                        c: decode_frame(grp[c]).cast(arrow_types[c])
+                        for c in cols
+                        if c not in missing
+                    }
+                    n = len(next(iter(decoded.values())))
                     arrays = [
-                        decode_frame(grp[c]).cast(arrow_types[c]) for c in cols
+                        decoded[c]
+                        if c not in missing
+                        else pa.nulls(n, type=arrow_types[c])
+                        for c in cols
                     ]
                     yield pa.RecordBatch.from_arrays(arrays, names=cols)
                     del pending[key]

@@ -321,6 +321,7 @@ def decode_job(
     result_schema,
     columns: list[str] | None = None,
     predicate: list[tuple] | None = None,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
@@ -331,15 +332,32 @@ def decode_job(
     the metadata scan before any blob is decoded. Pruning is
     conservative; callers still apply
     ``zonemap.predicate_expr(predicate)`` to the decoded rows.
+
+    ``allow_missing_columns=True`` null-fills requested columns that
+    have no stripes in the run (schema evolution: a column added to
+    the table after this run was encoded — Iceberg add-column read
+    semantics). Default False: a missing column is a hard error, as
+    silently reading nulls for a misspelled name would be worse.
     """
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     want = set(columns or [f.name for f in result_schema.fields])
-    stripes = _epoch_keep_filter(
-        spark, read_stripes(spark, out_dir, run_id), want
-    )
+    all_stripes = read_stripes(spark, out_dir, run_id)
+    fill: list[str] = []
+    if allow_missing_columns:
+        present = {
+            r.column
+            for r in all_stripes.select("column").distinct().collect()
+        }
+        fill = sorted(want - present)
+        want = want & present
+        if not want:  # nothing encoded to anchor row counts on
+            return spark.createDataFrame([], result_schema)
+    stripes = _epoch_keep_filter(spark, all_stripes, want)
     if predicate:
         stripes = zonemap.prune_stripes(stripes, predicate)
-    return decode_mod.decode_stage(stripes, result_schema, columns, colocated)
+    return decode_mod.decode_stage(
+        stripes, result_schema, columns, colocated, fill_missing=fill or None
+    )
 
 
 def verify_roundtrip(

@@ -279,3 +279,33 @@ def test_cli_compact(spark, webdf, tmp_path):
         spark, out, "c1-compact", spark.read.parquet(src).schema
     )
     assert dec.count() == webdf.count()
+
+
+def test_decode_schema_evolution_null_fills_new_column(spark, webdf, tmp_path):
+    """A column added to the table schema AFTER a run was encoded
+    decodes as all-null of the requested type (Iceberg add-column read
+    semantics); without opting in, the missing column is a hard error."""
+    from pyspark.sql.types import DoubleType, StructField
+
+    out = str(tmp_path / "job_ev")
+    cols = ["url", "text", "lang"]
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="ev1", key="url", columns=cols, n_partitions=4
+    )
+    pipeline.run_encode_job(spark, webdf.select(cols), cfg)
+    evolved = pipeline.decode_job(
+        spark, out, "ev1",
+        webdf.select(cols).schema.add(StructField("score", DoubleType(), True)),
+        allow_missing_columns=True,
+    )
+    assert evolved.count() == webdf.count()
+    assert evolved.filter(F.col("score").isNotNull()).count() == 0
+    assert evolved.schema["score"].dataType == DoubleType()
+    # strict mode still refuses
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="incomplete stripe groups"):
+        pipeline.decode_job(
+            spark, out, "ev1",
+            webdf.select(cols).schema.add(StructField("score", DoubleType(), True)),
+        ).count()
