@@ -184,3 +184,30 @@ def test_zone_stats_int_bounds_property(vals):
         assert s["max_int"] == int(vals.max())
     else:
         assert s["min_int"] is None
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=40), st.just("")),
+        max_size=200,
+    ),
+    st.sampled_from(["raw", "fsst", "dict"]),
+)
+def test_string_frame_roundtrip_compressed(strings, codec):
+    """The zlib layer must be transparent for arbitrary string frames
+    (incl. None-vs-"" distinction) at any level-1 outcome."""
+    arr = pa.array(strings, type=pa.string())
+    blob = framing.encode_frame(arr, codec, state={}, compression="zlib")
+    out = framing.decode_frame(blob)
+    assert out.equals(arr)
+    assert framing.column_checksum(out) == framing.column_checksum(arr)
+
+
+@settings(max_examples=80, deadline=None)
+@given(int_arrays())
+def test_int_frame_roundtrip_compressed(vals):
+    arr = pa.array(vals, type=pa.int64())
+    blob = framing.encode_frame(arr, "rle_auto", state={}, compression="zlib")
+    out = framing.decode_frame(blob)
+    assert out.equals(arr)
