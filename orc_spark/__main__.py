@@ -45,11 +45,12 @@ def cmd_encode(args) -> int:
 
     spark = _session(args.cores)
     df = spark.read.parquet(args.input)
+    n_partitions = args.partitions or pipeline.suggest_partitions(spark, df)
     cfg = pipeline.EncodeJobConfig(
         out_dir=args.out,
         run_id=args.run_id,
         key=args.key,
-        n_partitions=args.partitions,
+        n_partitions=n_partitions,
         waves=args.waves,
         cluster_by=args.cluster_by,
         compression=None if args.compression == "none" else args.compression,
@@ -240,7 +241,11 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--out", required=True)
     enc.add_argument("--run-id", required=True)
     enc.add_argument("--key", required=True)
-    enc.add_argument("--partitions", type=int, default=32)
+    enc.add_argument(
+        "--partitions", type=int, default=32,
+        help="0 = auto-size from the input scan estimate "
+        "(~256MB of in-memory rows per partition)",
+    )
     enc.add_argument("--waves", type=int, default=1)
     enc.add_argument(
         "--cluster-by",

@@ -74,6 +74,37 @@ def _arrow_schema(df: DataFrame):
     return pa.schema([(f.name, to_arrow_type(f.dataType)) for f in df.schema.fields])
 
 
+ARROW_EXPANSION = 3  # parquet-compressed -> in-memory Arrow, typical web text
+
+
+def suggest_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    target_bytes: int = 256 << 20,
+    expansion: float = ARROW_EXPANSION,
+) -> int:
+    """Derive the encode shuffle's partition count from the INPUT SIZE
+    instead of a constant — the knob that keeps per-task stripe memory
+    ~flat from sf0.001 to 100 TB. Uses Catalyst's scan-size estimate
+    (file bytes for parquet sources) times an Arrow expansion factor,
+    targeting ``target_bytes`` of in-memory rows per partition; floors
+    at the cluster's default parallelism so small inputs still use
+    every core.
+    """
+    size = None
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # Catalyst returns 2^63-1-ish sentinels when it has no idea
+        if 0 < est < (1 << 60):
+            size = est
+    except Exception:  # non-classic DF / connect: fall through to floor
+        size = None
+    floor = spark.sparkContext.defaultParallelism
+    if size is None:
+        return floor
+    return max(floor, -(-int(size * expansion) // target_bytes))
+
+
 def run_encode_job(
     spark: SparkSession, df: DataFrame, cfg: EncodeJobConfig
 ) -> EncodeJobResult:

@@ -309,3 +309,18 @@ def test_decode_schema_evolution_null_fills_new_column(spark, webdf, tmp_path):
             spark, out, "ev1",
             webdf.select(cols).schema.add(StructField("score", DoubleType(), True)),
         ).count()
+
+
+def test_suggest_partitions_scales_with_input(spark, webdf, tmp_path):
+    """Partition count derives from scan size: floors at default
+    parallelism for small inputs, grows ~linearly past the target."""
+    small_p = str(tmp_path / "small.parquet")
+    webdf.select("url", "text").limit(500).write.parquet(small_p)
+    small_df = spark.read.parquet(small_p)
+    floor = spark.sparkContext.defaultParallelism
+    assert pipeline.suggest_partitions(spark, small_df) == floor
+    # shrink the target so even this table spans multiple partitions
+    n = pipeline.suggest_partitions(spark, small_df, target_bytes=4096)
+    assert n > floor
+    n2 = pipeline.suggest_partitions(spark, small_df, target_bytes=2048)
+    assert n2 >= n
