@@ -122,6 +122,7 @@ def cmd_decode(args) -> int:
     dec = pipeline.decode_job(
         spark, args.out, args.run_id, schema,
         columns=columns, predicate=predicate or None,
+        verify_checksums=args.verify_checksums,
     )
     if predicate:
         dec = dec.filter(zonemap.predicate_expr(predicate))
@@ -276,6 +277,11 @@ def main(argv: list[str] | None = None) -> int:
         "--where", action="append",
         help="conjunct like 'event_id>=2500' — zone-map pruned, then "
         "row-filtered (repeatable)",
+    )
+    dec.add_argument(
+        "--verify-checksums", action="store_true",
+        help="recompute each stripe's value checksum against the "
+        "ledgered one; corrupted blobs fail the read loudly",
     )
     dec.set_defaults(fn=cmd_decode)
 

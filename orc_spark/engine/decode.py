@@ -25,11 +25,19 @@ def decode_stage(
     columns: list[str] | None = None,
     colocated: bool = False,
     fill_missing: list[str] | None = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
     ``result_schema`` must name the decoded columns in their Spark
     types; ``columns`` defaults to the schema's field names.
+
+    ``verify_checksums=True`` recomputes each decoded stripe's value
+    checksum and compares it against the one the ENCODE task recorded
+    (the reference's TestReader round-trip discipline applied at read
+    time): a corrupted blob, a truncated write, or a codec regression
+    fails the read loudly instead of returning silently-wrong rows.
+    Costs one blake2b pass per stripe.
 
     ``fill_missing`` names requested columns that have NO stripes in
     this run (added to the table schema after the run was encoded);
@@ -57,7 +65,20 @@ def decode_stage(
     }
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: dict[tuple[int, int], dict[str, bytes]] = {}
+        from ..codecs import column_checksum
+
+        def _decode_one(col: str, blob: bytes, expect: str):
+            arr = decode_frame(blob)
+            if verify_checksums and expect:
+                got = column_checksum(arr)
+                if got != expect:
+                    raise RuntimeError(
+                        f"checksum mismatch decoding column {col!r}: "
+                        f"stripe recorded {expect}, decoded {got}"
+                    )
+            return arr.cast(arrow_types[col])
+
+        pending: dict[tuple[int, int], dict[str, tuple[bytes, str]]] = {}
         for batch in batches:
             d = batch.to_pydict()
             for i in range(batch.num_rows):
@@ -66,10 +87,10 @@ def decode_stage(
                     continue
                 key = (d["partition_id"][i], d["stripe_idx"][i])
                 grp = pending.setdefault(key, {})
-                grp[col] = d["data"][i]
+                grp[col] = (d["data"][i], d["checksum"][i])
                 if len(grp) == n_cols:
                     decoded = {
-                        c: decode_frame(grp[c]).cast(arrow_types[c])
+                        c: _decode_one(c, *grp[c])
                         for c in cols
                         if c not in missing
                     }

@@ -353,6 +353,7 @@ def decode_job(
     columns: list[str] | None = None,
     predicate: list[tuple] | None = None,
     allow_missing_columns: bool = False,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
@@ -387,7 +388,8 @@ def decode_job(
     if predicate:
         stripes = zonemap.prune_stripes(stripes, predicate)
     return decode_mod.decode_stage(
-        stripes, result_schema, columns, colocated, fill_missing=fill or None
+        stripes, result_schema, columns, colocated,
+        fill_missing=fill or None, verify_checksums=verify_checksums,
     )
 
 

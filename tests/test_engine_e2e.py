@@ -324,3 +324,42 @@ def test_suggest_partitions_scales_with_input(spark, webdf, tmp_path):
     assert n > floor
     n2 = pipeline.suggest_partitions(spark, small_df, target_bytes=2048)
     assert n2 >= n
+
+
+def test_decode_checksum_verification_catches_corruption(spark, webdf, tmp_path):
+    """verify_checksums recomputes each stripe's value checksum at
+    read time: the clean run decodes fine; a corrupted blob fails
+    loudly instead of returning wrong rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "job_ck")
+    cols = ["url", "lang"]
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="ck1", key="url", columns=cols, n_partitions=2
+    )
+    pipeline.run_encode_job(spark, webdf.select(cols), cfg)
+    schema = webdf.select(cols).schema
+    ok = pipeline.decode_job(spark, out, "ck1", schema, verify_checksums=True)
+    assert ok.count() == webdf.count()
+
+    # flip bytes inside one blob (bypassing the framing layer's own
+    # structure checks by corrupting mid-payload)
+    sdir = lineage.stripes_dir(out)
+    f = sorted(glob.glob(f"{sdir}/*.parquet"))[0]
+    t = pq.read_table(f)
+    data = t.column("data").to_pylist()
+    blob = bytearray(data[0])
+    blob[len(blob) // 2] ^= 0xFF
+    blob[-1] ^= 0xFF
+    data[0] = bytes(blob)
+    t = t.set_column(t.schema.get_field_index("data"), "data", [data])
+    pq.write_table(t, f, compression="none")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="checksum mismatch|decode|zlib|error"):
+        pipeline.decode_job(
+            spark, out, "ck1", schema, verify_checksums=True
+        ).count()
