@@ -614,6 +614,41 @@ def _q_language_id(spark, sf_dir):
     return analysis.language_id(_load(spark, sf_dir, "documents"))
 
 
+_URL_SEED_SQL = (
+    "SELECT doc_id, 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.ORG:443/Path/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?z=1&a=' || lang || '&m=2' "
+    "WHEN doc_id % 3 = 1 THEN '/' ELSE '#frag' END AS url FROM documents"
+)
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """Crawl-dedup URL canonicalization (textops.analysis
+    .url_canonicalize): fragment strip, scheme/host lowercase, default
+    ports, query-param sort, trailing slash — on URLs seeded
+    deterministically from doc_id/lang (the pii_scrub seeding
+    pattern), so the DuckDB twin rebuilds the same inputs."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ORG:443/Path/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("/?z=1&a="), F.col("lang"), F.lit("&m=2")),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+            .otherwise(F.lit("#frag")),
+        ).alias("url"),
+    )
+    return analysis.url_canonicalize(seeded)
+
+
 def _q_repetition_ratio(spark, sf_dir):
     # n=2: bigram repetition has real variance on this corpus (349/500
     # docs nonzero at sf0.01); trigrams are almost all zero
@@ -775,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
         "repetition_ratio": _q_repetition_ratio,
+        "url_canonicalize": _q_url_canonicalize,
         "pii_scrub": _q_pii_scrub,
         "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -957,6 +993,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "language_id": analysis.language_id_sql("documents"),
         "repetition_ratio": analysis.repetition_ratio_sql("documents", n=2),
+        "url_canonicalize": (
+            "WITH seeded AS (" + _URL_SEED_SQL + ") "
+            + analysis.url_canonicalize_sql("seeded")
+        ),
         "pii_scrub": (
             "WITH seeded AS (SELECT doc_id, text || ' contact u' || "
             "CAST(doc_id AS VARCHAR) || '@ex.org or +1-555-' || "

@@ -319,3 +319,65 @@ def repetition_ratio_sql(table: str, n: int = 3) -> str:
         f"len(list_distinct(ng)) * 1.0 / len(ng) ELSE 0.0 END, 6) "
         f"AS repetition FROM g ORDER BY id"
     )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical URL form for crawl dedup (every rule deterministic and
+    RE2-portable so the DuckDB twin is exact):
+
+    1. strip the fragment;
+    2. lowercase scheme://host[:port] (path/query keep their case);
+    3. drop default ports (http:80, https:443);
+    4. sort query parameters byte-wise;
+    5. strip one trailing slash.
+
+    Pure JVM expressions, map-only. Returns (id, canonical_url).
+    """
+    u = F.regexp_replace(F.coalesce(F.col(url_col), F.lit("")), "#.*$", "")
+    prefix = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    lowered = F.concat(
+        F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.length(u))
+    )
+    no_port = F.regexp_replace(
+        F.regexp_replace(lowered, "^(http://[^/:?]+):80(?=[/?]|$)", "$1"),
+        "^(https://[^/:?]+):443(?=[/?]|$)",
+        "$1",
+    )
+    base = F.regexp_replace(no_port, "\\?.*$", "")
+    qs = F.regexp_extract(no_port, "\\?(.*)$", 1)
+    sorted_q = F.array_join(F.sort_array(F.split(qs, "&")), "&")
+    with_q = F.when(
+        no_port.contains("?"), F.concat(base, F.lit("?"), sorted_q)
+    ).otherwise(no_port)
+    canon = F.regexp_replace(with_q, "/$", "")
+    return df.select(
+        F.col(id_col).alias("id"), canon.alias("canonical_url")
+    ).orderBy("id")
+
+
+def url_canonicalize_sql(table: str, url_col: str = "url", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`url_canonicalize` (RE2 syntax: backrefs in
+    replacements are \\1; lookahead is unsupported in RE2, so the
+    default-port rule matches the port's follower explicitly)."""
+    u = f"regexp_replace(COALESCE({url_col}, ''), '#.*$', '')"
+    prefix = f"coalesce(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0), '')"
+    lowered = f"(lower({prefix}) || substr({u}, length({prefix}) + 1))"
+    no_port = (
+        f"regexp_replace(regexp_replace({lowered}, "
+        f"'^(http://[^/:?]+):80([/?]|$)', '\\1\\2'), "
+        f"'^(https://[^/:?]+):443([/?]|$)', '\\1\\2')"
+    )
+    base = f"regexp_replace({no_port}, '\\?.*$', '')"
+    qs = f"coalesce(regexp_extract({no_port}, '\\?(.*)$', 1), '')"
+    sorted_q = f"array_to_string(list_sort(string_split({qs}, '&')), '&')"
+    with_q = (
+        f"CASE WHEN contains({no_port}, '?') "
+        f"THEN {base} || '?' || {sorted_q} ELSE {no_port} END"
+    )
+    return (
+        f"SELECT {id_col} AS id, "
+        f"regexp_replace({with_q}, '/$', '') AS canonical_url "
+        f"FROM {table} ORDER BY id"
+    )
