@@ -122,6 +122,7 @@ def cmd_decode(args) -> int:
     dec = pipeline.decode_job(
         spark, args.out, args.run_id, schema,
         columns=columns, predicate=predicate or None,
+        allow_missing_columns=args.allow_missing_columns,
         verify_checksums=args.verify_checksums,
     )
     if predicate:
@@ -277,6 +278,11 @@ def main(argv: list[str] | None = None) -> int:
         "--where", action="append",
         help="conjunct like 'event_id>=2500' — zone-map pruned, then "
         "row-filtered (repeatable)",
+    )
+    dec.add_argument(
+        "--allow-missing-columns", action="store_true",
+        help="null-fill requested columns with no stripes in the run "
+        "(schema evolution: column added after this run was encoded)",
     )
     dec.add_argument(
         "--verify-checksums", action="store_true",
