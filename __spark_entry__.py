@@ -195,6 +195,32 @@ def _q_zonemap_prune(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_bloom_point_lookup(spark, sf_dir):
+    """Bloom-filter index pruning (zonemap.stripe_bloom — ORC bloom
+    filter stream semantics, public spec): equality on a
+    high-cardinality UNCLUSTERED int column, where min/max zone maps
+    cannot prune a hash layout but the per-stripe bitset can. The
+    conservative residual filter makes the result exactly the SQL
+    WHERE; the oracle is the plain filtered SELECT."""
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select("event_id", "value")
+    eid = int(events.agg(F.max("event_id")).first()[0]) // 2
+    out = tempfile.mkdtemp(prefix="orcspark_entry_bl_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-bl-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value"],
+        n_partitions=8,
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    pred = [("event_id", "==", eid)]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """Stripe compaction (pipeline.compact_run — ORC file-merge /
     Iceberg rewrite-data-files semantics): encode documents into
@@ -832,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
         "zonemap_prune": _q_zonemap_prune,
+        "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -1014,6 +1041,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "bloom_point_lookup": (
+            "SELECT event_id, value FROM events "
+            "WHERE event_id = (SELECT MAX(event_id) // 2 FROM events)"
+        ),
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_rle_ints": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",

@@ -55,6 +55,9 @@ STRIPE_SCHEMA = StructType(
         StructField("min_str", StringType(), True),
         StructField("max_str", StringType(), True),
         StructField("null_count", LongType(), True),
+        # per-stripe bloom bitset for equality pruning (ORC bloom
+        # filter index semantics); null = unsupported type / failed
+        StructField("bloom", BinaryType(), True),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -82,6 +85,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("min_str", pa.string()),
         ("max_str", pa.string()),
         ("null_count", pa.int64()),
+        ("bloom", pa.binary()),
         ("data", pa.binary()),
     ]
 )
@@ -238,6 +242,7 @@ def encode_stage(
                     )
                     status, category, checksum = "completed", None, column_checksum(arr)
                     zstats = zonemap.stripe_zone_stats(arr)
+                    bloom = zonemap.stripe_bloom(arr)
                 except Exception as exc:  # noqa: BLE001 — ledgered, not swallowed
                     codec, blob, attempts = "error", b"", 0
                     status, category, checksum = "failed", classify_failure(exc), ""
@@ -245,6 +250,7 @@ def encode_stage(
                         ("min_int", "max_int", "min_num", "max_num",
                          "min_str", "max_str", "null_count")
                     )
+                    bloom = None
                 ms = (time.perf_counter() - t0) * 1000.0
                 rows["run_id"].append(run_id)
                 rows["partition_id"].append(pid)
@@ -262,6 +268,7 @@ def encode_stage(
                 rows["epoch"].append(epoch)
                 for k, v in zstats.items():
                     rows[k].append(v)
+                rows["bloom"].append(bloom)
                 rows["data"].append(blob)
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 

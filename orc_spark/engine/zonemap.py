@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -198,10 +199,15 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
         return stripes
     keep = None
     meta = stripes.drop("data")
+    has_bloom = "bloom" in stripes.columns  # pre-r3 tables: stats only
     for col, op, value in predicate:
-        rows = meta.filter(F.col("column") == col).filter(
-            _conjunct_keep(op, value)
-        ).select("partition_id", "epoch", "stripe_idx")
+        cond = _conjunct_keep(op, value)
+        rows = meta.filter(F.col("column") == col).filter(cond)
+        if has_bloom and op in ("==", "="):
+            bk = bloom_keep_expr(value)
+            if bk is not None:  # bitset can veto what min/max can't
+                rows = rows.filter(bk)
+        rows = rows.select("partition_id", "epoch", "stripe_idx")
         keep = rows if keep is None else keep.join(
             rows, ["partition_id", "epoch", "stripe_idx"], "left_semi"
         )
@@ -231,3 +237,208 @@ def predicate_expr(predicate: list[Conjunct]) -> Column:
         else:
             raise ValueError(f"unsupported predicate op: {op!r}")
     return cond
+
+
+# ------------------------------------------------------ bloom filters
+
+# ORC spec bloom-filter index semantics (per-stripe bitset per column,
+# k split hashes; public format, bytes layout ours): ~8 bits/value,
+# k=4 gives ~2.4% false-positive rate; capped so a 64k-row stripe's
+# index stays 64 KB.
+BLOOM_BITS_PER_VALUE = 8
+BLOOM_K = 4
+BLOOM_MIN_BITS = 1 << 10
+BLOOM_MAX_BITS = 1 << 19
+
+
+def _bloom_m(n_values: int) -> int:
+    m = BLOOM_MIN_BITS
+    while m < n_values * BLOOM_BITS_PER_VALUE and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+_MIX_MUL1 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer
+_MIX_MUL2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x):
+    """Vectorized splitmix64 finalizer (public-domain constants):
+    int64 values -> two well-dispersed uint64 hash streams."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _MIX_MUL1
+    x ^= x >> np.uint64(27)
+    x *= _MIX_MUL2
+    x ^= x >> np.uint64(31)
+    h1 = x
+    h2 = (x >> np.uint64(32)) | (x << np.uint64(32))
+    return h1, (h2 | np.uint64(1))  # odd h2: full-period double hashing
+
+
+def _hash_pairs(arr: pa.Array):
+    """(h1, h2) uint64 streams for the dense values of an int-family,
+    string, or binary column; None for unsupported types. Fully
+    vectorized both ways: splitmix64 over int64 views; a position-
+    weighted byte sum over the Arrow value buffer for strings/bytes
+    (no per-row Python anywhere)."""
+    t = arr.type
+    dense = arr.drop_null()
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # set-membership only needs DISTINCT values: a low-cardinality
+        # column's bloom shrinks to its dictionary (and the python-list
+        # conversion below stops scaling with row count)
+        dense = dense.unique()
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date32(t)
+    ):
+        from ..codecs.framing import _int64_values
+
+        if pa.types.is_boolean(t):
+            dense = dense.cast(pa.int64())
+        elif pa.types.is_timestamp(t):
+            dense = dense.cast(pa.timestamp("us")).cast(pa.int64())
+        v = _int64_values(dense)
+        return _mix64(v)
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        from ..codecs.framing import _string_parts
+
+        lengths, data = _string_parts(dense)
+        return _mix64(_string_prehash(lengths, np.frombuffer(data, np.uint8)))
+    return None
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _string_prehash(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Vectorized position-weighted byte sum per string (mod 2^64) —
+    no per-row Python. Linear, so collision-prone adversarially, but a
+    bloom false positive only KEEPS a stripe (safe direction) and
+    _mix64 disperses the pre-hash; false negatives are impossible
+    because the predicate side runs the identical function."""
+    n = len(lengths)
+    lengths = lengths.astype(np.int64, copy=False)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    b = data.astype(np.uint64)
+    pos = np.arange(len(b), dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), lengths
+    )
+    weighted = b * ((pos + np.uint64(1)) * _GOLD)
+    c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(weighted)])
+    s1 = c[ends] - c[starts]  # wrap-safe: uint64 arithmetic is mod 2^64
+    return s1 ^ (lengths.astype(np.uint64) << np.uint64(40))
+
+
+# strings/bytes longer than this on average skip the bloom: equality
+# lookups target keys/urls/tags, never whole documents, and hashing
+# megabytes of text would tax encode for an index nobody can use
+BLOOM_MAX_AVG_LEN = 128
+
+
+def stripe_bloom(arr: pa.Array) -> bytes | None:
+    """Per-stripe bloom bitset for equality pruning, or None when the
+    type is unsupported / the stripe is empty / the values are
+    long-form text (see BLOOM_MAX_AVG_LEN)."""
+    t = arr.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        n_valid = len(arr) - arr.null_count
+        if n_valid and arr.nbytes / n_valid > BLOOM_MAX_AVG_LEN:
+            return None
+    pair = _hash_pairs(arr)
+    if pair is None:
+        return None
+    h1, h2 = pair
+    n = len(h1)
+    if n == 0:
+        return None
+    m = _bloom_m(n)
+    # boolean scatter + packbits beats bitwise_or.at (unbuffered ufunc)
+    # by ~10x; little bitorder matches the reader's (idx>>3, idx&7)
+    bb = np.zeros(m, dtype=bool)
+    for i in range(BLOOM_K):
+        bb[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    return np.packbits(bb, bitorder="little").tobytes()
+
+
+def _value_hash_pair(value) -> tuple[int, int] | None:
+    """The scalar twin of _hash_pairs for a predicate literal — MUST
+    run the identical hash chain or membership breaks."""
+    if isinstance(value, bool):
+        v = np.array([int(value)], dtype=np.int64)
+    elif isinstance(value, int):
+        v = np.array([value], dtype=np.int64)
+    elif isinstance(value, (str, bytes)):
+        raw = value.encode() if isinstance(value, str) else value
+        pre = _string_prehash(
+            np.array([len(raw)], dtype=np.int64),
+            np.frombuffer(raw, np.uint8),
+        )
+        return _mix64(pre)
+    elif isinstance(value, datetime.datetime):
+        iv, _, _ = _as_scalar(value)
+        v = np.array([iv[0]], dtype=np.int64)  # epoch-us stream
+    elif isinstance(value, datetime.date):
+        iv, _, _ = _as_scalar(value)
+        v = np.array(iv, dtype=np.int64)  # both encodings checked
+    else:
+        return None
+    h1, h2 = _mix64(v)
+    return h1, h2
+
+
+def bloom_keep_expr(value) -> "Column | None":
+    """Keep-condition over the stripes' `bloom` column for an equality
+    predicate: False only when the bitset PROVABLY excludes the value
+    (all-null / absent blooms always keep). Arrow-vectorized pandas UDF
+    over metadata rows only — never data blobs."""
+    pair = _value_hash_pair(value)
+    if pair is None:
+        return None
+    h1s, h2s = int(pair[0][0]), int(pair[1][0])
+    n_enc = len(pair[0])
+    h1o = int(pair[0][-1])
+    h2o = int(pair[1][-1])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_contains(blooms):
+        import pandas as pd
+
+        pairs = [(h1s, h2s)] if n_enc == 1 else [(h1s, h2s), (h1o, h2o)]
+        out = []
+        for blob in blooms:
+            if blob is None or len(blob) == 0:
+                out.append(True)
+                continue
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            m = len(bits) << 3
+            keep = False
+            for h1, h2 in pairs:  # plain-int mod-2^64 double hashing
+                ok = True
+                for i in range(BLOOM_K):
+                    idx = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m
+                    if not (bits[idx >> 3] >> (idx & 7)) & 1:
+                        ok = False
+                        break
+                keep = keep or ok
+            out.append(keep)
+        return pd.Series(out)
+
+    return maybe_contains(F.col("bloom"))

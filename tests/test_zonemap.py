@@ -282,3 +282,53 @@ def test_date_column_and_mismatched_temporal_predicates(spark):
     stripes = pipeline.read_stripes(spark, out, cfg.run_id)
     kept = zonemap.prune_stripes(stripes, [("d", ">=", cut)]).count()
     assert kept < stripes.count()  # matched-type pruning is effective
+
+
+def test_bloom_point_lookup_prunes_hash_layout(spark):
+    """Equality on a high-cardinality UNCLUSTERED int column: zone maps
+    keep every group (each spans the whole range after hashing), the
+    bloom bitset keeps ~1 — and absent values prune everything while
+    decode stays exact."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    eid = int(events.agg(F.max("event_id")).first()[0]) // 2  # present at any sf
+    out, cfg = _encode(spark, events, "event_id", n_partitions=8)
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    total = stripes.select("partition_id", "epoch", "stripe_idx").distinct().count()
+    pred = [("event_id", "==", eid)]
+    kept = (
+        zonemap.prune_stripes(stripes, pred)
+        .select("partition_id", "epoch", "stripe_idx").distinct().count()
+    )
+    assert kept < total / 2, (kept, total)  # fp-rate slack; typically 1
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = events.filter(F.col("event_id") == eid)
+    assert _rows(got) == _rows(want) and want.count() >= 1
+    # absent values (int and string) prune every group
+    assert zonemap.prune_stripes(stripes, [("event_id", "==", 10**12)]).count() == 0
+    assert zonemap.prune_stripes(
+        stripes, [("event_type", "==", "zzz_not_there")]
+    ).count() == 0
+
+
+def test_bloom_kernel_properties():
+    """No false negatives by construction; long text skips the bloom."""
+    import pyarrow as pa
+
+    from orc_spark.engine import zonemap
+
+    arr = pa.array([f"u{i}" for i in range(2000)] + [None])
+    bloom = zonemap.stripe_bloom(arr)
+    assert bloom is not None
+    text = pa.array(["long article body " * 50] * 100)
+    assert zonemap.stripe_bloom(text) is None  # avg len gate
+    assert zonemap.stripe_bloom(pa.array([], type=pa.int64())) is None
+    assert zonemap.stripe_bloom(pa.array([1.5, 2.5])) is None  # floats: eq is fuzzy
