@@ -170,6 +170,7 @@ def encode_stage(
     compression: str | None = None,
     compression_level: int = 1,
     stripe_rows: int | None = None,
+    bloom_index: bool = True,
 ) -> DataFrame:
     """Encode every planned column of every arrow batch into stripes.
 
@@ -242,7 +243,7 @@ def encode_stage(
                     )
                     status, category, checksum = "completed", None, column_checksum(arr)
                     zstats = zonemap.stripe_zone_stats(arr)
-                    bloom = zonemap.stripe_bloom(arr)
+                    bloom = zonemap.stripe_bloom(arr) if bloom_index else None
                 except Exception as exc:  # noqa: BLE001 — ledgered, not swallowed
                     codec, blob, attempts = "error", b"", 0
                     status, category, checksum = "failed", classify_failure(exc), ""

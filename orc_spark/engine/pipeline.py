@@ -45,6 +45,10 @@ class EncodeJobConfig:
     # codecs only (the r1/r2 format — decode reads both).
     compression: str | None = "zlib"
     compression_level: int = 1
+    # Per-stripe bloom filter indexes (zonemap.stripe_bloom) for
+    # equality pruning; costs a few % of encode on key-like string
+    # columns — turn off for write-once-scan-always tables.
+    bloom_index: bool = True
     # Fixed rows per stripe (None = one stripe per incoming Arrow
     # batch, i.e. spark.sql.execution.arrow.maxRecordsPerBatch).
     # Setting it makes stripe memory footprint and zone-map
@@ -182,6 +186,7 @@ def run_encode_job(
             compression=cfg.compression,
             compression_level=cfg.compression_level,
             stripe_rows=cfg.stripe_rows,
+            bloom_index=cfg.bloom_index,
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).
