@@ -26,11 +26,21 @@ def decode_stage(
     colocated: bool = False,
     fill_missing: list[str] | None = None,
     verify_checksums: bool = False,
+    residual: list | None = None,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
     ``result_schema`` must name the decoded columns in their Spark
     types; ``columns`` defaults to the schema's field names.
+
+    ``residual`` — zonemap conjuncts applied ROW-LEVEL inside the
+    decode task (Arrow compute over the just-rebuilt batch — the ORC
+    SearchArgument row-filter analogue): rows that provably fail the
+    predicate never cross the Arrow->Spark boundary. Conservative
+    under Spark semantics (float NaN rows always kept, uncastable
+    comparisons skip filtering), so callers still apply
+    ``zonemap.predicate_expr`` — which then drops at most the kept
+    NaN/uncertain rows.
 
     ``verify_checksums=True`` recomputes each decoded stripe's value
     checksum and compares it against the one the ENCODE task recorded
@@ -101,7 +111,10 @@ def decode_stage(
                         else pa.nulls(n, type=arrow_types[c])
                         for c in cols
                     ]
-                    yield pa.RecordBatch.from_arrays(arrays, names=cols)
+                    out = pa.RecordBatch.from_arrays(arrays, names=cols)
+                    if residual:
+                        out = _apply_residual(out, residual)
+                    yield out
                     del pending[key]
         if pending:
             raise RuntimeError(
@@ -111,3 +124,57 @@ def decode_stage(
     if not colocated:
         stripes = stripes.repartition(F.col("partition_id"), F.col("stripe_idx"))
     return stripes.mapInArrow(fn, result_schema)
+
+
+def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
+    """Row-level conservative filter on a rebuilt batch. Keeps a row
+    unless it PROVABLY fails the conjunction under Spark semantics:
+    float NaNs are always kept (Spark orders NaN above all numbers —
+    Arrow IEEE comparisons would wrongly drop them), and any conjunct
+    whose Arrow comparison cannot be built (type mismatch) keeps all
+    rows. Null comparisons drop, matching Spark's WHERE."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    names = set(batch.schema.names)
+    mask = None
+    for col, op, value in predicate:
+        if col not in names:
+            continue
+        c = batch.column(batch.schema.get_field_index(col))
+        try:
+            if op == "between":
+                m = pc.and_kleene(
+                    pc.greater_equal(c, _residual_scalar(value[0], c.type)),
+                    pc.less_equal(c, _residual_scalar(value[1], c.type)),
+                )
+            else:
+                fn = {
+                    "==": pc.equal, "=": pc.equal,
+                    ">": pc.greater, ">=": pc.greater_equal,
+                    "<": pc.less, "<=": pc.less_equal,
+                }[op]
+                m = fn(c, _residual_scalar(value, c.type))
+            if pa.types.is_floating(c.type):
+                m = pc.or_kleene(m, pc.is_nan(c))  # Spark-NaN conservatism
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError, ValueError):
+            continue  # can't express -> keep every row for this conjunct
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    if mask is None:
+        return batch
+    return batch.filter(mask)  # null mask entries drop, like Spark WHERE
+
+
+def _residual_scalar(value, t: pa.DataType):
+    """Predicate literal -> Arrow scalar of the column's type (so a
+    CLI date compares against a timestamp column and vice versa)."""
+    import datetime as _dt
+
+    if pa.types.is_timestamp(t) and isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        value = _dt.datetime(value.year, value.month, value.day)
+    if pa.types.is_date32(t) and isinstance(value, _dt.datetime):
+        if value.time() != _dt.time():
+            raise TypeError("datetime with time-of-day vs date column")
+        value = value.date()
+    return pa.scalar(value, type=t) if not isinstance(value, float) or pa.types.is_floating(t) else pa.scalar(value)

@@ -395,6 +395,9 @@ def decode_job(
     return decode_mod.decode_stage(
         stripes, result_schema, columns, colocated,
         fill_missing=fill or None, verify_checksums=verify_checksums,
+        # row-level residual inside the decode task (conservative);
+        # callers' zonemap.predicate_expr stays the exactness gate
+        residual=predicate,
     )
 
 

@@ -332,3 +332,33 @@ def test_bloom_kernel_properties():
     assert zonemap.stripe_bloom(text) is None  # avg len gate
     assert zonemap.stripe_bloom(pa.array([], type=pa.int64())) is None
     assert zonemap.stripe_bloom(pa.array([1.5, 2.5])) is None  # floats: eq is fuzzy
+
+
+def test_row_level_residual_filters_inside_decode(spark):
+    """With a predicate, decode_job's output is already row-filtered
+    (Arrow-side, before the Spark boundary) — except float-NaN rows,
+    which are conservatively kept for Spark's NaN ordering. The outer
+    predicate_expr stays the exactness gate either way."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    rows = [(i, float("nan") if i % 50 == 0 else float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    out, cfg = _encode(spark, df, "event_id")
+    pred = [("event_id", "between", (100, 199)), ("value", ">", 150.0)]
+    dec = pipeline.decode_job(spark, out, cfg.run_id, df.schema, predicate=pred)
+    raw_rows = dec.collect()
+    # int conjunct applied exactly; float conjunct keeps its NaN rows
+    ids = sorted(r.event_id for r in raw_rows)
+    import math
+
+    expect = sorted(
+        i for i in range(100, 200) if (i % 50 == 0) or i > 150
+    )
+    assert ids == expect, ids
+    got = dec.filter(zonemap.predicate_expr(pred))
+    want = df.filter(
+        F.col("event_id").between(100, 199) & (F.col("value") > 150.0)
+    )
+    assert sorted(map(repr, _rows(got))) == sorted(map(repr, _rows(want)))
