@@ -224,6 +224,20 @@ def cmd_prune(args) -> int:
     return EXIT_OK
 
 
+def cmd_doctor(args) -> int:
+    """Deterministic failure diagnosis (≙ `orc doctor`,
+    /root/reference/internal/doctor/doctor.go:46-85 — rule-based over
+    the structured ledger instead of an LLM call)."""
+    from orc_spark.engine import doctor
+
+    report = {"environment": doctor.environment_report()}
+    if args.out:
+        spark = _session(args.cores)
+        report["diagnosis"] = doctor.diagnose_run(spark, args.out, args.run_id)
+    print(json.dumps(report, indent=2))
+    return EXIT_OK
+
+
 def cmd_vacuum(args) -> int:
     from orc_spark.engine import retention
 
@@ -323,6 +337,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--limit", type=int, default=10)
     pr.set_defaults(fn=cmd_prune)
+
+    doc = sub.add_parser(
+        "doctor", help="environment sanity + failure diagnosis with advice"
+    )
+    doc.add_argument("--out", default=None)
+    doc.add_argument("--run-id", default=None)
+    doc.set_defaults(fn=cmd_doctor)
 
     vac = sub.add_parser(
         "vacuum", help="reclaim stripes superseded by newer complete epochs"

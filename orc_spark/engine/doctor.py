@@ -1,0 +1,111 @@
+"""Doctor: deterministic failure diagnosis + environment sanity.
+
+≙ the reference's `orc doctor` (/root/reference/internal/doctor/
+doctor.go:46-85): gather the failed run's context — phase config,
+logs, feedback, timing, loop counts — and produce actionable advice.
+The reference ships that context to an LLM; this engine's failure
+surface is structured (the lineage ledger's status/failure_category/
+epoch columns), so the diagnosis is rule-based and reproducible —
+no model call, same job: "what failed, why, what to run next".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import lineage as lineage_mod
+
+
+def environment_report() -> dict:
+    """Sanity of everything the engine needs to run."""
+    import importlib.util
+    import os
+    import shutil
+
+    out: dict = {}
+    try:
+        import pyspark
+
+        out["pyspark"] = pyspark.__version__
+    except Exception as exc:  # pragma: no cover
+        out["pyspark"] = f"MISSING ({exc})"
+    try:
+        import pyarrow
+
+        out["pyarrow"] = pyarrow.__version__
+    except Exception as exc:  # pragma: no cover
+        out["pyarrow"] = f"MISSING ({exc})"
+    out["java_home"] = os.environ.get("JAVA_HOME") or (
+        "on PATH" if shutil.which("java") else "MISSING"
+    )
+    try:
+        from ..codecs import fsst
+
+        out["native_fsst_kernel"] = bool(getattr(fsst, "_lib", None)) or (
+            "compiled-on-demand"
+            if importlib.util.find_spec("ctypes")
+            else "ctypes missing"
+        )
+    except Exception as exc:  # pragma: no cover
+        out["native_fsst_kernel"] = f"unavailable ({exc})"
+    return out
+
+
+def diagnose_run(spark: SparkSession, out_dir: str, run_id: str | None = None) -> dict:
+    """Rule-based failure diagnosis over the lineage ledger."""
+    lin = lineage_mod.read_lineage(spark, out_dir)
+    if run_id:
+        lin = lin.filter(F.col("run_id") == run_id)
+    if lin.limit(1).count() == 0:
+        return {"found": False, "advice": ["no lineage for this run_id/out_dir"]}
+
+    by_run = {}
+    runs = [r.run_id for r in lin.select("run_id").distinct().collect()]
+    for rid in sorted(runs):
+        rl = lin.filter(F.col("run_id") == rid)
+        max_epoch = rl.agg(F.max("epoch")).first()[0]
+        latest = rl.filter(F.col("epoch") == max_epoch)
+        failed = (
+            latest.filter(F.col("status") == "failed")
+            .groupBy("partition_id", "column", "failure_category")
+            .count()
+            .collect()
+        )
+        entry: dict = {
+            "max_epoch": int(max_epoch),
+            "failed_stripes_latest_epoch": len(failed),
+        }
+        if failed:
+            cats = sorted({r.failure_category for r in failed})
+            pids = sorted({int(r.partition_id) for r in failed})
+            cols = sorted({r.column for r in failed})
+            entry["failure_categories"] = cats
+            entry["failed_partitions"] = pids
+            entry["failed_columns"] = cols
+            advice = [
+                f"re-run the same encode command (run_id {rid!r}): "
+                f"{len(pids)} partition(s) re-encode whole at epoch "
+                f"{int(max_epoch) + 1}; completed partitions are skipped",
+            ]
+            if "resource_exhausted" in cats:
+                advice.append(
+                    "resource_exhausted: lower stripe_rows or raise "
+                    "n_partitions before resuming"
+                )
+            if "codec_error" in cats or "validation_error" in cats:
+                advice.append(
+                    "codec/validation errors: check the overrides chain for "
+                    + ", ".join(cols)
+                    + " (raw always succeeds)"
+                )
+            if "injected_fault" in cats:
+                advice.append(
+                    "injected_fault: a fault_spec is still set — remove it "
+                    "before resuming"
+                )
+            entry["advice"] = advice
+        else:
+            entry["advice"] = ["all stripes completed at the latest epoch"]
+        by_run[rid] = entry
+    return {"found": True, "runs": by_run}

@@ -184,3 +184,39 @@ def test_vacuum_reclaims_superseded_epochs(spark, docs, tmp_path):
     # the lineage ledger shrank consistently with the stripes table
     lin = lineage.read_lineage(spark, out)
     assert lin.filter(F.col("status") == "failed").count() == 0
+
+
+def test_doctor_diagnoses_and_advises(spark, docs, tmp_path, capsys):
+    """Rule-based doctor (≙ reference doctor.go failure-context
+    gathering): names the failed partitions/columns/categories at the
+    latest epoch and advises the resume command; clean runs get the
+    all-clear."""
+    import json as _json
+
+    from orc_spark.__main__ import main
+    from orc_spark.engine import doctor
+
+    env = doctor.environment_report()
+    assert env["pyspark"].startswith("4.")
+
+    out = str(tmp_path / "run_doc")
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": ["text"], "partitions": [2]}),
+    )
+    diag = doctor.diagnose_run(spark, out, "fl")
+    entry = diag["runs"]["fl"]
+    assert entry["failed_partitions"] == [2]
+    assert entry["failed_columns"] == ["text"]
+    assert entry["failure_categories"] == ["injected_fault"]
+    assert any("re-run the same encode command" in a for a in entry["advice"])
+    assert any("injected_fault" in a for a in entry["advice"])
+
+    # resume cleanly -> all-clear at the new epoch
+    pipeline.run_encode_job(spark, docs, _cfg(out))
+    diag2 = doctor.diagnose_run(spark, out, "fl")
+    assert diag2["runs"]["fl"]["failed_stripes_latest_epoch"] == 0
+
+    assert main(["doctor", "--out", out, "--run-id", "fl"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["diagnosis"]["found"] is True
