@@ -144,7 +144,9 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
             continue
         c = batch.column(batch.schema.get_field_index(col))
         try:
-            if op == "between":
+            if op == "in":
+                m = pc.is_in(c, value_set=pa.array(list(value), type=c.type))
+            elif op == "between":
                 m = pc.and_kleene(
                     pc.greater_equal(c, _residual_scalar(value[0], c.type)),
                     pc.less_equal(c, _residual_scalar(value[1], c.type)),

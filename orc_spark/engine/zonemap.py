@@ -31,11 +31,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A predicate is a list of conjuncts: (column, op, value) with op in
-# {'==', '=', '>', '>=', '<', '<=', 'between'}; 'between' takes a
-# (lo, hi) inclusive pair.
+# {'==', '=', '>', '>=', '<', '<=', 'between', 'in'}; 'between' takes
+# a (lo, hi) inclusive pair; 'in' takes an iterable of values (IN-list
+# point lookups — zone-map ranges OR-combined, blooms OR-combined).
 Conjunct = tuple  # (str, str, object)
 
-_OPS = {"==", "=", ">", ">=", "<", "<=", "between"}
+_OPS = {"==", "=", ">", ">=", "<", "<=", "between", "in"}
 
 
 # ------------------------------------------------------- encode side
@@ -173,6 +174,14 @@ def _conjunct_keep(op: str, value) -> Column:
     if op == "between":
         lo, hi = value
         return _range_overlap(lo, hi)
+    if op == "in":
+        vals = list(value)
+        if not vals:
+            return F.lit(False)  # empty IN-list matches nothing
+        keep = _range_overlap(vals[0], vals[0])
+        for v in vals[1:]:
+            keep = keep | _range_overlap(v, v)
+        return keep
     if op in ("==", "="):
         return _range_overlap(value, value)
     if op == ">=":
@@ -203,10 +212,14 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
     for col, op, value in predicate:
         cond = _conjunct_keep(op, value)
         rows = meta.filter(F.col("column") == col).filter(cond)
-        if has_bloom and op in ("==", "="):
-            bk = bloom_keep_expr(value)
-            if bk is not None:  # bitset can veto what min/max can't
-                rows = rows.filter(bk)
+        if has_bloom and op in ("==", "=", "in"):
+            vals = list(value) if op == "in" else [value]
+            bks = [b for b in map(bloom_keep_expr, vals) if b is not None]
+            if bks and len(bks) == len(vals):
+                keep_b = bks[0]  # OR: any member may be present
+                for b in bks[1:]:
+                    keep_b = keep_b | b
+                rows = rows.filter(keep_b)
         rows = rows.select("partition_id", "epoch", "stripe_idx")
         keep = rows if keep is None else keep.join(
             rows, ["partition_id", "epoch", "stripe_idx"], "left_semi"
@@ -222,7 +235,9 @@ def predicate_expr(predicate: list[Conjunct]) -> Column:
     cond = F.lit(True)
     for col, op, value in predicate:
         c = F.col(col)
-        if op == "between":
+        if op == "in":
+            cond = cond & c.isin(list(value))
+        elif op == "between":
             cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))
         elif op in ("==", "="):
             cond = cond & (c == F.lit(value))

@@ -362,3 +362,34 @@ def test_row_level_residual_filters_inside_decode(spark):
         F.col("event_id").between(100, 199) & (F.col("value") > 150.0)
     )
     assert sorted(map(repr, _rows(got))) == sorted(map(repr, _rows(want)))
+
+
+def test_in_list_predicate_prunes_and_stays_exact(spark):
+    """IN-list point lookups: blooms OR-combined across members, zone
+    ranges OR-combined; empty IN-list prunes everything; decode ==
+    plain isin filter."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    wanted = [mx // 4, mx // 2, mx - 1]
+    out, cfg = _encode(spark, events, "event_id", n_partitions=8)
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    total = stripes.select("partition_id", "epoch", "stripe_idx").distinct().count()
+    pred = [("event_id", "in", wanted)]
+    kept = (
+        zonemap.prune_stripes(stripes, pred)
+        .select("partition_id", "epoch", "stripe_idx").distinct().count()
+    )
+    assert kept <= min(total, len(wanted) + 1), (kept, total)
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = events.filter(F.col("event_id").isin(wanted))
+    assert _rows(got) == _rows(want) and want.count() == len(wanted)
+    assert zonemap.prune_stripes(stripes, [("event_id", "in", [])]).count() == 0
