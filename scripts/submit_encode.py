@@ -30,6 +30,10 @@ def main() -> int:
     p.add_argument("--key", default="url")
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--waves", type=int, default=1)
+    p.add_argument("--cluster-by", default=None)
+    p.add_argument("--compression", choices=["zlib", "none"], default="zlib")
+    p.add_argument("--compression-level", type=int, default=1)
+    p.add_argument("--stripe-rows", type=int, default=None)
     p.add_argument("--verify", action="store_true")
     args = p.parse_args()
 
@@ -52,8 +56,12 @@ def main() -> int:
         out_dir=args.out,
         run_id=args.run_id,
         key=args.key,
-        n_partitions=args.partitions,
+        n_partitions=args.partitions or pipeline.suggest_partitions(spark, df),
         waves=args.waves,
+        cluster_by=args.cluster_by,
+        compression=None if args.compression == "none" else args.compression,
+        compression_level=args.compression_level,
+        stripe_rows=args.stripe_rows,
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     out = {
