@@ -311,9 +311,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--out", required=True)
     cp.add_argument("--run-id", required=True)
     cp.add_argument("--schema-from", required=True)
-    cp.add_argument("--key", required=True)
+    cp.add_argument("--key", default=None,
+                    help="defaults to the source run's persisted config")
     cp.add_argument("--new-run-id", default=None)
-    cp.add_argument("--partitions", type=int, default=32)
+    cp.add_argument("--partitions", type=int, default=None)
     cp.add_argument("--stripe-rows", type=int, default=65536)
     cp.add_argument("--compression", choices=["zlib", "none"], default="zlib")
     cp.add_argument("--cluster-by", default=None)

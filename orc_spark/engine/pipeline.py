@@ -109,10 +109,67 @@ def suggest_partitions(
     return max(floor, -(-int(size * expansion) // target_bytes))
 
 
+# Config fields that define partition identity: resuming a run with a
+# different value for any of these would recompute pmod(hash(key,salt),
+# n) differently and silently duplicate/miss rows.
+_IDENTITY_FIELDS = ("key", "salt", "n_partitions")
+
+
+def _config_path(out_dir: str, run_id: str) -> str:
+    return os.path.join(out_dir, "configs", f"{run_id}.json")
+
+
+def save_run_config(cfg: EncodeJobConfig) -> None:
+    """Persist the run's config (atomic tmp+rename) — ≙ the reference
+    persisting the workflow config fingerprint with the run state
+    (/root/reference/internal/eval/eval.go:187-223)."""
+    import dataclasses
+    import json
+    import tempfile as _tf
+
+    path = _config_path(cfg.out_dir, cfg.run_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rec = dataclasses.asdict(cfg)
+    rec.pop("fault_spec", None)  # test-only, not identity
+    fd, tmp = _tf.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_run_config(out_dir: str, run_id: str) -> dict | None:
+    import json
+
+    path = _config_path(out_dir, run_id)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _check_resume_identity(cfg: EncodeJobConfig) -> None:
+    stored = load_run_config(cfg.out_dir, cfg.run_id)
+    if stored is None:
+        save_run_config(cfg)
+        return
+    drift = {
+        f: (stored.get(f), getattr(cfg, f))
+        for f in _IDENTITY_FIELDS
+        if f in stored and stored.get(f) != getattr(cfg, f)
+    }
+    if drift:
+        raise ValueError(
+            f"resume of run {cfg.run_id!r} with different partition "
+            f"identity {drift}: partitions would be re-assigned and rows "
+            f"duplicated/missed — use the stored values or a new run_id"
+        )
+
+
 def run_encode_job(
     spark: SparkSession, df: DataFrame, cfg: EncodeJobConfig
 ) -> EncodeJobResult:
     """Encode ``df`` into stripes + lineage under cfg.out_dir, resumably."""
+    _check_resume_identity(cfg)
     columns = cfg.columns or [f.name for f in df.schema.fields]
     if cfg.key not in columns:
         columns = [cfg.key, *columns]
@@ -222,9 +279,9 @@ def compact_run(
     out_dir: str,
     run_id: str,
     schema,
-    key: str,
+    key: str | None = None,
     new_run_id: str | None = None,
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
     stripe_rows: int | None = 65536,
     compression: str | None = "zlib",
     compression_level: int = 1,
@@ -243,7 +300,18 @@ def compact_run(
     like any encode job) and never mixes epochs with the source run;
     the source stays decodable until the caller expires it
     (`python -m orc_spark prune`).
+
+    ``key``/``n_partitions`` default to the SOURCE run's persisted
+    config (configs/<run_id>.json), so a compaction can't silently
+    change partition identity.
     """
+    stored = load_run_config(out_dir, run_id) or {}
+    key = key or stored.get("key")
+    if key is None:
+        raise ValueError(
+            f"run {run_id!r} has no persisted config — pass key explicitly"
+        )
+    n_partitions = n_partitions or stored.get("n_partitions") or 32
     df = decode_job(spark, out_dir, run_id, schema)
     cfg = EncodeJobConfig(
         out_dir=out_dir,

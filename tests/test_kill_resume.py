@@ -94,3 +94,45 @@ def test_sigkill_mid_run_then_resume():
     v = pipeline.verify_roundtrip(df, dec, "doc_id")
     assert v["count_original"] == v["count_decoded"] == 500
     assert v["missing_from_decoded"] == 0 and v["extra_in_decoded"] == 0
+
+
+def test_resume_identity_guard_and_persisted_config(spark, tmp_path):
+    """Resuming with a different key/salt/n_partitions than the run's
+    persisted config raises instead of silently re-assigning rows;
+    compact defaults its identity from the stored config."""
+    import pytest as _pytest
+
+    from orc_spark.engine import pipeline, webgen
+
+    df = webgen.generate_spark(spark, 2000).select("url", "lang")
+    out = str(tmp_path / "idg")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="idg1", key="url", n_partitions=4
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    stored = pipeline.load_run_config(out, "idg1")
+    assert (stored["key"], stored["n_partitions"]) == ("url", 4)
+
+    for bad in (
+        dict(n_partitions=8),
+        dict(salt=7),
+        dict(key="lang"),
+    ):
+        cfg_bad = pipeline.EncodeJobConfig(
+            out_dir=out, run_id="idg1", key="url", n_partitions=4
+        )
+        for k, v in bad.items():
+            setattr(cfg_bad, k, v)
+        with _pytest.raises(ValueError, match="partition identity"):
+            pipeline.run_encode_job(spark, df, cfg_bad)
+
+    # same identity resumes fine (no-op: everything completed)
+    res = pipeline.run_encode_job(
+        spark, df,
+        pipeline.EncodeJobConfig(out_dir=out, run_id="idg1", key="url", n_partitions=4),
+    )
+    assert res.partitions_skipped == 4
+
+    # compact pulls key/partitions from the stored config
+    res2 = pipeline.compact_run(spark, out, "idg1", df.schema)
+    assert res2.partitions_encoded == 4
