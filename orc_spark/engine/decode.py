@@ -133,8 +133,6 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
     Arrow IEEE comparisons would wrongly drop them), and any conjunct
     whose Arrow comparison cannot be built (type mismatch) keeps all
     rows. Null comparisons drop, matching Spark's WHERE."""
-    import datetime as _dt
-
     import pyarrow.compute as pc
 
     names = set(batch.schema.names)

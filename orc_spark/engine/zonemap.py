@@ -375,7 +375,11 @@ def stripe_bloom(arr: pa.Array) -> bytes | None:
         n_valid = len(arr) - arr.null_count
         if n_valid and arr.nbytes / n_valid > BLOOM_MAX_AVG_LEN:
             return None
-    pair = _hash_pairs(arr)
+    try:
+        pair = _hash_pairs(arr)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None  # e.g. exotic timestamp casts: index is optional,
+        # a failed bloom must never fail the stripe itself
     if pair is None:
         return None
     h1, h2 = pair
