@@ -83,32 +83,44 @@ _WHERE_OPS = (">=", "<=", "==", ">", "<", "=")  # longest first
 
 def _parse_where(clause: str) -> tuple[str, str, object]:
     """`col>=value` -> a zonemap conjunct; value is int, then float,
-    then bare string (no quoting needed at the CLI)."""
+    then bare string (no quoting needed at the CLI). `col in a,b,c`
+    -> an IN-list conjunct (blooms OR-combined)."""
+    import re as _re
+
+    m = _re.match(r"^\s*(\w+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
+    if m and not any(op in clause for op in _WHERE_OPS):
+        vals = [_parse_value(v.strip()) for v in m.group(2).split(",") if v.strip()]
+        return m.group(1), "in", vals
     for op in _WHERE_OPS:
         if op in clause:
             col, raw = clause.split(op, 1)
             col, raw = col.strip(), raw.strip()
             if not col or not raw:
                 break
-            value: object
-            try:
-                value = int(raw)
-            except ValueError:
-                try:
-                    value = float(raw)
-                except ValueError:
-                    bare = raw.strip("'\"")
-                    try:
-                        # ISO timestamps/dates prune timestamp columns
-                        # (plain strings stay strings)
-                        value = datetime.datetime.fromisoformat(bare)
-                        if (value.hour, value.minute, value.second,
-                                value.microsecond) == (0, 0, 0, 0) and "T" not in bare and " " not in bare:
-                            value = value.date()
-                    except ValueError:
-                        value = bare
-            return col, op, value
+            return col, op, _parse_value(raw)
     raise ValueError(f"cannot parse --where clause: {clause!r}")
+
+
+def _parse_value(raw: str) -> object:
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    bare = raw.strip("'\"")
+    try:
+        # ISO timestamps/dates prune timestamp columns
+        # (plain strings stay strings)
+        value = datetime.datetime.fromisoformat(bare)
+        if (value.hour, value.minute, value.second,
+                value.microsecond) == (0, 0, 0, 0) and "T" not in bare and " " not in bare:
+            return value.date()
+        return value
+    except ValueError:
+        return bare
 
 
 def cmd_decode(args) -> int:

@@ -393,3 +393,12 @@ def test_in_list_predicate_prunes_and_stays_exact(spark):
     want = events.filter(F.col("event_id").isin(wanted))
     assert _rows(got) == _rows(want) and want.count() == len(wanted)
     assert zonemap.prune_stripes(stripes, [("event_id", "in", [])]).count() == 0
+
+
+def test_cli_where_in_parse():
+    from orc_spark.__main__ import _parse_where
+
+    assert _parse_where("event_id in 1,2,3") == ("event_id", "in", [1, 2, 3])
+    assert _parse_where("lang IN en,fr") == ("lang", "in", ["en", "fr"])
+    # 'in' inside a comparison clause must not be misparsed
+    assert _parse_where("domain=='login'") == ("domain", "==", "login")
