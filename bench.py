@@ -12,6 +12,9 @@ Workloads
   (seed 42, FIXTURES.md F1) and cached as parquet in /tmp; full
   engine pipeline (salted repartition -> codec auto-select ->
   mapInArrow encode -> stripes parquet -> lineage), then full decode.
+- decode_point_lookup: single-url equality decode on the encoded
+  web run — bloom-bitset + zone-map pruning + row-level residual
+  (the r3 index path) vs the full decode.
 - encode_web_zlib / decode_web_zlib: the same job in the pipeline's
   default configuration (frame-level zlib over the lightweight
   codecs — the north rule's size-gate mode; ratio beats reference
@@ -666,6 +669,29 @@ def main() -> None:
     extras["decode_web_mb_s"] = round(bi / 1e6 / sec, 1)
     assert n_dec == WEB_ROWS, (n_dec, WEB_ROWS)
 
+    # --- index-path decode: a single-url point lookup on the SAME run
+    # (bloom bitset veto + zone maps + row-level residual) vs the full
+    # decode above — the read-path value of the r3 index work.
+    from orc_spark.engine import zonemap
+
+    probe_url = df.select("url").first().url
+    pred = [("url", "==", probe_url)]
+    plk_runs = []
+    for _ in range(2):  # best-of-2: run 1 pays pandas-UDF/plan compile
+        t0 = time.perf_counter()
+        n_hit = (
+            pipeline.decode_job(spark, out_dir, run_id, df.schema, predicate=pred)
+            .filter(zonemap.predicate_expr(pred))
+            .count()
+        )
+        plk_runs.append(time.perf_counter() - t0)
+    plk = min(plk_runs)
+    queries["decode_point_lookup"] = round(plk, 3)
+    extras["point_lookup_rows"] = int(n_hit)
+    extras["point_lookup_runs_sec"] = [round(s, 3) for s in plk_runs]
+    extras["point_lookup_speedup_vs_full_decode"] = round(sec / plk, 2) if plk else None
+    assert n_hit >= 1
+
     # --- pipeline-default mode: lightweight codecs + frame-level zlib
     # (ORC CompressionKind semantics). Headline encode_web/decode_web
     # above stay compression=None for r1/r2 comparability; this phase
@@ -759,6 +785,27 @@ def main() -> None:
             n_sdec = sdec.count()
             dsec = time.perf_counter() - t0
             sprobes.append(probe_host_health())
+            # index-path point lookup at this size: full decode is tens
+            # of seconds, the pruned lookup stays ~flat — the speedup
+            # the 518 MB main phase can't show over its fixed job cost
+            s_url = sdf.select("url").first().url
+            s_pred = [("url", "==", s_url)]
+            pl_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_pl = (
+                    pipeline.decode_job(
+                        spark, sdir, srun, sdf.schema, predicate=s_pred
+                    )
+                    .filter(zonemap.predicate_expr(s_pred))
+                    .count()
+                )
+                pl_runs.append(time.perf_counter() - t0)
+            smoke["point_lookup_sec"] = round(min(pl_runs), 3)
+            smoke["point_lookup_rows"] = int(n_pl)
+            smoke["point_lookup_speedup_vs_full_decode"] = round(
+                dsec / min(pl_runs), 2
+            )
             shutil.rmtree(sdir, ignore_errors=True)
             assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
             smoke.update(

@@ -398,19 +398,23 @@ def _epoch_keep_filter(spark: SparkSession, stripes: DataFrame, want_cols: set[s
     meta = stripes.drop("data").filter(
         (F.col("status") == "completed") & F.col("column").isin(list(want_cols))
     )
-    max_epoch = meta.agg(F.max("epoch").alias("m")).first()
-    if max_epoch is None or max_epoch.m is None or int(max_epoch.m) == 0:
-        return stripes.filter(F.col("status") == "completed")  # common case
-    keep_rows = (
+    # ONE metadata action for both the max-epoch short-circuit and the
+    # per-partition keep-map (this runs on every decode — a second
+    # driver job here is pure fixed cost on point lookups)
+    counts = (
         meta.groupBy("partition_id", "epoch")
         .agg(F.countDistinct("column").alias("nc"))
-        .filter(F.col("nc") >= len(want_cols))
-        .groupBy("partition_id")
-        .agg(F.max("epoch").alias("epoch"))
         .collect()
     )
+    if not counts or max(int(r.epoch) for r in counts) == 0:
+        return stripes.filter(F.col("status") == "completed")  # common case
+    best: dict[int, int] = {}
+    for r in counts:
+        if int(r.nc) >= len(want_cols):
+            pid = int(r.partition_id)
+            best[pid] = max(best.get(pid, -1), int(r.epoch))
     keep = spark.createDataFrame(
-        [(int(r.partition_id), int(r.epoch)) for r in keep_rows],
+        [(pid, ep) for pid, ep in sorted(best.items())],
         "partition_id int, epoch long",
     )
     return stripes.filter(F.col("status") == "completed").join(

@@ -200,9 +200,14 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
 
     Metadata-only: the keep-set is computed on the blob-free columns
     (`data` is never materialized for pruned groups — parquet column
-    pruning keeps it out of the scan), then applied as a left-semi
-    join on (partition_id, epoch, stripe_idx) so groups stay complete
-    for decode_stage's reassembly invariant.
+    pruning keeps it out of the scan). When the keep-set is small
+    (selective predicates — the point-lookup case) it is collected and
+    applied as LITERAL filters: `partition_id isin(...)` reaches the
+    parquet scan as a pushed filter, so whole blob files/row groups
+    are skipped, not just their decode (encode tasks write one file
+    per partition, so file-level statistics make this pruning exact at
+    the IO layer). Large keep-sets fall back to a left-semi join on
+    (partition_id, epoch, stripe_idx).
     """
     if not predicate:
         return stripes
@@ -224,9 +229,30 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
         keep = rows if keep is None else keep.join(
             rows, ["partition_id", "epoch", "stripe_idx"], "left_semi"
         )
+    keep = keep.distinct()
+    keys = keep.limit(_PUSHDOWN_MAX_GROUPS + 1).collect()
+    if len(keys) <= _PUSHDOWN_MAX_GROUPS:
+        if not keys:
+            return stripes.filter(F.lit(False))
+        pids = sorted({int(r.partition_id) for r in keys})
+        group_keys = [
+            f"{int(r.partition_id)}:{int(r.epoch)}:{int(r.stripe_idx)}"
+            for r in keys
+        ]
+        return stripes.filter(
+            F.col("partition_id").isin(pids)  # pushed to the parquet scan
+            & F.concat_ws(
+                ":", "partition_id", "epoch", "stripe_idx"
+            ).isin(group_keys)  # exact group keep, post-scan
+        )
     return stripes.join(
-        keep.distinct(), ["partition_id", "epoch", "stripe_idx"], "left_semi"
+        keep, ["partition_id", "epoch", "stripe_idx"], "left_semi"
     )
+
+
+# Above this many surviving stripe groups the keep-set is no longer a
+# "lookup" — skip the driver collect and use the distributed semi join.
+_PUSHDOWN_MAX_GROUPS = 2048
 
 
 def predicate_expr(predicate: list[Conjunct]) -> Column:
@@ -264,6 +290,8 @@ BLOOM_BITS_PER_VALUE = 8
 BLOOM_K = 4
 BLOOM_MIN_BITS = 1 << 10
 BLOOM_MAX_BITS = 1 << 19
+# bump when the hash chain changes: v2 = polynomial rolling hash
+_BLOOM_VERSION = b"\x02"
 
 
 def _bloom_m(n_values: int) -> int:
@@ -336,20 +364,29 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _string_prehash(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
-    """Vectorized position-weighted byte sum per string (mod 2^64) —
-    no per-row Python. Linear, so collision-prone adversarially, but a
-    bloom false positive only KEEPS a stripe (safe direction) and
-    _mix64 disperses the pre-hash; false negatives are impossible
-    because the predicate side runs the identical function."""
+    """Vectorized polynomial rolling hash per string (mod 2^64) — no
+    per-row Python: h = Σ b[pos]·GOLD^(pos+1), segment-summed with one
+    cumsum. Geometric weights make the map position-sensitive and
+    non-linear in the byte values (a linear Σ b·(pos+1) collapses
+    same-length near-identical strings — e.g. URLs differing in a few
+    digits — into a tiny value range and saturates the bloom with
+    false positives); _mix64 then gives full avalanche. False
+    negatives are impossible: the predicate side runs the identical
+    function."""
     n = len(lengths)
     lengths = lengths.astype(np.int64, copy=False)
     ends = np.cumsum(lengths)
     starts = ends - lengths
     b = data.astype(np.uint64)
-    pos = np.arange(len(b), dtype=np.uint64) - np.repeat(
-        starts.astype(np.uint64), lengths
-    )
-    weighted = b * ((pos + np.uint64(1)) * _GOLD)
+    pos = (
+        np.arange(len(b), dtype=np.uint64)
+        - np.repeat(starts.astype(np.uint64), lengths)
+    ).astype(np.int64)
+    max_len = int(lengths.max()) if n else 0
+    # GOLD^(j+1) via cumprod (array uint64 ops wrap silently, O(max
+    # string length) not rows)
+    powers = np.cumprod(np.full(max_len + 1, _GOLD, dtype=np.uint64))
+    weighted = b * powers[pos]
     c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(weighted)])
     s1 = c[ends] - c[starts]  # wrap-safe: uint64 arithmetic is mod 2^64
     return s1 ^ (lengths.astype(np.uint64) << np.uint64(40))
@@ -392,7 +429,10 @@ def stripe_bloom(arr: pa.Array) -> bytes | None:
     bb = np.zeros(m, dtype=bool)
     for i in range(BLOOM_K):
         bb[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
-    return np.packbits(bb, bitorder="little").tobytes()
+    # version prefix: a reader probing with a DIFFERENT hash chain than
+    # the writer would produce false negatives (wrong pruning); any
+    # unrecognized version is treated as "always keep"
+    return _BLOOM_VERSION + np.packbits(bb, bitorder="little").tobytes()
 
 
 def _value_hash_pair(value) -> tuple[int, int] | None:
@@ -443,10 +483,14 @@ def bloom_keep_expr(value) -> "Column | None":
         pairs = [(h1s, h2s)] if n_enc == 1 else [(h1s, h2s), (h1o, h2o)]
         out = []
         for blob in blooms:
-            if blob is None or len(blob) == 0:
+            if (
+                blob is None
+                or len(blob) < 2
+                or blob[:1] != _BLOOM_VERSION  # unknown writer: never veto
+            ):
                 out.append(True)
                 continue
-            bits = np.frombuffer(blob, dtype=np.uint8)
+            bits = np.frombuffer(blob, dtype=np.uint8, offset=1)
             m = len(bits) << 3
             keep = False
             for h1, h2 in pairs:  # plain-int mod-2^64 double hashing

@@ -402,3 +402,55 @@ def test_cli_where_in_parse():
     assert _parse_where("lang IN en,fr") == ("lang", "in", ["en", "fr"])
     # 'in' inside a comparison clause must not be misparsed
     assert _parse_where("domain=='login'") == ("domain", "==", "login")
+
+
+def test_bloom_hash_quality_on_near_identical_strings():
+    """Same-length URLs differing in a few digits (the crawl shape)
+    must not collapse the hash space: distinct prehashes == distinct
+    inputs, and the probe-side false-positive rate stays near theory
+    (~0.4% at 14 bits/value) instead of the ~80% a linear byte-sum
+    gives. Regression test for the v1->v2 bloom hash."""
+    import numpy as np
+
+    from orc_spark.codecs.framing import _string_parts
+    from orc_spark.engine import zonemap as zm
+
+    urls = [f"https://www.site{i % 16:04d}.example/p/{i:08d}" for i in range(20000)]
+    arr = pa.array(urls)
+    lengths, data = _string_parts(arr)
+    pre = zm._string_prehash(lengths, np.frombuffer(data, np.uint8))
+    assert len(np.unique(pre)) == len(urls)
+
+    blob = zm.stripe_bloom(arr)
+    assert blob[:1] == zm._BLOOM_VERSION
+    bits = np.frombuffer(blob, np.uint8, offset=1)
+    m = len(bits) << 3
+
+    def member(v):
+        pair = zm._value_hash_pair(v)
+        h1, h2 = int(pair[0][0]), int(pair[1][0])
+        return all(
+            (bits[((h1 + k * h2) & 0xFFFFFFFFFFFFFFFF) % m >> 3]
+             >> (((h1 + k * h2) & 0xFFFFFFFFFFFFFFFF) % m & 7)) & 1
+            for k in range(zm.BLOOM_K)
+        )
+
+    assert all(member(u) for u in urls[:200])  # no false negatives
+    fp = sum(
+        member(f"https://www.nope{i:04d}.example/q/{i:08d}") for i in range(1000)
+    )
+    assert fp < 30, fp  # <3% observed; linear hash scored ~800 here
+
+
+def test_bloom_unknown_version_never_vetoes(spark):
+    """A bloom written by a different hash version must keep, not
+    prune (false negatives = wrong results)."""
+    import pandas as pd
+
+    from orc_spark.engine import zonemap as zm
+
+    expr = zm.bloom_keep_expr("x")
+    df = spark.createDataFrame(
+        [(b"\x01" + b"\x00" * 128,), (None,), (b"",)], "bloom binary"
+    )
+    assert [r[0] for r in df.select(expr).collect()] == [True, True, True]
