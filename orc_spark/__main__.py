@@ -102,6 +102,12 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
 
 
 def _parse_value(raw: str) -> object:
+    # An explicitly quoted value is a string VERBATIM — the only way to
+    # force string semantics for numeric- or date-shaped values in a
+    # string column (--where id='123'); coercing after stripping the
+    # quotes made that row-losingly impossible (ADVICE r3).
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+        return raw[1:-1]
     try:
         return int(raw)
     except ValueError:
@@ -110,7 +116,7 @@ def _parse_value(raw: str) -> object:
         return float(raw)
     except ValueError:
         pass
-    bare = raw.strip("'\"")
+    bare = raw
     try:
         # ISO timestamps/dates prune timestamp columns
         # (plain strings stay strings)

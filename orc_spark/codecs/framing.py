@@ -41,9 +41,13 @@ VERSION = 1
 _COMPRESS_MIN_BYTES = 256
 # adaptive attempt-skip (see encode_frame): a frame gaining less than
 # this fraction counts as a miss; after this many consecutive misses a
-# column's later frames skip the deflate attempt (per-task state)
+# column's later frames skip the deflate attempt (per-task state).
+# While skipping, every _COMPRESS_REPROBE-th frame re-attempts anyway
+# so a column whose data turns compressible mid-partition re-arms
+# (ADVICE r3: once skipping started, no win could ever reset it).
 _COMPRESS_WORTH_RATIO = 0.95
 _COMPRESS_SKIP_AFTER = 2
+_COMPRESS_REPROBE = 8
 
 # codec ids
 CODECS = {
@@ -502,11 +506,17 @@ def encode_frame(
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
+    want_compress = compression is not None and len(payload) >= _COMPRESS_MIN_BYTES
     if (
-        compression is not None
-        and len(payload) >= _COMPRESS_MIN_BYTES
-        and (state is None or state.get("zlib_skip", 0) < _COMPRESS_SKIP_AFTER)
+        want_compress
+        and state is not None
+        and state.get("zlib_skip", 0) >= _COMPRESS_SKIP_AFTER
     ):
+        # skip mode: probe every Nth frame so the state can re-arm
+        probe = state.get("zlib_probe", 0) + 1
+        state["zlib_probe"] = probe
+        want_compress = probe % _COMPRESS_REPROBE == 0
+    if want_compress:
         if compression != "zlib":
             raise ValueError(f"unknown compression {compression!r}")
         deflated = zlib.compress(payload, compression_level)

@@ -142,8 +142,28 @@ def encode_with_fallback(
     attempts = 0
     blob = b""
     codec = "raw"
+    # The adaptive zlib miss counter must advance once per STRIPE, not
+    # once per codec attempt (ADVICE r3: a 2-codec chain with <5% gain
+    # hit the skip threshold in a single stripe) — restore the counter
+    # keys before each attempt so only the final attempt's step sticks.
+    zsnap = (
+        {k: state.get(k) for k in ("zlib_skip", "zlib_probe")}
+        if state is not None
+        else None
+    )
+
+    def _restore_zlib_state():
+        if zsnap is None:
+            return
+        for k, v in zsnap.items():
+            if v is None:
+                state.pop(k, None)
+            else:
+                state[k] = v
+
     for codec in order:
         attempts += 1
+        _restore_zlib_state()
         blob = encode_frame(
             arr, codec, state=state,
             compression=compression, compression_level=compression_level,
@@ -153,8 +173,9 @@ def encode_with_fallback(
     else:  # chain exhausted without raw (custom override chains)
         attempts += 1
         codec = "raw"
+        _restore_zlib_state()
         blob = encode_frame(
-            arr, "raw",
+            arr, "raw", state=state,
             compression=compression, compression_level=compression_level,
         )
     return codec, blob, attempts

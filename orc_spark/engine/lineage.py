@@ -87,8 +87,9 @@ def append_lineage(df: DataFrame, out_dir: str) -> None:
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    from . import storage
+    from . import retention, storage
 
+    retention.recover_swap(lineage_dir(out_dir))
     return storage.read_table(spark, lineage_dir(out_dir), LINEAGE_SCHEMA)
 
 
@@ -131,12 +132,13 @@ def next_epoch(spark: SparkSession, out_dir: str, run_id: str) -> int:
     pruned by retention can outlive its ledger, never vice versa).
     """
     from . import storage
+    from .encode import STRIPE_SCHEMA  # explicit: dir may be mixed-schema
 
     m = -1
     sd = stripes_dir(out_dir)
     if os.path.exists(sd):
         row = (
-            storage.read_table(spark, sd)
+            storage.read_table(spark, sd, STRIPE_SCHEMA)
             .filter(F.col("run_id") == run_id)
             .agg(F.max("epoch").alias("m"))  # metadata-only: blob column pruned
             .first()

@@ -190,8 +190,7 @@ def run_encode_job(
     # /root/reference/internal/runner/runner.go:699-703).
     if os.path.exists(lineage_mod.stripes_dir(cfg.out_dir)):
         stripe_meta = (
-            storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
-            .filter(F.col("run_id") == cfg.run_id)
+            read_stripes(spark, cfg.out_dir, cfg.run_id)
             .drop("data")
         )
         stripe_done = {
@@ -251,10 +250,9 @@ def run_encode_job(
             stripes, lineage_mod.stripes_dir(cfg.out_dir), precompressed=True
         )
         written = (
-            storage.read_table(spark, lineage_mod.stripes_dir(cfg.out_dir))
+            read_stripes(spark, cfg.out_dir, cfg.run_id)
             .filter(
-                (F.col("run_id") == cfg.run_id)
-                & (F.col("epoch") == epoch)  # not stale prior-epoch rows
+                (F.col("epoch") == epoch)  # not stale prior-epoch rows
                 & F.col("partition_id").isin(wave_ids)
             )
             .drop("data")  # column-pruned scan: blobs are never re-read
@@ -329,7 +327,19 @@ def compact_run(
 
 
 def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
-    s = storage.read_table(spark, lineage_mod.stripes_dir(out_dir))
+    # Explicit schema, always: a stripes dir written across engine
+    # upgrades is mixed-schema (r3 added the zone-stat/bloom columns),
+    # and inferred reads would depend on which file footer Spark
+    # samples — pre-upgrade rows read their missing stat columns as
+    # null, which pruning already treats as "always keep" (ADVICE r3).
+    d = lineage_mod.stripes_dir(out_dir)
+    if not storage.is_iceberg(d):
+        from . import retention
+
+        retention.recover_swap(d)  # interrupted rewrite: restore first
+    if not storage.is_iceberg(d) and not os.path.exists(d):
+        raise FileNotFoundError(d)  # schema'd reads must not mask typos
+    s = storage.read_table(spark, d, encode_mod.STRIPE_SCHEMA)
     if run_id:
         s = s.filter(F.col("run_id") == run_id)
     return s
@@ -461,9 +471,16 @@ def decode_job(
         want = want & present
         if not want:  # nothing encoded to anchor row counts on
             return spark.createDataFrame([], result_schema)
-    stripes = _epoch_keep_filter(spark, all_stripes, want)
     if predicate:
-        stripes = zonemap.prune_stripes(stripes, predicate)
+        # ONE fused metadata job for epoch keep-map + zone/bloom
+        # keep-set (point lookups pay 2 driver actions total, not 4)
+        stripes = zonemap.fused_prune(all_stripes, want, predicate)
+        if stripes is None:  # keep-set too large for literal pushdown
+            stripes = zonemap.prune_stripes(
+                _epoch_keep_filter(spark, all_stripes, want), predicate
+            )
+    else:
+        stripes = _epoch_keep_filter(spark, all_stripes, want)
     return decode_mod.decode_stage(
         stripes, result_schema, columns, colocated,
         fill_missing=fill or None, verify_checksums=verify_checksums,

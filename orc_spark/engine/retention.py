@@ -21,6 +21,47 @@ from . import lineage as lineage_mod
 
 DEFAULT_HISTORY_LIMIT = 10  # reference default: internal/config/validate.go:88-90
 
+# A rewrite swap is two renames: rename(path, path+OLD); rename(tmp,
+# path). A crash between them leaves the live dir ABSENT with the full
+# pre-rewrite table parked at path+OLD (VERDICT r3 #6) — recover_swap
+# restores it. Suffixes are shared by prune_history and vacuum_epochs.
+_SWAP_OLD = ".swap_old"
+_SWAP_TMP_SUFFIXES = (".retention_tmp", ".vacuum_tmp")
+_LEGACY_OLD_SUFFIXES = (".retention_old", ".vacuum_old")
+
+
+def recover_swap(path: str) -> bool:
+    """Crash recovery for the two-rename table swap. Returns True if a
+    parked pre-rewrite table was restored.
+
+    - live dir MISSING + ``<path>.swap_old`` present: the crash hit
+      between the renames — restore the parked original (the rewrite
+      is idempotent and will be redone).
+    - live dir present + leftover old: the swap committed before the
+      cleanup — drop the old copy.
+    - leftover ``*_tmp`` dirs are never authoritative — drop them.
+    """
+    restored = False
+    for suf in (_SWAP_OLD, *_LEGACY_OLD_SUFFIXES):
+        old = path + suf
+        if os.path.exists(old):
+            if os.path.exists(path):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, path)
+                restored = True
+    for suf in _SWAP_TMP_SUFFIXES:
+        shutil.rmtree(path + suf, ignore_errors=True)
+    return restored
+
+
+def _swap_in(path: str, tmp: str) -> None:
+    """Two-rename swap with a recoverable window (see recover_swap)."""
+    old = path + _SWAP_OLD
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
 
 def list_runs(spark: SparkSession, out_dir: str) -> list[str]:
     """run_ids newest-first (by latest lineage timestamp)."""
@@ -38,6 +79,7 @@ def _rewrite_without(
     spark: SparkSession, path: str, keep_runs: list[str], schema=None,
     precompressed: bool = False,
 ):
+    recover_swap(path)
     if not os.path.exists(path):
         return
     reader = spark.read
@@ -51,23 +93,28 @@ def _rewrite_without(
             "parquet.enable.dictionary", "false"
         )
     w.parquet(tmp)
-    old = path + ".retention_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in(path, tmp)
 
 
 def prune_history(
     spark: SparkSession, out_dir: str, limit: int = DEFAULT_HISTORY_LIMIT
 ) -> list[str]:
     """Keep the newest ``limit`` runs; returns the expired run_ids."""
+    recover_swap(lineage_mod.stripes_dir(out_dir))
+    recover_swap(lineage_mod.lineage_dir(out_dir))
     runs = list_runs(spark, out_dir)
     expired = runs[limit:]
     if not expired:
         return []
     keep = runs[:limit]
+    from .encode import STRIPE_SCHEMA
+
+    # explicit schema: a mixed-schema dir (pre-upgrade files without
+    # the zone-stat/bloom columns) must not let an inferred rewrite
+    # permanently strip those columns from post-upgrade rows
     _rewrite_without(
-        spark, lineage_mod.stripes_dir(out_dir), keep, precompressed=True
+        spark, lineage_mod.stripes_dir(out_dir), keep,
+        schema=STRIPE_SCHEMA, precompressed=True,
     )
     _rewrite_without(
         spark, lineage_mod.lineage_dir(out_dir), keep, lineage_mod.LINEAGE_SCHEMA
@@ -94,9 +141,13 @@ def vacuum_epochs(
     (temp dir + rename swap, as prune_history).
     """
     spath = lineage_mod.stripes_dir(out_dir)
+    recover_swap(spath)
+    recover_swap(lineage_mod.lineage_dir(out_dir))
     if not os.path.exists(spath):
         return 0
-    stripes = spark.read.parquet(spath)
+    from .encode import STRIPE_SCHEMA
+
+    stripes = spark.read.schema(STRIPE_SCHEMA).parquet(spath)
     scope = stripes if run_id is None else stripes.filter(F.col("run_id") == run_id)
     run_cols = scope.drop("data").groupBy("run_id").agg(
         F.countDistinct("column").alias("run_nc")
@@ -139,10 +190,7 @@ def vacuum_epochs(
     kept.write.mode("overwrite").option("compression", "none").option(
         "parquet.enable.dictionary", "false"
     ).parquet(tmp)
-    old = spath + ".vacuum_old"
-    os.rename(spath, old)
-    os.rename(tmp, spath)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_in(spath, tmp)
 
     lpath = lineage_mod.lineage_dir(out_dir)
     if os.path.exists(lpath):
@@ -157,8 +205,5 @@ def vacuum_epochs(
         )
         ltmp = lpath + ".vacuum_tmp"
         lkept.write.mode("overwrite").parquet(ltmp)
-        lold = lpath + ".vacuum_old"
-        os.rename(lpath, lold)
-        os.rename(ltmp, lpath)
-        shutil.rmtree(lold, ignore_errors=True)
+        _swap_in(lpath, ltmp)
     return removed

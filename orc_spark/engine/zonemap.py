@@ -255,6 +255,102 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
 _PUSHDOWN_MAX_GROUPS = 2048
 
 
+def fused_prune(
+    stripes: DataFrame,
+    want_cols: set[str],
+    predicate: list[Conjunct],
+    max_groups: int = _PUSHDOWN_MAX_GROUPS,
+) -> DataFrame | None:
+    """Epoch keep-map + zonemap/bloom keep-set in ONE bounded metadata
+    job (VERDICT r3 #4: a predicated decode previously paid three
+    driver actions — epoch-count collect, prune-keep collect, decode —
+    whose fixed cost made small-table point lookups slower than full
+    decode).
+
+    One aggregation over the blob-free metadata computes, per stripe
+    group, (a) each conjunct's zone/bloom survival flag and (b) the
+    group's requested-column set; window functions then derive each
+    partition's newest COMPLETE epoch and keep only its surviving
+    groups — all inside the same job, so only the survivors (≤
+    ``max_groups``, the point-lookup case by construction) ever reach
+    the driver, where they become literal `partition_id isin` filters
+    pushed to the parquet scan exactly as in :func:`prune_stripes`.
+
+    Returns None when the surviving keep-set exceeds ``max_groups`` —
+    the caller falls back to the distributed two-job path
+    (_epoch_keep_filter + prune_stripes), which joins instead of
+    collecting. Requiring epoch completeness here is strictly safer
+    than _epoch_keep_filter's single-epoch short-circuit: a partition
+    whose only epoch is missing requested columns cannot be decoded
+    anyway.
+    """
+    from pyspark.sql import Window
+
+    want = sorted(want_cols)
+    pcols = {c for c, _, _ in predicate}
+    proj = (
+        stripes.drop("data")
+        .filter(F.col("status") == "completed")
+        .filter(F.col("column").isin(sorted(set(want) | pcols)))
+    )
+    flags = []
+    for i, (c, op, value) in enumerate(predicate):
+        cond = _conjunct_keep(op, value)
+        if op in ("==", "=", "in"):
+            vals = list(value) if op == "in" else [value]
+            bks = [b for b in map(bloom_keep_expr, vals) if b is not None]
+            if bks and len(bks) == len(vals):
+                keep_b = bks[0]  # OR: any member may be present
+                for b in bks[1:]:
+                    keep_b = keep_b | b
+                cond = cond & keep_b
+        # null when the group has no row for the conjunct's column —
+        # which prunes, matching prune_stripes' intersection semantics
+        proj = proj.withColumn(
+            f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
+        )
+        flags.append(f"_k{i}")
+    g = proj.groupBy("partition_id", "epoch", "stripe_idx").agg(
+        F.collect_set(
+            F.when(F.col("column").isin(want), F.col("column"))
+        ).alias("_cols"),
+        *[F.max(F.col(f)).alias(f) for f in flags],
+    )
+    w_pe = Window.partitionBy("partition_id", "epoch")
+    w_p = Window.partitionBy("partition_id")
+    g = (
+        g.withColumn(
+            "_nc",
+            F.size(F.array_distinct(F.flatten(F.collect_list("_cols").over(w_pe)))),
+        )
+        .withColumn("_complete", F.col("_nc") >= len(want))
+        .withColumn(
+            "_best", F.max(F.when(F.col("_complete"), F.col("epoch"))).over(w_p)
+        )
+        .filter(F.col("epoch") == F.col("_best"))  # null best: no epoch kept
+    )
+    for f in flags:
+        g = g.filter(F.col(f) == 1)
+    keys = (
+        g.select("partition_id", "epoch", "stripe_idx")
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(keys) > max_groups:
+        return None
+    base = stripes.filter(F.col("status") == "completed")
+    if not keys:
+        return base.filter(F.lit(False))
+    pids = sorted({int(r.partition_id) for r in keys})
+    group_keys = [
+        f"{int(r.partition_id)}:{int(r.epoch)}:{int(r.stripe_idx)}" for r in keys
+    ]
+    return base.filter(
+        F.col("partition_id").isin(pids)  # pushed to the parquet scan
+        & F.concat_ws(":", "partition_id", "epoch", "stripe_idx").isin(group_keys)
+    )
+
+
 def predicate_expr(predicate: list[Conjunct]) -> Column:
     """The residual row filter equivalent to ``predicate`` (zone maps
     are conservative; callers apply this after decode)."""
@@ -290,8 +386,18 @@ BLOOM_BITS_PER_VALUE = 8
 BLOOM_K = 4
 BLOOM_MIN_BITS = 1 << 10
 BLOOM_MAX_BITS = 1 << 19
-# bump when the hash chain changes: v2 = polynomial rolling hash
-_BLOOM_VERSION = b"\x02"
+# bump when the hash chain OR blob layout changes:
+#   v2 = polynomial rolling hash, layout [version][bitset]
+#   v3 = v2 hashes + a hash-DOMAIN tag byte: [version][domain][bitset].
+# The tag records which value domain the writer hashed (int-family
+# int64s vs string/binary bytes); the reader only lets a bloom VETO a
+# stripe when the probe value hashes in the SAME domain. Without it an
+# int literal probed against a string column's bloom (e.g. 123 vs
+# '123', which Spark's row filter would match via implicit casts)
+# produced a false negative and silently dropped matching rows.
+_BLOOM_VERSION = b"\x03"
+BLOOM_DOMAIN_INT = b"i"  # ints/bools/timestamps(us)/dates(days)
+BLOOM_DOMAIN_STR = b"s"  # utf-8 / binary bytes
 
 
 def _bloom_m(n_values: int) -> int:
@@ -424,6 +530,16 @@ def stripe_bloom(arr: pa.Array) -> bytes | None:
     if n == 0:
         return None
     m = _bloom_m(n)
+    domain = (
+        BLOOM_DOMAIN_STR
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        )
+        else BLOOM_DOMAIN_INT
+    )
     # boolean scatter + packbits beats bitwise_or.at (unbuffered ufunc)
     # by ~10x; little bitorder matches the reader's (idx>>3, idx&7)
     bb = np.zeros(m, dtype=bool)
@@ -432,76 +548,142 @@ def stripe_bloom(arr: pa.Array) -> bytes | None:
     # version prefix: a reader probing with a DIFFERENT hash chain than
     # the writer would produce false negatives (wrong pruning); any
     # unrecognized version is treated as "always keep"
-    return _BLOOM_VERSION + np.packbits(bb, bitorder="little").tobytes()
+    return _BLOOM_VERSION + domain + np.packbits(bb, bitorder="little").tobytes()
 
 
-def _value_hash_pair(value) -> tuple[int, int] | None:
+def _value_hash_pairs(value) -> tuple[list[tuple[int, int]], bytes] | None:
     """The scalar twin of _hash_pairs for a predicate literal — MUST
-    run the identical hash chain or membership breaks."""
+    run the identical hash chain or membership breaks. Returns
+    ([(h1, h2), ...], domain): temporal literals carry BOTH their
+    epoch-us and epoch-days hash pairs (the predicate author may not
+    know whether the column is timestamp or date32 — either encoding
+    matching keeps the stripe), mirroring _as_scalar."""
     if isinstance(value, bool):
-        v = np.array([int(value)], dtype=np.int64)
+        ints = [int(value)]
     elif isinstance(value, int):
-        v = np.array([value], dtype=np.int64)
+        ints = [value]
     elif isinstance(value, (str, bytes)):
         raw = value.encode() if isinstance(value, str) else value
         pre = _string_prehash(
             np.array([len(raw)], dtype=np.int64),
             np.frombuffer(raw, np.uint8),
         )
-        return _mix64(pre)
-    elif isinstance(value, datetime.datetime):
-        iv, _, _ = _as_scalar(value)
-        v = np.array([iv[0]], dtype=np.int64)  # epoch-us stream
-    elif isinstance(value, datetime.date):
-        iv, _, _ = _as_scalar(value)
-        v = np.array(iv, dtype=np.int64)  # both encodings checked
+        h1, h2 = _mix64(pre)
+        return [(int(h1[0]), int(h2[0]))], BLOOM_DOMAIN_STR
+    elif isinstance(value, (datetime.datetime, datetime.date)):
+        ints, _, _ = _as_scalar(value)  # [epoch_us, epoch_days]
     else:
         return None
-    h1, h2 = _mix64(v)
-    return h1, h2
+    h1, h2 = _mix64(np.array(ints, dtype=np.int64))
+    return (
+        [(int(a), int(b)) for a, b in zip(h1.tolist(), h2.tolist())],
+        BLOOM_DOMAIN_INT,
+    )
+
+
+def bloom_membership(
+    blooms, pairs: list[tuple[int, int]], domain: bytes
+) -> np.ndarray:
+    """Vectorized maybe-contains over a sequence of bloom blobs.
+
+    True unless a blob PROVABLY excludes every probe pair. Absent /
+    empty / unknown-version blobs keep; so do blobs whose hash DOMAIN
+    tag differs from the probe's (an int literal cannot veto a
+    string-hashed bitset — Spark's row filter may still match via
+    implicit casts, so a cross-domain veto would drop real rows).
+
+    Pure array ops over the Arrow binary column's OWN buffers: blob
+    starts come from the offsets buffer (zero copy), and the
+    version/domain checks plus every one of the k x len(pairs) probe
+    bits are vectorized gathers into the flat data buffer at
+    start_offset + byte_index — no per-blob numpy calls, joins, or
+    Python probing (at 10^12-doc scale the stripes table is 10^7+
+    rows and a per-row k=4 probe loop was the pruning bottleneck).
+    Bitset length only varies across stripe row counts, so the
+    per-unique-length loop is O(few). Accepts a pa.Array /
+    pa.ChunkedArray (the fast path — what the arrow UDF delivers) or
+    any sequence of bytes/None (converted once).
+    """
+    if not isinstance(blooms, (pa.Array, pa.ChunkedArray)):
+        blooms = pa.array(iter(blooms), type=pa.large_binary())
+    if isinstance(blooms, pa.ChunkedArray):
+        blooms = blooms.combine_chunks()
+    n = len(blooms)
+    out = np.ones(n, dtype=bool)
+    if n == 0:
+        return out
+    t = blooms.type
+    if pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_binary(t):
+        odt = np.int64
+    else:
+        blooms = blooms.cast(pa.large_binary())
+        odt = np.int64
+    bufs = blooms.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=odt)[
+        blooms.offset : blooms.offset + n + 1
+    ].astype(np.int64, copy=False)
+    flat = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts  # null slots have zero length: keep
+    rows = np.nonzero(lens >= 3)[0]
+    if rows.size == 0:
+        return out
+    ok_hdr = (flat[starts[rows]] == _BLOOM_VERSION[0]) & (
+        flat[starts[rows] + 1] == domain[0]
+    )
+    rows = rows[ok_hdr]  # unknown writer / domain mismatch: never veto
+    if rows.size == 0:
+        return out
+    bit_lens = lens[rows] - 2
+    base = starts[rows] + 2
+    keep = np.zeros(rows.size, dtype=bool)
+    for nbytes in np.unique(bit_lens):
+        sel = bit_lens == nbytes
+        gbase = base[sel]
+        m = int(nbytes) << 3
+        gkeep = np.zeros(gbase.size, dtype=bool)
+        for h1, h2 in pairs:  # OR over probe encodings
+            ok = np.ones(gbase.size, dtype=bool)
+            for k in range(BLOOM_K):  # AND over the k split hashes
+                idx = ((h1 + k * h2) & 0xFFFFFFFFFFFFFFFF) % m
+                ok &= (flat[gbase + (idx >> 3)] & np.uint8(1 << (idx & 7))) != 0
+            gkeep |= ok
+        keep[sel] = gkeep
+    out[rows] = keep
+    return out
 
 
 def bloom_keep_expr(value) -> "Column | None":
     """Keep-condition over the stripes' `bloom` column for an equality
     predicate: False only when the bitset PROVABLY excludes the value
-    (all-null / absent blooms always keep). Arrow-vectorized pandas UDF
-    over metadata rows only — never data blobs."""
-    pair = _value_hash_pair(value)
-    if pair is None:
+    (all-null / absent / cross-domain blooms always keep). Vectorized
+    pandas UDF over metadata rows only — never data blobs."""
+    hp = _value_hash_pairs(value)
+    if hp is None:
         return None
-    h1s, h2s = int(pair[0][0]), int(pair[1][0])
-    n_enc = len(pair[0])
-    h1o = int(pair[0][-1])
-    h2o = int(pair[1][-1])
+    pairs, domain = hp
 
-    from pyspark.sql.functions import pandas_udf
+    try:  # Spark 4.x: the UDF receives the pa.Array itself (zero-copy
+        # into bloom_membership's buffer gathers)
+        from pyspark.sql.functions import arrow_udf
 
-    @pandas_udf("boolean")
-    def maybe_contains(blooms):
-        import pandas as pd
+        @arrow_udf("boolean")
+        def maybe_contains(blooms: pa.Array) -> pa.Array:
+            return pa.array(bloom_membership(blooms, pairs, domain))
 
-        pairs = [(h1s, h2s)] if n_enc == 1 else [(h1s, h2s), (h1o, h2o)]
-        out = []
-        for blob in blooms:
-            if (
-                blob is None
-                or len(blob) < 2
-                or blob[:1] != _BLOOM_VERSION  # unknown writer: never veto
-            ):
-                out.append(True)
-                continue
-            bits = np.frombuffer(blob, dtype=np.uint8, offset=1)
-            m = len(bits) << 3
-            keep = False
-            for h1, h2 in pairs:  # plain-int mod-2^64 double hashing
-                ok = True
-                for i in range(BLOOM_K):
-                    idx = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m
-                    if not (bits[idx >> 3] >> (idx & 7)) & 1:
-                        ok = False
-                        break
-                keep = keep or ok
-            out.append(keep)
-        return pd.Series(out)
+    except ImportError:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def maybe_contains(blooms):
+            import pandas as pd
+
+            return pd.Series(bloom_membership(blooms, pairs, domain))
 
     return maybe_contains(F.col("bloom"))

@@ -363,3 +363,66 @@ def test_decode_checksum_verification_catches_corruption(spark, webdf, tmp_path)
         pipeline.decode_job(
             spark, out, "ck1", schema, verify_checksums=True
         ).count()
+
+
+def test_mixed_schema_stripes_dir_reads_and_rewrites_safely(spark, webdf, tmp_path):
+    """ADVICE r3 (medium): a stripes dir spanning an engine upgrade is
+    mixed-schema (r3 added 8 zone-stat/bloom columns). Every read and
+    rewrite path must use the explicit STRIPE_SCHEMA: pre-upgrade rows
+    read their missing stat columns as null ("always keep"), and a
+    retention rewrite must not strip the new columns from newer rows
+    — whichever file footer Spark would have sampled."""
+    from orc_spark.engine import retention
+    from orc_spark.engine.encode import STRIPE_SCHEMA
+
+    out = str(tmp_path / "job")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="new-run", key="url", n_partitions=4,
+        cluster_by="url",
+    )
+    pipeline.run_encode_job(spark, webdf, cfg)
+    sdir = lineage.stripes_dir(out)
+
+    # simulate a pre-upgrade run: same dir, 14-column schema (no
+    # zone stats, no bloom)
+    legacy_cols = [
+        "run_id", "partition_id", "stripe_idx", "column", "codec",
+        "n_rows", "bytes_in", "bytes_out", "checksum", "encode_ms",
+        "attempts", "status", "failure_category", "epoch", "data",
+    ]
+    legacy = (
+        spark.read.schema(STRIPE_SCHEMA).parquet(sdir)
+        .filter(F.col("run_id") == "new-run")
+        .select(legacy_cols)
+        .withColumn("run_id", F.lit("old-run"))
+    )
+    legacy.write.mode("append").option("compression", "none").parquet(sdir)
+    lin_old = lineage.lineage_from_stripes(
+        spark.read.schema(STRIPE_SCHEMA).parquet(sdir)
+        .filter(F.col("run_id") == "old-run").drop("data")
+    )
+    lineage.append_lineage(lin_old, out)
+
+    # reads: full schema with nulls for the legacy rows
+    stripes = pipeline.read_stripes(spark, out)
+    assert "bloom" in stripes.columns and "min_str" in stripes.columns
+    old_rows = stripes.filter(F.col("run_id") == "old-run")
+    assert old_rows.filter(F.col("bloom").isNotNull()).count() == 0
+    assert old_rows.count() > 0
+
+    # predicated decode of BOTH runs: legacy rows never pruned, new
+    # rows pruned exactly; results match a plain filter
+    url = webdf.select("url").orderBy("url").first()[0]
+    pred = [("url", "==", url)]
+    for rid in ("new-run", "old-run"):
+        dec = pipeline.decode_job(
+            spark, out, rid, webdf.schema, predicate=pred
+        ).filter(F.col("url") == url)
+        assert dec.count() == webdf.filter(F.col("url") == url).count(), rid
+
+    # vacuum + retention rewrites keep the new run's stat columns
+    retention.vacuum_epochs(spark, out)
+    retention.prune_history(spark, out, limit=2)
+    after = pipeline.read_stripes(spark, out, "new-run")
+    assert after.filter(F.col("bloom").isNotNull()).count() > 0
+    assert after.filter(F.col("min_str").isNotNull()).count() > 0

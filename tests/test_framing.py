@@ -178,3 +178,39 @@ def test_zlib_adaptive_skip_after_consecutive_misses():
         blob = encode_frame(compressible, "raw", state=st2, compression="zlib")
     assert st2.get("zlib_skip", 0) == 0
     assert blob[5] & 2
+
+
+def test_zlib_skip_counts_once_per_stripe_and_rearms():
+    """ADVICE r3 (low): the miss counter must advance once per STRIPE
+    even when encode_with_fallback walks a multi-codec chain (each
+    attempt deflates the same data), and skip mode must re-probe every
+    Nth frame so a column that turns compressible mid-partition
+    re-arms instead of shipping uncompressed forever."""
+    import numpy as np
+
+    from orc_spark.codecs import framing
+    from orc_spark.engine.encode import encode_with_fallback
+
+    rng = np.random.default_rng(7)
+    incompressible = pa.array(rng.integers(-2**62, 2**62, 4000))
+    st = {}
+    # one stripe through a 2+-codec chain: exactly ONE miss recorded
+    encode_with_fallback(
+        incompressible, ["rle_auto", "raw"], state=st, compression="zlib"
+    )
+    assert st.get("zlib_skip", 0) == 1, st
+
+    # drive into skip mode, then feed compressible stripes: within
+    # _COMPRESS_REPROBE frames a probe fires, wins, and resets
+    for _ in range(3):
+        encode_frame(incompressible, "raw", state=st, compression="zlib")
+    assert st.get("zlib_skip", 0) >= framing._COMPRESS_SKIP_AFTER
+    compressible = pa.array(["boiler plate " * 10] * 500)
+    rearmed = False
+    for _ in range(framing._COMPRESS_REPROBE + 1):
+        blob = encode_frame(compressible, "raw", state=st, compression="zlib")
+        if blob[5] & 2:
+            rearmed = True
+    assert rearmed and st.get("zlib_skip", 0) == 0
+    # once re-armed, the very next compressible frame deflates again
+    assert encode_frame(compressible, "raw", state=st, compression="zlib")[5] & 2

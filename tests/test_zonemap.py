@@ -204,6 +204,14 @@ def test_cli_where_parse():
     assert _parse_where("value < 1.5") == ("value", "<", 1.5)
     assert _parse_where("lang=='en'") == ("lang", "==", "en")
     assert _parse_where("lang = en") == ("lang", "=", "en")
+    # quoting forces string VERBATIM — numeric/date-shaped values in
+    # string columns stay strings (ADVICE r3: there was no way to
+    # express this, and coercion + bloom mismatch silently lost rows)
+    assert _parse_where("id='123'") == ("id", "=", "123")
+    assert _parse_where('day="2024-03-01"') == ("day", "=", "2024-03-01")
+    assert _parse_where("day=2024-03-01") == (
+        "day", "=", datetime.date(2024, 3, 1)
+    )
     with pytest.raises(ValueError):
         _parse_where("no clause here")
     with pytest.raises(ValueError):
@@ -423,17 +431,11 @@ def test_bloom_hash_quality_on_near_identical_strings():
 
     blob = zm.stripe_bloom(arr)
     assert blob[:1] == zm._BLOOM_VERSION
-    bits = np.frombuffer(blob, np.uint8, offset=1)
-    m = len(bits) << 3
+    assert blob[1:2] == zm.BLOOM_DOMAIN_STR
 
     def member(v):
-        pair = zm._value_hash_pair(v)
-        h1, h2 = int(pair[0][0]), int(pair[1][0])
-        return all(
-            (bits[((h1 + k * h2) & 0xFFFFFFFFFFFFFFFF) % m >> 3]
-             >> (((h1 + k * h2) & 0xFFFFFFFFFFFFFFFF) % m & 7)) & 1
-            for k in range(zm.BLOOM_K)
-        )
+        pairs, domain = zm._value_hash_pairs(v)
+        return bool(zm.bloom_membership([blob], pairs, domain)[0])
 
     assert all(member(u) for u in urls[:200])  # no false negatives
     fp = sum(
@@ -454,3 +456,109 @@ def test_bloom_unknown_version_never_vetoes(spark):
         [(b"\x01" + b"\x00" * 128,), (None,), (b"",)], "bloom binary"
     )
     assert [r[0] for r in df.select(expr).collect()] == [True, True, True]
+
+
+def test_bloom_cross_domain_never_vetoes():
+    """ADVICE r3 (high): a probe value hashing in a DIFFERENT domain
+    than the bloom's writer must keep, never veto — Spark's residual
+    row filter can still match via implicit casts ('123' == 123)."""
+    from orc_spark.engine import zonemap as zm
+
+    str_blob = zm.stripe_bloom(pa.array(["abc", "456", "2024-03-01"]))
+    int_blob = zm.stripe_bloom(pa.array([1, 2, 123456]))
+    assert str_blob[1:2] == zm.BLOOM_DOMAIN_STR
+    assert int_blob[1:2] == zm.BLOOM_DOMAIN_INT
+
+    def keeps(blob, value):
+        pairs, domain = zm._value_hash_pairs(value)
+        return bool(zm.bloom_membership([blob], pairs, domain)[0])
+
+    # int literal vs string bloom: '456' is present as a STRING — the
+    # int-domain probe must not veto (and vice versa)
+    assert keeps(str_blob, 456)
+    assert keeps(str_blob, datetime.date(2024, 3, 1))
+    assert keeps(int_blob, "123456")
+    # same-domain absent values still veto (pruning works at all)
+    assert not keeps(str_blob, "zzz-not-there")
+    assert not keeps(int_blob, 999_999_999)
+
+
+def test_bloom_temporal_probe_checks_both_encodings():
+    """A datetime literal must probe BOTH the epoch-us and epoch-days
+    hash streams: a date32 column's bloom holds epoch-days hashes and
+    r3's us-only probe falsely vetoed it (ADVICE r3, high)."""
+    from orc_spark.engine import zonemap as zm
+
+    days = pa.array(
+        [datetime.date(2024, 3, 1), datetime.date(2024, 3, 2)],
+        type=pa.date32(),
+    )
+    ts = pa.array(
+        [datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 2)],
+        type=pa.timestamp("us"),
+    )
+    date_blob = zm.stripe_bloom(days)
+    ts_blob = zm.stripe_bloom(ts)
+
+    def keeps(blob, value):
+        pairs, domain = zm._value_hash_pairs(value)
+        return bool(zm.bloom_membership([blob], pairs, domain)[0])
+
+    # datetime literal vs date32 column and date literal vs timestamp
+    # column: either encoding matching keeps the stripe
+    assert keeps(date_blob, datetime.datetime(2024, 3, 1))
+    assert keeps(ts_blob, datetime.date(2024, 3, 2))
+    assert keeps(date_blob, datetime.date(2024, 3, 1))
+    assert keeps(ts_blob, datetime.datetime(2024, 3, 2))
+    # absent dates still veto under both encodings
+    assert not keeps(date_blob, datetime.date(2031, 1, 1))
+    assert not keeps(ts_blob, datetime.datetime(2031, 1, 1))
+
+
+def test_bloom_membership_vectorized_beats_loop():
+    """bloom_membership is pure array ops — >=10x over a per-blob
+    Python probe loop on a metadata-scale batch (VERDICT r3 #5; at
+    10^12-doc scale the stripes table is 10^7+ rows and the loop was
+    the pruning bottleneck). Rates compared on process-time."""
+    import time
+
+    from orc_spark.engine import zonemap as zm
+
+    blob = zm.stripe_bloom(pa.array([f"u{i}" for i in range(2000)]))
+    pairs, domain = zm._value_hash_pairs("u77")
+    n_vec, n_loop = 1_000_000, 50_000
+    # the arrow UDF hands bloom_membership the pa.Array itself — build
+    # it outside the timed region, exactly as Spark does
+    blobs_vec = pa.array([blob] * n_vec, type=pa.large_binary())
+
+    # warm at full size: this VM's first-touch page faults are ~1000x
+    # slow in degraded phases and would charge one-off allocation cost
+    # to the kernel under test (see tests/conftest.py malloc tunables)
+    zm.bloom_membership(blobs_vec, pairs, domain)
+    t0 = time.process_time()
+    got = zm.bloom_membership(blobs_vec, pairs, domain)
+    vec_per_row = (time.process_time() - t0) / n_vec
+    assert got.all() and len(got) == n_vec
+
+    mask = 0xFFFFFFFFFFFFFFFF
+
+    def loop_member(b):
+        bits = np.frombuffer(b, np.uint8, offset=2)
+        m = len(bits) << 3
+        keep = False
+        for h1, h2 in pairs:
+            ok = True
+            for k in range(zm.BLOOM_K):
+                idx = ((h1 + k * h2) & mask) % m
+                if not (bits[idx >> 3] >> (idx & 7)) & 1:
+                    ok = False
+                    break
+            keep = keep or ok
+        return keep
+
+    t0 = time.process_time()
+    for _ in range(n_loop):
+        loop_member(blob)
+    loop_per_row = (time.process_time() - t0) / n_loop
+
+    assert vec_per_row * 10 <= loop_per_row, (vec_per_row, loop_per_row)
