@@ -255,6 +255,68 @@ def _q_compact_roundtrip(spark, sf_dir):
     return pipeline.decode_job(spark, out, res.run_id, df.schema, cols)
 
 
+def _q_vacuum_reclaim(spark, sf_dir):
+    """Space reclaim of superseded epochs (retention.vacuum_epochs —
+    the parquet stand-in for Iceberg remove_orphan_files): inject
+    faults into 2 of 4 partitions, resume (re-encoding them whole at
+    epoch 1), vacuum the superseded epoch-0 stripes, and decode. The
+    query asserts rows were physically removed and the ledger stayed
+    consistent; the oracle (plain SELECT) pins that the surviving
+    stripes still decode bit-identically."""
+    from orc_spark.engine import pipeline, retention
+
+    cols = ["doc_id", "text", "lang"]
+    df = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_vac_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="vac", key="doc_id", columns=cols,
+        n_partitions=4, fault_spec={"columns": ["text"], "partitions": [1, 2]},
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    cfg_resume = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="vac", key="doc_id", columns=cols, n_partitions=4
+    )
+    pipeline.run_encode_job(spark, df, cfg_resume)
+    before = pipeline.read_stripes(spark, out, "vac").count()
+    removed = retention.vacuum_epochs(spark, out, "vac")
+    after = pipeline.read_stripes(spark, out, "vac").count()
+    if not (removed > 0 and after == before - removed):
+        raise AssertionError(
+            f"vacuum did not reclaim: {before} -> {after} (removed={removed})"
+        )
+    return pipeline.decode_job(spark, out, "vac", df.schema, cols)
+
+
+def _q_schema_evolution(spark, sf_dir):
+    """Schema evolution on decode (Iceberg add-column read semantics):
+    the run encoded only (doc_id, lang); the decode requests the WIDER
+    current schema with n_chars, which never existed in this run's
+    stripes — allow_missing_columns null-fills it with the requested
+    type. The oracle is the SELECT with a typed NULL literal."""
+    from orc_spark.engine import pipeline
+
+    df = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_se_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-se-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    wider = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .schema
+    )
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, wider,
+        columns=["doc_id", "lang", "n_chars"],
+        allow_missing_columns=True,
+    )
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -857,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
+        "vacuum_reclaim": _q_vacuum_reclaim,
+        "schema_evolution": _q_schema_evolution,
         "zonemap_prune": _q_zonemap_prune,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -1041,6 +1105,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "vacuum_reclaim": "SELECT doc_id, text, lang FROM documents",
+        "schema_evolution": (
+            "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars "
+            "FROM documents"
+        ),
         "bloom_point_lookup": (
             "SELECT event_id, value FROM events "
             "WHERE event_id = (SELECT MAX(event_id) // 2 FROM events)"
