@@ -268,13 +268,22 @@ def fused_prune(
     decode).
 
     One aggregation over the blob-free metadata computes, per stripe
-    group, (a) each conjunct's zone/bloom survival flag and (b) the
-    group's requested-column set; window functions then derive each
+    group, (a) each conjunct's ZONE survival flag and (b) the group's
+    requested-column set; window functions then derive each
     partition's newest COMPLETE epoch and keep only its surviving
     groups — all inside the same job, so only the survivors (≤
     ``max_groups``, the point-lookup case by construction) ever reach
     the driver, where they become literal `partition_id isin` filters
     pushed to the parquet scan exactly as in :func:`prune_stripes`.
+
+    BLOOM probes run DRIVER-SIDE over the collected survivors' blobs
+    (one numpy bloom_membership call per conjunct): a pandas/arrow UDF
+    here would add a Python-worker stage whose fixed cost exceeds the
+    whole metadata job at small table sizes — the very overhead this
+    fusion exists to remove. Collected blob volume is bounded by
+    ``max_groups`` x BLOOM_MAX_BITS/8 (2048 x 64 KB = 128 MB worst
+    case, ~10 MB typical); above the cap the caller's fallback path
+    evaluates blooms distributed via bloom_keep_expr.
 
     Returns None when the surviving keep-set exceeds ``max_groups`` —
     the caller falls back to the distributed two-job path
@@ -294,28 +303,34 @@ def fused_prune(
         .filter(F.col("column").isin(sorted(set(want) | pcols)))
     )
     flags = []
+    bloom_probes: dict[str, list] = {}  # agg alias -> probe values
+    has_bloom = "bloom" in stripes.columns
     for i, (c, op, value) in enumerate(predicate):
         cond = _conjunct_keep(op, value)
-        if op in ("==", "=", "in"):
-            vals = list(value) if op == "in" else [value]
-            bks = [b for b in map(bloom_keep_expr, vals) if b is not None]
-            if bks and len(bks) == len(vals):
-                keep_b = bks[0]  # OR: any member may be present
-                for b in bks[1:]:
-                    keep_b = keep_b | b
-                cond = cond & keep_b
         # null when the group has no row for the conjunct's column —
         # which prunes, matching prune_stripes' intersection semantics
         proj = proj.withColumn(
             f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
         )
         flags.append(f"_k{i}")
-    g = proj.groupBy("partition_id", "epoch", "stripe_idx").agg(
+        if has_bloom and op in ("==", "=", "in"):
+            vals = list(value) if op == "in" else [value]
+            if vals and all(_value_hash_pairs(v) is not None for v in vals):
+                bloom_probes[f"_b{i}"] = [(f"_k{i}", c, vals)]
+    aggs = [
         F.collect_set(
             F.when(F.col("column").isin(want), F.col("column"))
         ).alias("_cols"),
         *[F.max(F.col(f)).alias(f) for f in flags],
-    )
+        *[
+            F.first(
+                F.when(F.col("column") == spec[0][1], F.col("bloom")),
+                ignorenulls=True,
+            ).alias(alias)
+            for alias, spec in bloom_probes.items()
+        ],
+    ]
+    g = proj.groupBy("partition_id", "epoch", "stripe_idx").agg(*aggs)
     w_pe = Window.partitionBy("partition_id", "epoch")
     w_p = Window.partitionBy("partition_id")
     g = (
@@ -332,12 +347,22 @@ def fused_prune(
     for f in flags:
         g = g.filter(F.col(f) == 1)
     keys = (
-        g.select("partition_id", "epoch", "stripe_idx")
+        g.select("partition_id", "epoch", "stripe_idx", *bloom_probes)
         .limit(max_groups + 1)
         .collect()
     )
     if len(keys) > max_groups:
         return None
+    # driver-side bloom veto: AND across conjuncts, OR across IN-list
+    # members; absent/cross-domain blobs keep (bloom_membership)
+    for alias, spec in bloom_probes.items():
+        _, _, vals = spec[0]
+        blobs = [r[alias] for r in keys]
+        keep = np.zeros(len(keys), dtype=bool)
+        for v in vals:
+            pairs, domain = _value_hash_pairs(v)
+            keep |= bloom_membership(blobs, pairs, domain)
+        keys = [r for r, k in zip(keys, keep.tolist()) if k]
     base = stripes.filter(F.col("status") == "completed")
     if not keys:
         return base.filter(F.lit(False))
