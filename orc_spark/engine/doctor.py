@@ -52,13 +52,47 @@ def environment_report() -> dict:
     return out
 
 
+def _storage_notes(out_dir: str) -> list[str]:
+    """Interrupted-rewrite leftovers (retention/vacuum two-rename swap
+    windows) — readable state, but worth surfacing: a parked `_old`
+    copy means a rewrite crashed and the next read will restore it."""
+    import os
+
+    from . import retention
+
+    notes = []
+    for path in (
+        lineage_mod.stripes_dir(out_dir),
+        lineage_mod.lineage_dir(out_dir),
+    ):
+        name = os.path.basename(path)
+        for suf in (retention._SWAP_OLD, *retention._LEGACY_OLD_SUFFIXES):
+            if os.path.exists(path + suf):
+                notes.append(
+                    f"{name}{suf} present: a retention/vacuum rewrite was "
+                    "interrupted mid-swap; any engine read (or "
+                    "retention.recover_swap) restores/cleans it"
+                )
+        for suf in retention._SWAP_TMP_SUFFIXES:
+            if os.path.exists(path + suf):
+                notes.append(
+                    f"{name}{suf} present: leftover rewrite temp dir — "
+                    "never authoritative; recover_swap deletes it"
+                )
+    return notes
+
+
 def diagnose_run(spark: SparkSession, out_dir: str, run_id: str | None = None) -> dict:
     """Rule-based failure diagnosis over the lineage ledger."""
+    storage_notes = _storage_notes(out_dir)
     lin = lineage_mod.read_lineage(spark, out_dir)
     if run_id:
         lin = lin.filter(F.col("run_id") == run_id)
     if lin.limit(1).count() == 0:
-        return {"found": False, "advice": ["no lineage for this run_id/out_dir"]}
+        out = {"found": False, "advice": ["no lineage for this run_id/out_dir"]}
+        if storage_notes:
+            out["storage_notes"] = storage_notes
+        return out
 
     by_run = {}
     runs = [r.run_id for r in lin.select("run_id").distinct().collect()]
@@ -108,4 +142,7 @@ def diagnose_run(spark: SparkSession, out_dir: str, run_id: str | None = None) -
         else:
             entry["advice"] = ["all stripes completed at the latest epoch"]
         by_run[rid] = entry
-    return {"found": True, "runs": by_run}
+    out = {"found": True, "runs": by_run}
+    if storage_notes:
+        out["storage_notes"] = storage_notes
+    return out

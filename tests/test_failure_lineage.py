@@ -220,3 +220,17 @@ def test_doctor_diagnoses_and_advises(spark, docs, tmp_path, capsys):
     assert main(["doctor", "--out", out, "--run-id", "fl"]) == 0
     rep = _json.loads(capsys.readouterr().out)
     assert rep["diagnosis"]["found"] is True
+
+    # interrupted-swap leftovers are surfaced (r4): park a fake _old
+    # copy next to the stripes dir and doctor names it
+    import os as _os
+    import shutil as _shutil
+
+    from orc_spark.engine import retention
+
+    sdir = _os.path.join(out, "stripes")
+    _shutil.copytree(sdir, sdir + retention._SWAP_OLD)
+    diag3 = doctor.diagnose_run(spark, out, "fl")
+    assert any("swap" in n for n in diag3.get("storage_notes", [])), diag3
+    assert retention.recover_swap(sdir) is False  # live dir wins
+    assert "storage_notes" not in doctor.diagnose_run(spark, out, "fl")

@@ -562,3 +562,71 @@ def test_bloom_membership_vectorized_beats_loop():
     loop_per_row = (time.process_time() - t0) / n_loop
 
     assert vec_per_row * 10 <= loop_per_row, (vec_per_row, loop_per_row)
+
+
+def test_fused_prune_equals_two_job_path_and_caps(spark):
+    """The ONE-job fused prune (epoch keep + zone + driver-side bloom)
+    must select exactly the stripe groups the two-job path
+    (_epoch_keep_filter -> prune_stripes) selects; above max_groups it
+    signals fallback with None; an absent value keeps nothing."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    # two epochs: resume after faulting one partition, so epoch keep
+    # logic is actually exercised by the fused job
+    out = tempfile.mkdtemp(prefix="orcspark_fused_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="fz", key="event_id",
+        columns=["event_id", "event_type", "value"], n_partitions=4,
+        cluster_by="event_id",
+        fault_spec={"columns": ["value"], "partitions": [1]},
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="fz", key="event_id",
+        columns=["event_id", "event_type", "value"], n_partitions=4,
+        cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg2)
+
+    stripes = pipeline.read_stripes(spark, out, "fz")
+    want = {"event_id", "event_type", "value"}
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    pred = [("event_id", "between", (0, mx // 3)), ("event_type", "==", "click")]
+
+    def groups(df):
+        return sorted(
+            (int(r.partition_id), int(r.epoch), int(r.stripe_idx))
+            for r in df.select("partition_id", "epoch", "stripe_idx")
+            .distinct().collect()
+        )
+
+    fused = zonemap.fused_prune(stripes, want, pred)
+    assert fused is not None
+    old = zonemap.prune_stripes(
+        pipeline._epoch_keep_filter(spark, stripes, want), pred
+    )
+    assert groups(fused) == groups(old)
+    assert groups(fused)  # non-degenerate: something survives
+
+    # cap: one group allowed, more survive -> fallback signal
+    assert zonemap.fused_prune(stripes, want, pred, max_groups=0) is None
+
+    # absent value: bloom + zones veto everything, empty result
+    gone = zonemap.fused_prune(stripes, want, [("event_id", "==", 10**12)])
+    assert gone is not None and gone.count() == 0
+
+    # end-to-end: fused-predicated decode equals the plain filter
+    dec = pipeline.decode_job(
+        spark, out, "fz", events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    expect = events.filter(
+        F.col("event_id").between(0, mx // 3)
+        & (F.col("event_type") == "click")
+    )
+    assert _rows(dec) == _rows(expect) and expect.count() > 0
