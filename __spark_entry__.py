@@ -317,6 +317,66 @@ def _q_schema_evolution(spark, sf_dir):
     )
 
 
+def _q_null_inequality_decode(spark, sf_dir):
+    """r4 predicate ops — IS NOT NULL pruning on the per-stripe
+    null_count and != pruning on provably single-valued stripes
+    (zonemap._conjunct_keep): documents with a seeded-null lang column
+    are encoded clustered by it (nulls sort first, so null-free and
+    single-language stripes are provable from stats alone), then
+    decoded with (not_null AND != 'en'). The conservative residual
+    makes the result exactly the SQL WHERE; oracle rebuilds the same
+    seeded column."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F2.when(F2.col("doc_id") % 7 == 0, F2.lit(None))
+        .otherwise(F2.col("lang")).alias("lang_n"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_np_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-np-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang_n"],
+        n_partitions=4,
+        cluster_by="lang_n",
+        stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pred = [("lang_n", "not_null", None), ("lang_n", "!=", "en")]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
+def _q_metadata_aggregate(spark, sf_dir):
+    """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
+    partition-stats / parquet footer-aggregate analogue): MIN/MAX/
+    COUNT/null-count per column answered from the stripes table's zone
+    statistics with ZERO data bytes read. The oracle recomputes the
+    same aggregates from the raw table (timestamps via epoch-us, the
+    zone stats' int encoding), so a wrong stripe stat anywhere
+    hash-mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_ma_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-ma-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "ts", "value"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    return pipeline.metadata_aggregate(
+        spark, out, cfg.run_id, ["event_id", "ts", "value"]
+    )
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -806,6 +866,16 @@ def _q_near_dup_purge(spark, sf_dir):
     return dedup.near_dup_purge(_load(spark, sf_dir, "documents"))
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the near-dup graph (iterative
+    min-label propagation, localCheckpoint-bounded lineage): one
+    canonical keeper per CLUSTER, not per pair. Oracle = exact
+    components via a DuckDB recursive reachability CTE."""
+    from orc_spark.textops import dedup
+
+    return dedup.near_dup_clusters(_load(spark, sf_dir, "documents"))
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash near-pairs with the md5 hash variant, whose ENTIRE
     computation (tokenize, per-token hash bits, bit votes, signature
@@ -904,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
@@ -922,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
         "zonemap_prune": _q_zonemap_prune,
+        "null_inequality_decode": _q_null_inequality_decode,
+        "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -1071,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", shingle_k=3, threshold=0.5
         ),
         "near_dup_purge": dedup.near_dup_purge_sql("documents"),
+        "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
@@ -1130,6 +1204,25 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_prune": (
             "SELECT event_id, value FROM events "
             "WHERE event_id BETWEEN 2500 AND 4999"
+        ),
+        "null_inequality_decode": (
+            "SELECT doc_id, lang AS lang_n FROM documents "
+            "WHERE doc_id % 7 <> 0 AND lang <> 'en'"
+        ),
+        "metadata_aggregate": (
+            'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '
+            "COUNT(*) - COUNT(event_id) AS n_nulls, "
+            "CAST(MIN(event_id) AS BIGINT) AS min_int, "
+            "CAST(MAX(event_id) AS BIGINT) AS max_int, "
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            "FROM events UNION ALL "
+            "SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), "
+            "CAST(epoch_us(MIN(ts)) AS BIGINT), CAST(epoch_us(MAX(ts)) AS BIGINT), "
+            "NULL, NULL, NULL, NULL FROM events UNION ALL "
+            "SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), NULL, NULL, "
+            "MIN(value), MAX(value), NULL, NULL FROM events "
+            'ORDER BY "column"'
         ),
         "decode_projection": "SELECT doc_id, lang FROM documents",
         "stats_sample_documents": stats.stats_sample_sql(

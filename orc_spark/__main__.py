@@ -78,15 +78,19 @@ def cmd_encode(args) -> int:
     return EXIT_OK
 
 
-_WHERE_OPS = (">=", "<=", "==", ">", "<", "=")  # longest first
+_WHERE_OPS = (">=", "<=", "==", "!=", ">", "<", "=")  # longest first
 
 
 def _parse_where(clause: str) -> tuple[str, str, object]:
     """`col>=value` -> a zonemap conjunct; value is int, then float,
-    then bare string (no quoting needed at the CLI). `col in a,b,c`
-    -> an IN-list conjunct (blooms OR-combined)."""
+    then bare string (quote to force string verbatim). `col in a,b,c`
+    -> an IN-list conjunct (blooms OR-combined); `col is [not] null`
+    -> a null-count conjunct."""
     import re as _re
 
+    m = _re.match(r"^\s*(\w+)\s+is\s+(not\s+)?null\s*$", clause, _re.IGNORECASE)
+    if m:
+        return m.group(1), ("not_null" if m.group(2) else "is_null"), None
     m = _re.match(r"^\s*(\w+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
     if m and not any(op in clause for op in _WHERE_OPS):
         vals = [_parse_value(v.strip()) for v in m.group(2).split(",") if v.strip()]

@@ -142,7 +142,13 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
             continue
         c = batch.column(batch.schema.get_field_index(col))
         try:
-            if op == "in":
+            if op == "is_null":
+                m = pc.is_null(c)
+            elif op == "not_null":
+                m = pc.is_valid(c)
+            elif op == "!=":
+                m = pc.not_equal(c, _residual_scalar(value, c.type))
+            elif op == "in":
                 m = pc.is_in(c, value_set=pa.array(list(value), type=c.type))
             elif op == "between":
                 m = pc.and_kleene(

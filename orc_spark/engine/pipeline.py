@@ -490,6 +490,90 @@ def decode_job(
     )
 
 
+def metadata_aggregate(
+    spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
+) -> DataFrame:
+    """MIN / MAX / COUNT / null count per column answered ENTIRELY from
+    the stripes table's zone statistics — zero data bytes read (the
+    Iceberg `system.partitions` / parquet footer-aggregate analogue;
+    Spark itself does this for parquet via
+    spark.sql.parquet.aggregatePushdown).
+
+    Exactness is guaranteed, never approximated: per-stripe min/max are
+    exact for the stripe, so their min/max across the kept epoch is the
+    table's; a column where ANY kept stripe holds data rows without
+    family stats (NaN-poisoned floats, exotic types) raises ValueError
+    instead of returning a wrong bound — decode-and-aggregate is the
+    fallback. Epoch selection matches decode_job's exactly.
+
+    At 100 TB this is the difference between a metadata scan (one row
+    per stripe x column) and decoding the table to answer
+    `SELECT MIN(ts), MAX(ts), COUNT(*)`.
+    """
+    want = set(columns)
+    stripes = read_stripes(spark, out_dir, run_id)
+    meta = _epoch_keep_filter(spark, stripes, want).drop("data").filter(
+        F.col("column").isin(list(want))
+    )
+    rows = (
+        meta.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("null_count").alias("n_nulls"),
+            F.min("min_int").alias("min_int"),
+            F.max("max_int").alias("max_int"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+            F.sum(
+                F.when(
+                    (F.col("n_rows") > F.coalesce("null_count", F.lit(0)))
+                    & F.col("min_int").isNull()
+                    & F.col("min_num").isNull()
+                    & F.col("min_str").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_statless"),
+            F.sum(
+                F.when(F.col("null_count").isNull(), 1).otherwise(0)
+            ).alias("n_countless"),
+        )
+        .collect()
+    )
+    by_col = {r.column: r for r in rows}
+    missing = sorted(want - set(by_col))
+    if missing:
+        raise ValueError(f"no stripes for column(s) {missing} in run {run_id!r}")
+    out = []
+    for c in sorted(want):
+        r = by_col[c]
+        if int(r.n_countless):
+            raise ValueError(
+                f"column {c!r}: {r.n_countless} stripe(s) lack null counts — "
+                "metadata aggregate would be inexact; decode instead"
+            )
+        if int(r.n_statless):
+            raise ValueError(
+                f"column {c!r}: {r.n_statless} stripe(s) hold rows without "
+                "zone stats (NaN-poisoned / unsupported type) — min/max "
+                "from metadata would be wrong; decode instead"
+            )
+        out.append(
+            (
+                c, int(r.n_rows), int(r.n_nulls),
+                r.min_int, r.max_int, r.min_num, r.max_num,
+                r.min_str, r.max_str,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "min_int bigint, max_int bigint, min_num double, max_num double, "
+        "min_str string, max_str string",
+    )
+
+
 def verify_roundtrip(
     original: DataFrame, decoded: DataFrame, key: str
 ) -> dict[str, int]:

@@ -31,12 +31,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A predicate is a list of conjuncts: (column, op, value) with op in
-# {'==', '=', '>', '>=', '<', '<=', 'between', 'in'}; 'between' takes
-# a (lo, hi) inclusive pair; 'in' takes an iterable of values (IN-list
-# point lookups — zone-map ranges OR-combined, blooms OR-combined).
+# {'==', '=', '!=', '>', '>=', '<', '<=', 'between', 'in', 'is_null',
+# 'not_null'}; 'between' takes a (lo, hi) inclusive pair; 'in' takes
+# an iterable of values (IN-list point lookups — zone-map ranges
+# OR-combined, blooms OR-combined); 'is_null'/'not_null' ignore the
+# value and prune on the per-stripe null_count; '!=' prunes only
+# stripes PROVABLY single-valued at the literal (min == max == v).
 Conjunct = tuple  # (str, str, object)
 
-_OPS = {"==", "=", ">", ">=", "<", "<=", "between", "in"}
+_OPS = {
+    "==", "=", "!=", ">", ">=", "<", "<=", "between", "in",
+    "is_null", "not_null",
+}
 
 
 # ------------------------------------------------------- encode side
@@ -168,9 +174,43 @@ def _range_overlap(lo, hi) -> Column:
     return checked | ~stats_present  # no stats -> never prune
 
 
+def _single_valued_at(value) -> Column:
+    """True when the stripe's stats PROVE every non-null value equals
+    ``value`` (min == max == v in the literal's stat family) — the only
+    layout a `!=` predicate can prune. Null rows never match `!=`
+    under Spark WHERE semantics, so nulls don't block the prune;
+    absent stats never prove anything (keep)."""
+    ints, num, s = _as_scalar(value)
+
+    def fam(minc: str, maxc: str, v) -> Column:
+        return (
+            F.col(minc).isNotNull()
+            & (F.col(minc) == F.lit(v))
+            & (F.col(maxc) == F.lit(v))
+        )
+
+    if s is not None:
+        return fam("min_str", "max_str", s)
+    if num is not None:
+        return fam("min_num", "max_num", num)
+    cond = fam("min_num", "max_num", float(ints[0]))
+    for iv in ints:  # temporal literals: either encoding may prove it
+        cond = cond | fam("min_int", "max_int", iv)
+    return cond
+
+
 def _conjunct_keep(op: str, value) -> Column:
     if op not in _OPS:
         raise ValueError(f"unsupported predicate op: {op!r}")
+    if op == "is_null":
+        # keep iff the stripe may contain a null (absent count: keep)
+        return F.col("null_count").isNull() | (F.col("null_count") > 0)
+    if op == "not_null":
+        return F.col("null_count").isNull() | (
+            F.col("null_count") < F.col("n_rows")
+        )
+    if op == "!=":
+        return ~_single_valued_at(value)
     if op == "between":
         lo, hi = value
         return _range_overlap(lo, hi)
@@ -382,7 +422,13 @@ def predicate_expr(predicate: list[Conjunct]) -> Column:
     cond = F.lit(True)
     for col, op, value in predicate:
         c = F.col(col)
-        if op == "in":
+        if op == "is_null":
+            cond = cond & c.isNull()
+        elif op == "not_null":
+            cond = cond & c.isNotNull()
+        elif op == "!=":
+            cond = cond & (c != F.lit(value))
+        elif op == "in":
             cond = cond & c.isin(list(value))
         elif op == "between":
             cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))

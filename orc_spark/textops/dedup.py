@@ -550,3 +550,121 @@ FROM sigs a JOIN sigs b ON a.id < b.id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every
+    document that appears in at least one near-dup pair is mapped to
+    its component's canonical id (the minimum member id — the same
+    keeper rule as exact_dedup) plus the component size. Pairwise
+    near-dup lists under-describe a training corpus: A~B and B~C often
+    hold while A~C misses the threshold, and purge decisions should be
+    made once per CLUSTER, not per edge.
+
+    Iterative min-label propagation as pure DataFrame ops: each round
+    joins labels to the (symmetrized) edge list, takes the min
+    neighbor label, and converges when no label changes — rounds
+    needed = graph diameter (near-dup components are shallow; the
+    large-star/small-star variant trades more complex rounds for
+    O(log n) worst case if ever needed). Per round: one bounded
+    shuffle keyed by node id plus one scalar count action;
+    localCheckpoint truncates the iterative lineage so the plan stays
+    flat at any round count. Uses exact n-gram Jaccard pairs here
+    (oracle-checkable via a DuckDB recursive CTE); at corpus scale
+    swap in minhash_lsh_pairs, the clustering is unchanged.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_k, threshold, df_cap=df_cap
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # pair mining runs once, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        old = labels.select("id", F.col("label").alias("old_label"))
+        changed = (
+            new.join(old, "id")
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("id"), F.col("label").alias("cluster_id"), "n_members")
+        .orderBy("id")
+    )
+
+
+def near_dup_clusters_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+) -> str:
+    """DuckDB twin of :func:`near_dup_clusters`: the same pair SQL,
+    components via a recursive reachability CTE, label = MIN over the
+    reachable set — exact connected components, so any propagation bug
+    on the Spark side hash-mismatches."""
+    pair_sql = ngram_jaccard_sql(
+        table, text_col, id_col, shingle_k, threshold, df_cap
+    )
+    return (
+        f"WITH RECURSIVE pairs AS ({pair_sql}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), "
+        "reach(id, r) AS ("
+        "SELECT id, id FROM nodes "
+        "UNION "
+        "SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r"
+        "), "
+        "comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id), "
+        "sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp "
+        "GROUP BY cluster_id) "
+        "SELECT comp.id, comp.cluster_id, sizes.n_members "
+        "FROM comp JOIN sizes USING (cluster_id) ORDER BY comp.id"
+    )

@@ -426,3 +426,60 @@ def test_mixed_schema_stripes_dir_reads_and_rewrites_safely(spark, webdf, tmp_pa
     after = pipeline.read_stripes(spark, out, "new-run")
     assert after.filter(F.col("bloom").isNotNull()).count() > 0
     assert after.filter(F.col("min_str").isNotNull()).count() > 0
+
+
+def test_metadata_aggregate_exact_or_loud(spark, tmp_path):
+    """Zone-stat aggregates are exact or they refuse: NaN-poisoned
+    float stripes (no stats recorded) raise instead of returning a
+    wrong MIN/MAX; clean columns match decode-side aggregation,
+    including nulls and an all-null column."""
+    import pytest as _pytest
+
+    rows = [
+        (
+            i,
+            None if i % 5 == 0 else float(i) / 4,
+            None,  # all-null string column
+            f"s{i:04d}" if i % 3 else None,
+        )
+        for i in range(512)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, value double, empty string, tag string"
+    )
+    out = str(tmp_path / "ma")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="ma", key="event_id", n_partitions=4,
+        stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    got = {
+        r.column: r
+        for r in pipeline.metadata_aggregate(
+            spark, out, "ma", ["event_id", "value", "empty", "tag"]
+        ).collect()
+    }
+    assert got["event_id"].min_int == 0 and got["event_id"].max_int == 511
+    assert got["event_id"].n_nulls == 0 and got["event_id"].n_rows == 512
+    assert got["value"].n_nulls == 103  # i % 5 == 0 in [0, 512)
+    assert got["value"].min_num == 0.25 and got["value"].max_num == 511 / 4
+    assert got["empty"].n_nulls == 512 and got["empty"].min_str is None
+    assert got["tag"].min_str == "s0001" and got["tag"].max_str == "s0511"
+
+    # NaN-poisoned float column: stats absent -> loud refusal
+    bad = spark.createDataFrame(
+        [(i, float("nan") if i == 7 else 1.0) for i in range(64)],
+        "event_id long, value double",
+    )
+    out2 = str(tmp_path / "ma_nan")
+    pipeline.run_encode_job(
+        spark, bad,
+        pipeline.EncodeJobConfig(
+            out_dir=out2, run_id="nan", key="event_id", n_partitions=2
+        ),
+    )
+    with _pytest.raises(ValueError, match="zone stats"):
+        pipeline.metadata_aggregate(spark, out2, "nan", ["value"])
+    # but the int column still answers
+    ok = pipeline.metadata_aggregate(spark, out2, "nan", ["event_id"]).first()
+    assert ok.min_int == 0 and ok.max_int == 63

@@ -269,3 +269,37 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert rows[1].repetition > 0.9
     assert rows[2].repetition == 0.0
     assert rows[3].repetition == 0.0 and rows[3].n_ngrams == 0
+
+
+def test_near_dup_clusters_transitive(spark, dup_docs):
+    """Components, not edges: A~B and B~C put A,B,C in ONE cluster
+    labeled by the min id even when A~C misses the threshold; nodes
+    with no near-dup edge don't appear."""
+    out = {
+        r.id: (r.cluster_id, r.n_members)
+        for r in dedup.near_dup_clusters(dup_docs, threshold=0.4).collect()
+    }
+    # docs 1,2 exact; 3 near both; 4,6 exact; 5 isolated
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[4] == (4, 2) and out[6] == (4, 2)
+    assert 5 not in out
+
+    # forced chain: X~Y, Y~Z, X!~Z (transitivity is the point)
+    chain = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta iota kappa"),
+            (12, "delta epsilon zeta iota kappa lambda mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(chain, threshold=0.3).collect()
+    }
+    assert (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs
+    got = {
+        r.id: (r.cluster_id, r.n_members)
+        for r in dedup.near_dup_clusters(chain, threshold=0.3).collect()
+    }
+    assert got == {10: (10, 3), 11: (10, 3), 12: (10, 3)}

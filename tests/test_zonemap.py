@@ -190,7 +190,7 @@ def test_predicate_validation():
     from orc_spark.engine import zonemap
 
     with pytest.raises(ValueError):
-        zonemap._conjunct_keep("!=", 3)
+        zonemap._conjunct_keep("like", "x%")  # != is supported since r4
     with pytest.raises(TypeError):
         zonemap._as_scalar(object())
 
@@ -630,3 +630,87 @@ def test_fused_prune_equals_two_job_path_and_caps(spark):
         & (F.col("event_type") == "click")
     )
     assert _rows(dec) == _rows(expect) and expect.count() > 0
+
+
+def test_null_and_inequality_predicates(spark):
+    """r4 ops: is_null / not_null prune on the per-stripe null_count;
+    != prunes only provably single-valued stripes. Exactness against
+    plain filters on both; effectiveness on clustered layouts."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("lang_n"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_nullpred_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="np", key="doc_id",
+        columns=["doc_id", "lang_n"], n_partitions=4,
+        cluster_by="lang_n", stripe_rows=32,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    stripes = pipeline.read_stripes(spark, out, "np")
+    total = stripes.select("partition_id", "epoch", "stripe_idx").distinct().count()
+
+    # is_null: exact + prunes (nulls sort first under cluster_by, so
+    # most stripes are provably null-free)
+    pred = [("lang_n", "is_null", None)]
+    got = pipeline.decode_job(
+        spark, out, "np", docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    assert _rows(got) == _rows(docs.filter(F.col("lang_n").isNull()))
+    kept = (
+        zonemap.prune_stripes(stripes, pred)
+        .select("partition_id", "epoch", "stripe_idx").distinct().count()
+    )
+    assert 0 < kept < total, (kept, total)
+
+    # not_null + != composition: exact; != prunes the single-valued
+    # stripes of the excluded language
+    pred2 = [("lang_n", "not_null", None), ("lang_n", "!=", "en")]
+    got2 = pipeline.decode_job(
+        spark, out, "np", docs.schema, predicate=pred2
+    ).filter(zonemap.predicate_expr(pred2))
+    want2 = docs.filter(F.col("lang_n").isNotNull() & (F.col("lang_n") != "en"))
+    assert _rows(got2) == _rows(want2) and want2.count() > 0
+    kept2 = (
+        zonemap.prune_stripes(stripes, pred2)
+        .select("partition_id", "epoch", "stripe_idx").distinct().count()
+    )
+    assert kept2 < total, (kept2, total)
+
+    # fused path agrees with the two-job path on the composed predicate
+    fused = zonemap.fused_prune(stripes, {"doc_id", "lang_n"}, pred2)
+    old = zonemap.prune_stripes(
+        pipeline._epoch_keep_filter(spark, stripes, {"doc_id", "lang_n"}),
+        pred2,
+    )
+    key3 = lambda df: sorted(
+        (int(r.partition_id), int(r.epoch), int(r.stripe_idx))
+        for r in df.select("partition_id", "epoch", "stripe_idx")
+        .distinct().collect()
+    )
+    assert key3(fused) == key3(old)
+
+    # a stripe with min==max==v and nulls still prunes != v (null rows
+    # never match != under Spark WHERE)
+    import pyarrow as pa_
+
+    from orc_spark.engine.zonemap import stripe_zone_stats
+    df1 = spark.createDataFrame(
+        [("en",), ("en",), (None,)], "lang_n string"
+    ).withColumn("doc_id", F.lit(1).cast("long"))
+    s = stripe_zone_stats(pa_.array(["en", "en", None]))
+    assert s["min_str"] == s["max_str"] == "en" and s["null_count"] == 1
+
+
+def test_cli_where_null_and_ne_parse():
+    from orc_spark.__main__ import _parse_where
+
+    assert _parse_where("lang is null") == ("lang", "is_null", None)
+    assert _parse_where("lang IS NOT NULL") == ("lang", "not_null", None)
+    assert _parse_where("lang!=en") == ("lang", "!=", "en")
+    assert _parse_where("event_id != 5") == ("event_id", "!=", 5)
