@@ -829,6 +829,16 @@ def _q_pii_scrub(spark, sf_dir):
     return analysis.pii_scrub(seeded).orderBy("id")
 
 
+def _q_corpus_split(spark, sf_dir):
+    """Deterministic train/valid/test splitting (analysis.hash_split):
+    keyed md5 bucket, stable across re-runs and engines, map-only —
+    the DuckDB twin recomputes the identical bucket arithmetic, so
+    every document's assignment hash-matches."""
+    from orc_spark.textops import analysis
+
+    return analysis.hash_split(_load(spark, sf_dir, "documents"))
+
+
 def _q_normalized_dedup(spark, sf_dir):
     from orc_spark.textops import analysis
 
@@ -970,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": _q_repetition_ratio,
         "url_canonicalize": _q_url_canonicalize,
         "pii_scrub": _q_pii_scrub,
+        "corpus_split": _q_corpus_split,
         "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
@@ -1170,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id % 254) + 1 AS VARCHAR) AS text FROM documents) "
             + analysis.pii_scrub_sql("seeded")
         ),
+        "corpus_split": analysis.hash_split_sql("documents"),
         "normalized_dedup": analysis.NORMALIZED_DEDUP_SQL.format(table="documents"),
         "quality_score": analysis.quality_score_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),

@@ -269,6 +269,19 @@ def cmd_vacuum(args) -> int:
     return EXIT_OK
 
 
+def cmd_agg(args) -> int:
+    """MIN/MAX/COUNT/null-count per column from zone statistics only —
+    zero data bytes read (pipeline.metadata_aggregate)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    rows = pipeline.metadata_aggregate(
+        spark, args.out, args.run_id, args.columns.split(",")
+    ).collect()
+    print(json.dumps({"columns": [r.asDict() for r in rows]}))
+    return EXIT_OK
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orc_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -374,6 +387,14 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--out", required=True)
     vac.add_argument("--run-id", default=None)
     vac.set_defaults(fn=cmd_vacuum)
+
+    ag = sub.add_parser(
+        "agg", help="min/max/count per column from zone stats (no data reads)"
+    )
+    ag.add_argument("--out", required=True)
+    ag.add_argument("--run-id", required=True)
+    ag.add_argument("--columns", required=True, help="comma-separated")
+    ag.set_defaults(fn=cmd_agg)
 
     try:
         args = p.parse_args(argv)

@@ -381,3 +381,80 @@ def url_canonicalize_sql(table: str, url_col: str = "url", id_col: str = "doc_id
         f"regexp_replace({with_q}, '/$', '') AS canonical_url "
         f"FROM {table} ORDER BY id"
     )
+
+
+HASH_SPLIT_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "valid", "test"),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by keyed hash bucket —
+    the training-corpus split primitive. Properties a random() split
+    lacks, all load-bearing at 10^12 docs:
+
+    - STABLE: a document's split depends only on (salt, id), so
+      re-runs, backfills, and incremental crawls never migrate a
+      document across splits (no eval contamination over time);
+    - PORTABLE: the bucket is md5-derived with pure-SQL arithmetic,
+      so any engine (the DuckDB twin here) reproduces it bit-for-bit;
+    - MAP-ONLY: one JVM expression chain, zero shuffles, zero Python.
+
+    ``salt`` versions the assignment: bump it to re-deal the corpus
+    without correlation to the previous split.
+    """
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must match names and sum to 1")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % HASH_SPLIT_BUCKETS
+    cuts = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(acc * HASH_SPLIT_BUCKETS)))
+    split = F.when(bucket < cuts[0], names[0])
+    for i in range(1, len(cuts)):
+        split = split.when(bucket < cuts[i], names[i])
+    split = split.otherwise(names[-1])
+    return df.select(
+        F.col(id_col).alias("id"), bucket.alias("bucket"), split.alias("split")
+    ).orderBy("id")
+
+
+def hash_split_sql(
+    table: str,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "valid", "test"),
+    salt: str = "split-v1",
+) -> str:
+    """DuckDB twin of :func:`hash_split` — identical md5 bucket, so a
+    document lands in the same split under either engine."""
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must match names and sum to 1")
+    bucket = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {HASH_SPLIT_BUCKETS})"
+    )
+    cuts = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(acc * HASH_SPLIT_BUCKETS)))
+    case = "CASE "
+    for cut, name in zip(cuts, names[:-1]):
+        case += f"WHEN {bucket} < {cut} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END"
+    return (
+        f"SELECT {id_col} AS id, CAST({bucket} AS BIGINT) AS bucket, "
+        f"{case} AS split FROM {table} ORDER BY id"
+    )

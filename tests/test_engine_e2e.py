@@ -483,3 +483,13 @@ def test_metadata_aggregate_exact_or_loud(spark, tmp_path):
     # but the int column still answers
     ok = pipeline.metadata_aggregate(spark, out2, "nan", ["event_id"]).first()
     assert ok.min_int == 0 and ok.max_int == 63
+
+    # CLI surface
+    import json as _json
+
+    from orc_spark.__main__ import main as _main
+    import pytest as _pt
+
+    assert _main([
+        "agg", "--out", out2, "--run-id", "nan", "--columns", "event_id",
+    ]) == 0

@@ -303,3 +303,29 @@ def test_near_dup_clusters_transitive(spark, dup_docs):
         for r in dedup.near_dup_clusters(chain, threshold=0.3).collect()
     }
     assert got == {10: (10, 3), 11: (10, 3), 12: (10, 3)}
+
+
+def test_hash_split_stable_and_proportional(spark, docs):
+    """Split assignment is a pure function of (salt, id): stable across
+    re-runs, proportions near the weights, a salt bump re-deals, and
+    invalid weights raise."""
+    import pytest as _pt
+
+    from orc_spark.textops import analysis
+
+    a = {r.id: r.split for r in analysis.hash_split(docs).collect()}
+    b = {r.id: r.split for r in analysis.hash_split(docs).collect()}
+    assert a == b  # deterministic
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert 0.8 < frac["train"] < 0.97
+    assert 0.02 < frac.get("valid", 0) < 0.1
+    assert 0.02 < frac.get("test", 0) < 0.1
+    c = {r.id: r.split for r in analysis.hash_split(docs, salt="v2").collect()}
+    assert c != a  # re-deal
+    with _pt.raises(ValueError):
+        analysis.hash_split(docs, weights=(0.5, 0.4), names=("a", "b", "c"))
+    with _pt.raises(ValueError):
+        analysis.hash_split_sql("t", weights=(0.5, 0.4, 0.2))
