@@ -671,6 +671,36 @@ def _q_streaming_ingest(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """STATEFUL streaming aggregation across micro-batches
+    (streaming/ingest.incremental_dedup): documents arrive as two
+    crawl files; the exact-dedup keeper table is maintained in the
+    streaming state store, so duplicates split across batches still
+    fold into one keeper. Output columns and keeper rule are identical
+    to dedup_exact, so the oracle IS the batch exact-dedup SQL — any
+    state loss, replay, or per-batch-only dedup hash-mismatches."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.streaming import ingest
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    in_dir = tempfile.mkdtemp(prefix="orcspark_sdedup_in_")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="orcspark_sdedup_"), "keepers")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_sdedup_ckpt_")
+    docs.filter(F2.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    docs.filter(F2.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    n = ingest.incremental_dedup(
+        spark, in_dir, docs.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    if n < 2:
+        raise AssertionError(f"expected >=2 micro-batches, got {n}")
+    return spark.read.parquet(out_dir).orderBy("content_sha")
+
+
 def _q_media_dimensions(spark, sf_dir):
     """Real image-header parsing, fully oracle-backed: spec-conformant
     PNG/GIF/JPEG headers are synthesized JVM-side with dimensions
@@ -1019,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
+        "streaming_dedup": _q_streaming_dedup,
         "media_dimensions": _q_media_dimensions,
     }
 
@@ -1139,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume": _RESUME_FP_SQL,
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,
+        "streaming_dedup": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         # df_cap=None: the Spark side (LSH candidates + exact verify,
         # no DF cap) equals the exact pair set, so its oracle must be

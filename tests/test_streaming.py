@@ -87,3 +87,46 @@ def test_incremental_encode_faulted_batch_then_recovery(spark, tmp_path):
     dec = pipeline.decode_job(spark, out_dir, epoch_run, docs.schema)
     v = pipeline.verify_roundtrip(docs, dec, "doc_id")
     assert v["missing_from_decoded"] == 0 and v["extra_in_decoded"] == 0
+
+
+def test_incremental_dedup_state_spans_batches(spark, tmp_path):
+    """The keeper table folds duplicates ACROSS micro-batches: a text
+    whose copies arrive in different files ends with the global min id
+    and the full copy count; resuming with a new file updates state
+    rather than restarting it."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.streaming import ingest
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "keepers")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(4, "shared text alpha"), (6, "only in batch one")]
+    rows2 = [(1, "shared text alpha"), (9, "only in batch two")]
+    schema = "doc_id long, text string"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    df1.coalesce(1).write.mode("append").parquet(in_dir)
+    df2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    n = ingest.incremental_dedup(
+        spark, in_dir, df1.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    assert n >= 2
+    got = {
+        r.keeper_id: r.n_copies for r in spark.read.parquet(out_dir).collect()
+    }
+    # the cross-batch duplicate folded: keeper is the GLOBAL min (1,
+    # from batch 2), count spans both batches
+    assert got == {1: 2, 6: 1, 9: 1}, got
+
+    # resume with one more file: state continues, not restarts
+    df3 = spark.createDataFrame([(2, "shared text alpha")], schema)
+    df3.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.incremental_dedup(
+        spark, in_dir, df3.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    got2 = {
+        r.keeper_id: r.n_copies for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == {1: 3, 6: 1, 9: 1}, got2
