@@ -130,3 +130,72 @@ def test_incremental_dedup_state_spans_batches(spark, tmp_path):
         r.keeper_id: r.n_copies for r in spark.read.parquet(out_dir).collect()
     }
     assert got2 == {1: 3, 6: 1, 9: 1}, got2
+
+
+def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed aggregation with a watermark (append mode):
+    windows are emitted once finalized, and a row arriving AFTER the
+    watermark passed its window end is dropped — the late-data
+    contract a crawl-timestamp rollup relies on. Window boundaries are
+    epoch-aligned 7-day buckets; watermark restores from the
+    checkpoint across runs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_rows: list = []
+
+    def day(d):
+        return datetime.datetime(2024, 1, d)
+
+    schema = "event_id long, ts timestamp"
+    # epoch-aligned 7-day windows: A=[2023-12-28, 2024-01-04) holds
+    # Jan 1-3; B=[2024-01-04, 2024-01-11) holds Jan 4-7
+    file1 = [(i, day(i)) for i in range(1, 8)] + [(99, day(20))]
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withWatermark("ts", "3 days")
+            .groupBy(F.window("ts", "7 days").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+        def sink(batch_df, epoch_id):
+            out_rows.extend(
+                (r.w.start.isoformat(), r.n) for r in batch_df.collect()
+            )
+
+        (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    # second arrival: one LATE row (Jan 3 — its window end Jan 4 is
+    # far behind the restored watermark Jan 17) plus a fresh row
+    file2 = [(100, day(3)), (101, day(25))]
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+
+    got = dict(out_rows)
+    assert len(got) == len(out_rows), out_rows  # each window emitted once
+    # finalized windows carry exactly the on-time rows; the late Jan 3
+    # row did NOT bump window A from 3 to 4
+    assert got.get("2023-12-28T00:00:00") == 3, got
+    assert got.get("2024-01-04T00:00:00") == 4, got
+    # the unfinalized tail windows (Jan 20 / Jan 25) were not emitted
+    assert all(s < "2024-01-11" for s in got), got
