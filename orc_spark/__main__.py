@@ -78,30 +78,43 @@ def cmd_encode(args) -> int:
     return EXIT_OK
 
 
-_WHERE_OPS = (">=", "<=", "==", "!=", ">", "<", "=")  # longest first
+# Longest alternative first so `>=` wins over `>`. Anchoring the
+# operator right after the column NAME (\w+) is what keeps operator
+# characters inside a quoted right-hand side out of the scan: in
+# `tag='a<b'` the only operator position considered is after `tag`,
+# so the embedded `<` can never split the clause (ADVICE r4 #3).
+_WHERE_RE = None  # compiled lazily (re import stays function-local)
 
 
 def _parse_where(clause: str) -> tuple[str, str, object]:
     """`col>=value` -> a zonemap conjunct; value is int, then float,
-    then bare string (quote to force string verbatim). `col in a,b,c`
+    then bare string (quote to force string verbatim — operator and
+    comma characters inside the quotes are literal). `col in a,b,c`
     -> an IN-list conjunct (blooms OR-combined); `col is [not] null`
-    -> a null-count conjunct."""
+    -> a null-count conjunct. Column names are identifiers (\\w+)."""
     import re as _re
 
+    global _WHERE_RE
+    if _WHERE_RE is None:
+        _WHERE_RE = _re.compile(r"^\s*(\w+)\s*(>=|<=|==|!=|>|<|=)\s*(.+?)\s*$")
     m = _re.match(r"^\s*(\w+)\s+is\s+(not\s+)?null\s*$", clause, _re.IGNORECASE)
     if m:
         return m.group(1), ("not_null" if m.group(2) else "is_null"), None
+    m = _WHERE_RE.match(clause)
+    if m:
+        return m.group(1), m.group(2), _parse_value(m.group(3))
     m = _re.match(r"^\s*(\w+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
-    if m and not any(op in clause for op in _WHERE_OPS):
-        vals = [_parse_value(v.strip()) for v in m.group(2).split(",") if v.strip()]
+    if m:
+        # split on commas OUTSIDE quotes so quoted list members may
+        # contain commas/operators verbatim
+        vals = [
+            _parse_value(v.strip())
+            for v in _re.findall(
+                r"'[^']*'|\"[^\"]*\"|[^,]+", m.group(2)
+            )
+            if v.strip()
+        ]
         return m.group(1), "in", vals
-    for op in _WHERE_OPS:
-        if op in clause:
-            col, raw = clause.split(op, 1)
-            col, raw = col.strip(), raw.strip()
-            if not col or not raw:
-                break
-            return col, op, _parse_value(raw)
     raise ValueError(f"cannot parse --where clause: {clause!r}")
 
 

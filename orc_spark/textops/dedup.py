@@ -560,6 +560,8 @@ def near_dup_clusters(
     threshold: float = 0.5,
     df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
     max_iter: int = 20,
+    method: str = "ngram",
+    pairs_fn=None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every
     document that appears in at least one near-dup pair is mapped to
@@ -577,13 +579,39 @@ def near_dup_clusters(
     O(log n) worst case if ever needed). Per round: one bounded
     shuffle keyed by node id plus one scalar count action;
     localCheckpoint truncates the iterative lineage so the plan stays
-    flat at any round count. Uses exact n-gram Jaccard pairs here
-    (oracle-checkable via a DuckDB recursive CTE); at corpus scale
-    swap in minhash_lsh_pairs, the clustering is unchanged.
+    flat at any round count.
+
+    The pair SOURCE is pluggable; the clustering loop is identical for
+    all of them (VERDICT r4 #4):
+
+    - ``method="ngram"`` (default): exact n-gram Jaccard pairs —
+      oracle-checkable via a DuckDB recursive CTE;
+    - ``method="minhash"``: banded MinHash-LSH candidates
+      (minhash_lsh_pairs with ``exact_verify=True``, so edges are the
+      true-Jaccard survivors — at equal thresholds the components
+      match the exact source wherever LSH recall holds, the corpus
+      scale path);
+    - ``pairs_fn``: any callable ``df -> DataFrame[id_a, id_b, ...]``
+      (id_a < id_b) for custom edge mining (embedding cosine,
+      simhash, ...). Overrides ``method``.
     """
-    pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_k, threshold, df_cap=df_cap
-    )
+    if pairs_fn is not None:
+        pairs = pairs_fn(df)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df,
+            text_col,
+            id_col,
+            shingle_k=shingle_k,
+            jaccard_threshold=threshold,
+            exact_verify=True,
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_k, threshold, df_cap=df_cap
+        )
+    else:
+        raise ValueError(f"unknown near-dup pair method: {method!r}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

@@ -199,3 +199,101 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("2024-01-04T00:00:00") == 4, got
     # the unfinalized tail windows (Jan 20 / Jan 25) were not emitted
     assert all(s < "2024-01-11" for s in got), got
+
+
+def _dir_bytes(path) -> int:
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def test_incremental_dedup_update_cost_tracks_novelty(spark, tmp_path):
+    """The update-mode sink's per-trigger write is proportional to the
+    batch's NOVELTY, not the keeper-table size (VERDICT r4 #3): after a
+    large first batch builds a big keeper table, a tiny second batch
+    writes a tiny delta — and the folded read equals batch exact_dedup
+    of the full corpus."""
+    import os
+
+    from orc_spark.streaming import ingest
+    from orc_spark.textops import dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    big = spark.createDataFrame(
+        [(i, f"document body number {i} with unique content") for i in range(500)],
+        schema,
+    )
+    big.coalesce(1).write.mode("append").parquet(in_dir)
+    n = ingest.incremental_dedup_update(
+        spark, in_dir, big.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    assert n == 1
+    updates = os.path.join(out_dir, "updates")
+    first_bytes = _dir_bytes(os.path.join(updates, "epoch-0"))
+
+    # second arrival: 5 new docs + 5 duplicates of existing ones
+    small = spark.createDataFrame(
+        [(1000 + i, f"fresh content {i}") for i in range(5)]
+        + [(2000 + i, f"document body number {i} with unique content") for i in range(5)],
+        schema,
+    )
+    small.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.incremental_dedup_update(
+        spark, in_dir, small.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    epoch_dirs = sorted(d for d in os.listdir(updates) if d.startswith("epoch-"))
+    assert len(epoch_dirs) == 2
+    second_bytes = _dir_bytes(os.path.join(updates, epoch_dirs[1]))
+    # the delta carries ~10 changed rows, not the ~505-row keeper table
+    assert second_bytes < first_bytes / 3, (first_bytes, second_bytes)
+    second_rows = spark.read.parquet(
+        os.path.join(updates, epoch_dirs[1])
+    ).count()
+    assert second_rows == 10
+
+    # folded view == batch exact dedup of everything seen so far
+    whole = big.unionByName(small)
+    expect = {
+        (r.content_sha, r.keeper_id, r.n_copies)
+        for r in dedup.exact_dedup(whole).collect()
+    }
+    got = {
+        (r.content_sha, r.keeper_id, r.n_copies)
+        for r in ingest.read_dedup_keepers(spark, out_dir).collect()
+    }
+    assert got == expect
+
+    # compaction folds the deltas into base; the read is unchanged
+    folded = ingest.compact_dedup_updates(spark, out_dir)
+    assert folded == 2
+    assert not any(
+        d.startswith("epoch-") for d in os.listdir(updates)
+    )
+    got2 = {
+        (r.content_sha, r.keeper_id, r.n_copies)
+        for r in ingest.read_dedup_keepers(spark, out_dir).collect()
+    }
+    assert got2 == expect
+
+    # post-compaction arrivals keep working: base + new delta fold
+    third = spark.createDataFrame([(3000, "fresh content 0")], schema)
+    third.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest.incremental_dedup_update(
+        spark, in_dir, third.schema, ckpt, out_dir, max_files_per_trigger=1
+    )
+    got3 = {
+        (r.content_sha, r.keeper_id, r.n_copies)
+        for r in ingest.read_dedup_keepers(spark, out_dir).collect()
+    }
+    expect3 = {
+        (r.content_sha, r.keeper_id, r.n_copies)
+        for r in dedup.exact_dedup(whole.unionByName(third)).collect()
+    }
+    assert got3 == expect3

@@ -7,6 +7,7 @@ groups (effectiveness, not just safety)."""
 from __future__ import annotations
 
 import datetime
+import os
 import tempfile
 import uuid
 
@@ -212,6 +213,12 @@ def test_cli_where_parse():
     assert _parse_where("day=2024-03-01") == (
         "day", "=", datetime.date(2024, 3, 1)
     )
+    # operator characters INSIDE a quoted literal are data, not
+    # operators — the scan is anchored after the column name, so the
+    # embedded `<` / `>=` can't split the clause (ADVICE r4 #3)
+    assert _parse_where("tag='a<b'") == ("tag", "=", "a<b")
+    assert _parse_where("id='x>=1'") == ("id", "=", "x>=1")
+    assert _parse_where('note=="a=b<c"') == ("note", "==", "a=b<c")
     with pytest.raises(ValueError):
         _parse_where("no clause here")
     with pytest.raises(ValueError):
@@ -410,6 +417,10 @@ def test_cli_where_in_parse():
     assert _parse_where("lang IN en,fr") == ("lang", "in", ["en", "fr"])
     # 'in' inside a comparison clause must not be misparsed
     assert _parse_where("domain=='login'") == ("domain", "==", "login")
+    # quoted IN-list members keep embedded commas/operators verbatim
+    assert _parse_where("tag in 'a,b','c<d',e") == (
+        "tag", "in", ["a,b", "c<d", "e"]
+    )
 
 
 def test_bloom_hash_quality_on_near_identical_strings():
@@ -614,8 +625,22 @@ def test_fused_prune_equals_two_job_path_and_caps(spark):
     assert groups(fused) == groups(old)
     assert groups(fused)  # non-degenerate: something survives
 
+    # the driver-side fast path (footer-gated planning off the local
+    # stripes dir) must select exactly the same groups as the
+    # distributed metadata job — same epoch keep, zones, and blooms
+    sdir = os.path.join(out, "stripes")
+    assert zonemap._driver_plan_budget_ok(sdir)
+    fast = zonemap.fused_prune(stripes, want, pred, stripes_path=sdir)
+    assert fast is not None and groups(fast) == groups(old)
+
     # cap: one group allowed, more survive -> fallback signal
     assert zonemap.fused_prune(stripes, want, pred, max_groups=0) is None
+    assert (
+        zonemap.fused_prune(
+            stripes, want, pred, max_groups=0, stripes_path=sdir
+        )
+        is None
+    )
 
     # absent value: bloom + zones veto everything, empty result
     gone = zonemap.fused_prune(stripes, want, [("event_id", "==", 10**12)])
@@ -630,6 +655,56 @@ def test_fused_prune_equals_two_job_path_and_caps(spark):
         & (F.col("event_type") == "click")
     )
     assert _rows(dec) == _rows(expect) and expect.count() > 0
+
+
+def test_fused_prune_epoch0_matches_unpredicated_keep(spark):
+    """ADVICE r4 #2: a faulted, never-resumed SINGLE-epoch table must
+    select the same stripe set on the predicated and unpredicated
+    decode paths. _epoch_keep_filter short-circuits at max epoch == 0
+    and keeps incomplete partitions; fused_prune (both the driver fast
+    path and the distributed job) now mirrors that instead of silently
+    dropping them to zero rows."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .limit(2000)
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_ep0_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="e0", key="event_id",
+        columns=["event_id", "event_type", "value"], n_partitions=4,
+        fault_spec={"columns": ["value"], "partitions": [1]},
+    )
+    try:
+        pipeline.run_encode_job(spark, events, cfg)
+    except Exception:
+        pass  # the faulted run reports its failure; stripes are on disk
+
+    stripes = pipeline.read_stripes(spark, out, "e0")
+    want = {"event_id", "event_type", "value"}
+
+    def groups(df):
+        return sorted(
+            (int(r.partition_id), int(r.epoch), int(r.stripe_idx))
+            for r in df.select("partition_id", "epoch", "stripe_idx")
+            .distinct().collect()
+        )
+
+    # a predicate zones can never prune: both paths must keep exactly
+    # what the unpredicated epoch filter keeps — including the faulted
+    # partition's completed columns
+    pred = [("event_id", ">=", -1)]
+    unpred = groups(pipeline._epoch_keep_filter(spark, stripes, want))
+    assert any(pid == 1 for pid, _, _ in unpred)  # incomplete, still kept
+    sdir = os.path.join(out, "stripes")
+    fast = zonemap.fused_prune(stripes, want, pred, stripes_path=sdir)
+    dist = zonemap.fused_prune(stripes, want, pred, stripes_path=None)
+    assert groups(fast) == unpred
+    assert groups(dist) == unpred
 
 
 def test_null_and_inequality_predicates(spark):
