@@ -899,6 +899,45 @@ def _q_corpus_split(spark, sf_dir):
     return analysis.hash_split(_load(spark, sf_dir, "documents"))
 
 
+_SAMPLE_RATES = {"en": 0.25, "zh": 0.6}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum subsampling (downsample English to
+    25%, zh to 60%, keep the rest whole): same portable md5-bucket
+    arithmetic as corpus_split, map-only — the DuckDB twin recomputes
+    every keep decision bit-for-bit."""
+    from orc_spark.textops import analysis
+
+    return analysis.stratified_sample(
+        _load(spark, sf_dir, "documents"), rates=_SAMPLE_RATES, default_rate=1.0
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    """Vocabulary stats by document frequency: per-doc distinct bounds
+    each doc's vote at 1; top-k is a TakeOrderedAndProject (heap +
+    k-row driver merge), never a full sort; ties total-ordered on
+    (df desc, term asc) so both engines emit identical rows."""
+    from orc_spark.textops import analysis
+
+    return analysis.top_terms(_load(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any 5-token
+    shingle with the eval carve-out (doc_id % 20 == 0). The eval
+    shingle set is broadcast, so the train side is a map-side
+    semi-join with zero train-side shuffle."""
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+    )
+
+
 def _q_normalized_dedup(spark, sf_dir):
     from orc_spark.textops import analysis
 
@@ -1045,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "pii_scrub": _q_pii_scrub,
         "corpus_split": _q_corpus_split,
+        "stratified_sample": _q_stratified_sample,
+        "top_terms": _q_top_terms,
+        "decontaminate": _q_decontaminate,
         "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
@@ -1251,6 +1293,13 @@ def oracle_sql() -> dict[str, str]:
             + analysis.pii_scrub_sql("seeded")
         ),
         "corpus_split": analysis.hash_split_sql("documents"),
+        "stratified_sample": analysis.stratified_sample_sql(
+            "documents", rates=_SAMPLE_RATES, default_rate=1.0
+        ),
+        "top_terms": analysis.top_terms_sql("documents"),
+        "decontaminate": dedup.decontaminate_sql(
+            "documents", "doc_id % 20 = 0"
+        ),
         "normalized_dedup": analysis.NORMALIZED_DEDUP_SQL.format(table="documents"),
         "quality_score": analysis.quality_score_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),

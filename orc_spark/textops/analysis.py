@@ -458,3 +458,118 @@ def hash_split_sql(
         f"SELECT {id_col} AS id, CAST({bucket} AS BIGINT) AS bucket, "
         f"{case} AS split FROM {table} ORDER BY id"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the corpus-rebalancing
+    primitive (e.g. downsample English to 10%, keep low-resource
+    languages whole). Same md5-bucket machinery as :func:`hash_split`,
+    so the properties carry over verbatim:
+
+    - STABLE: keep/drop depends only on (salt, id), so backfills and
+      re-runs never resample a document;
+    - PORTABLE: pure-SQL md5 arithmetic — the DuckDB twin reproduces
+      every keep decision bit-for-bit;
+    - MAP-ONLY: one JVM expression chain, zero shuffles, zero Python —
+      at 10^12 docs this is a pushdown-friendly filter, not a job.
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed keep ``default_rate``. Returns kept rows as (id, stratum).
+    """
+    rates = rates or {}
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0,1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % HASH_SPLIT_BUCKETS
+    cut = None
+    for k, v in sorted(rates.items()):
+        c = int(round(v * HASH_SPLIT_BUCKETS))
+        cut = (F.when(F.col(strata_col) == k, c) if cut is None
+               else cut.when(F.col(strata_col) == k, c))
+    default_cut = int(round(default_rate * HASH_SPLIT_BUCKETS))
+    cut = F.lit(default_cut) if cut is None else cut.otherwise(default_cut)
+    return (
+        df.where(bucket < cut)
+        .select(F.col(id_col).alias("id"), F.col(strata_col).alias("stratum"))
+        .orderBy("id")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — identical md5 bucket
+    and cut arithmetic, so both engines keep the exact same rows."""
+    rates = rates or {}
+    bucket = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {HASH_SPLIT_BUCKETS})"
+    )
+    default_cut = int(round(default_rate * HASH_SPLIT_BUCKETS))
+    if rates:
+        case = "CASE "
+        for k, v in sorted(rates.items()):
+            case += f"WHEN {strata_col} = '{k}' THEN {int(round(v * HASH_SPLIT_BUCKETS))} "
+        case += f"ELSE {default_cut} END"
+    else:
+        case = str(default_cut)
+    return (
+        f"SELECT {id_col} AS id, {strata_col} AS stratum FROM {table} "
+        f"WHERE {bucket} < ({case}) ORDER BY id"
+    )
+
+
+def top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 25
+) -> DataFrame:
+    """Vocabulary statistics by DOCUMENT frequency (not raw term count):
+    the per-doc distinct step bounds each document's contribution at 1,
+    so boilerplate-heavy pages can't dominate the ranking. Plan at
+    scale: array_distinct caps the explode at vocab-per-doc, the
+    groupBy count does map-side partial aggregation, and the top-k is
+    a TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), never a full sort. Ties break on term asc — (df, term) is a
+    total order, so the k-row result is deterministic."""
+    toks = df.select(
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("term")
+    )
+    return (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(k)
+    )
+
+
+def top_terms_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", k: int = 25
+) -> str:
+    """DuckDB twin of :func:`top_terms` (same tokenizer regex, same
+    per-doc distinct, same (df desc, term asc) total order)."""
+    return (
+        "WITH t AS (SELECT unnest(list_distinct("
+        f"string_split_regex(lower({text_col}), '\\s+'))) AS term FROM {table}) "
+        "SELECT term, count(*) AS df FROM t WHERE term != '' "
+        f"GROUP BY term ORDER BY df DESC, term LIMIT {k}"
+    )

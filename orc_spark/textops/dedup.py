@@ -696,3 +696,75 @@ def near_dup_clusters_sql(
         "SELECT comp.id, comp.cluster_id, sizes.n_members "
         "FROM comp JOIN sizes USING (cluster_id) ORDER BY comp.id"
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination check: which training documents share
+    at least one k-token shingle with the eval/benchmark set (the
+    overlap rule used by public LLM data pipelines — flag, then drop
+    or audit). Returns (id, n_shared) per contaminated train doc,
+    n_shared = number of the doc's DISTINCT shingles that appear
+    anywhere in the eval set.
+
+    Plan at 10^12-doc scale: the eval side is a benchmark suite —
+    thousands to millions of shingles, not corpus-sized — so it is
+    collected into a BROADCAST hash set and the train side streams
+    through a map-side semi-join with zero train-side shuffle; the
+    only exchange is the final partial-agg count on id. If the eval
+    side ever outgrows broadcast, Spark's AQE falls back to a sorted
+    shuffle join on the same plan — the code doesn't change.
+    """
+    tr = train_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
+    )
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s")
+        )
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("id")
+    )
+
+
+def decontaminate_sql(
+    table: str,
+    eval_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`decontaminate` for the single-table case
+    where ``eval_pred`` (a SQL boolean over the table's columns) carves
+    the eval set out of the corpus; identical shingling (lower,
+    \\s+ split, k-gram, short-text whole-doc fallback)."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id, ({eval_pred}) AS is_eval,
+         string_split_regex(lower({text_col}), '\s+') AS t FROM {table}
+),
+shng AS (
+  SELECT id, is_eval,
+    CASE WHEN len(t) >= {shingle_k} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {shingle_k} + 1),
+                    i -> array_to_string(t[i:i + {shingle_k} - 1], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM shng WHERE is_eval),
+tr AS (SELECT id, unnest(sh) AS s FROM shng WHERE NOT is_eval)
+SELECT tr.id AS id, count(*) AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY tr.id ORDER BY id
+"""

@@ -363,3 +363,68 @@ def test_hash_split_stable_and_proportional(spark, docs):
         analysis.hash_split(docs, weights=(0.5, 0.4), names=("a", "b", "c"))
     with _pt.raises(ValueError):
         analysis.hash_split_sql("t", weights=(0.5, 0.4, 0.2))
+
+
+def test_stratified_sample_rates_and_stability(spark, docs):
+    """Per-stratum keep rates land near the targets, keep decisions are
+    a pure function of (salt, id) — re-runs and rate changes for OTHER
+    strata never resample a kept doc — and bad rates raise."""
+    from collections import Counter
+
+    rates = {"en": 0.25, "zh": 0.6}
+    kept = {r.id: r.stratum for r in
+            analysis.stratified_sample(docs, rates=rates, default_rate=1.0).collect()}
+    total = Counter(r.lang for r in docs.select(F.col("lang")).collect())
+    got = Counter(kept.values())
+    for lang, rate in rates.items():
+        frac = got[lang] / total[lang]
+        assert abs(frac - rate) < 0.12, (lang, frac)
+    # non-listed strata keep default_rate=1.0 → all present
+    for lang, n in total.items():
+        if lang not in rates:
+            assert got[lang] == n
+    # stability: same salt → same keeps; changing ANOTHER stratum's rate
+    # never flips en keep decisions (bucket is per-id, cut is per-stratum)
+    again = {r.id for r in
+             analysis.stratified_sample(docs, rates={"en": 0.25}, default_rate=0.0)
+             .collect()}
+    assert again == {i for i, s in kept.items() if s == "en"}
+    with pytest.raises(ValueError):
+        analysis.stratified_sample(docs, rates={"en": 1.5})
+    with pytest.raises(ValueError):
+        analysis.stratified_sample(docs, default_rate=-0.1)
+
+
+def test_top_terms_document_frequency(spark):
+    """Ranking is by DOCUMENT frequency: a term repeated many times in
+    one doc counts once; ties break on term asc (total order)."""
+    rows = [
+        (1, "spam spam spam spam spam alpha"),
+        (2, "alpha beta"),
+        (3, "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = analysis.top_terms(df, k=3).collect()
+    assert [(r.term, r.df) for r in out] == [("alpha", 3), ("beta", 2), ("gamma", 1)]
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    """Train docs sharing a 5-token shingle with the eval set are
+    flagged with the count of DISTINCT shared shingles; disjoint docs
+    are absent; short docs fall back to whole-doc shingles."""
+    eval_rows = [(100, "the quick brown fox jumps over the lazy dog")]
+    train_rows = [
+        # shares shingles: "the quick brown fox jumps", "quick brown fox jumps over", ...
+        (1, "prefix the quick brown fox jumps over suffix"),
+        (2, "totally unrelated words about columnar compression engines"),
+        # short doc == whole-doc shingle, no overlap
+        (3, "tiny doc"),
+        # exact copy of the eval doc: shares all 5 of its shingles
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {r.id: r.n_shared for r in dedup.decontaminate(train, ev).collect()}
+    assert set(got) == {1, 4}
+    assert got[4] == 5  # 9 tokens → 5 shingles, all shared
+    assert got[1] == 2  # "the quick brown fox jumps", "quick brown fox jumps over"
