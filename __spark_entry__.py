@@ -938,6 +938,49 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """Fixed-length training-sequence packing: md5-sharded, doc-id
+    ordered running cumsum; (shard, seq_id, seq_off) slots are pure
+    integer arithmetic so the DuckDB twin agrees bit-for-bit. One
+    shuffle (by shard), incrementally-evaluated window."""
+    from orc_spark.textops import analysis
+
+    return analysis.sequence_pack(_load(spark, sf_dir, "documents"))
+
+
+def _q_domain_mix(spark, sf_dir):
+    """Per-domain token inventory + uniform-mix sampling weight. The
+    only data-scale shuffle is the map-side-combined groupBy; the
+    total/share window runs over #domains rows."""
+    from orc_spark.textops import analysis
+
+    return analysis.domain_mix(_load(spark, sf_dir, "documents"))
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    boundary). ONE shuffle on user_id — the session window and the
+    per-session groupBy share the same hash partitioning. Gap math in
+    exact integer microseconds (unix_micros ≙ DuckDB epoch_us)."""
+    from orc_spark.textops import temporal
+
+    return temporal.sessionize(_load(spark, sf_dir, "events"))
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: each 'error' event picks up the most recent
+    prior-or-simultaneous 'click' by the same user. Scale-safe UNION
+    trick (one key shuffle + last-ignorenulls carry-forward window)
+    vs DuckDB's native ASOF LEFT JOIN as the oracle."""
+    from orc_spark.textops import temporal
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal.asof_join(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+    )
+
+
 def _q_normalized_dedup(spark, sf_dir):
     from orc_spark.textops import analysis
 
@@ -1087,6 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
         "decontaminate": _q_decontaminate,
+        "sequence_pack": _q_sequence_pack,
+        "domain_mix": _q_domain_mix,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "normalized_dedup": _q_normalized_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
@@ -1232,7 +1279,7 @@ def _metrics_report_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from orc_spark.engine import selector, stats
-    from orc_spark.textops import analysis, dedup
+    from orc_spark.textops import analysis, dedup, temporal
 
     return {
         "codec_selection": selector.codec_selection_sql(
@@ -1297,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", rates=_SAMPLE_RATES, default_rate=1.0
         ),
         "top_terms": analysis.top_terms_sql("documents"),
+        "sequence_pack": analysis.sequence_pack_sql("documents"),
+        "domain_mix": analysis.domain_mix_sql("documents"),
+        "sessionize": temporal.sessionize_sql("events"),
+        "asof_join": temporal.asof_join_events_sql("events"),
         "decontaminate": dedup.decontaminate_sql(
             "documents", "doc_id % 20 = 0"
         ),

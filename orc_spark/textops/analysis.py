@@ -573,3 +573,149 @@ def top_terms_sql(
         "SELECT term, count(*) AS df FROM t WHERE term != '' "
         f"GROUP BY term ORDER BY df DESC, term LIMIT {k}"
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign every document a (shard, sequence, offset) slot for
+    fixed-length training-sequence packing — the step that turns a
+    curated corpus into model-ready sequences of exactly ``budget``
+    tokens (documents may span a sequence boundary; the trainer masks
+    across the seam).
+
+    Layout rule, purely arithmetic so any engine reproduces it:
+    documents are dealt to ``shards`` by the same portable md5 bucket
+    as :func:`hash_split` (stable under re-runs and backfills), packed
+    within a shard in doc-id order by a running token cumsum;
+    ``seq_id = floor(start / budget)`` and ``seq_off = start % budget``
+    where ``start`` is the cumsum before this document.
+
+    Scale plan: ONE shuffle (by shard), one incrementally-evaluated
+    running-sum window per shard. At 100 TB raise ``shards`` so each
+    shard's stream fits a task (packing is embarrassingly parallel
+    across shards by construction); the window never materializes its
+    frame. Zero Python, zero explode.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    shard = (bucket % F.lit(shards)).alias("shard")
+    toks = token_count(F.col(text_col)).cast("long").alias("tokens")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(F.col(id_col).alias("id"), shard, toks)
+    start = (F.sum("tokens").over(w) - F.col("tokens")).alias("start")
+    return (
+        base.select("id", "shard", "tokens", start)
+        .select(
+            "id",
+            "shard",
+            "tokens",
+            (F.col("start") / F.lit(budget)).cast("long").alias("seq_id"),
+            (F.col("start") % F.lit(budget)).alias("seq_off"),
+        )
+        .orderBy("id")
+    )
+
+
+def sequence_pack_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shards: int = 8,
+    salt: str = "pack-v1",
+) -> str:
+    """DuckDB twin of :func:`sequence_pack` — same md5 shard deal,
+    same doc-id-ordered cumsum, same integer slot arithmetic."""
+    bucket = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {shards})"
+    )
+    toks = (
+        f"CASE WHEN trim(COALESCE({text_col}, '')) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim(COALESCE({text_col}, '')), "
+        "'\\s+')) END"
+    )
+    return (
+        f"WITH b AS (SELECT {id_col} AS id, {bucket} AS shard, "
+        f"CAST({toks} AS BIGINT) AS tokens FROM {table}), "
+        "s AS (SELECT id, shard, tokens, "
+        "CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY id "
+        "ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS start FROM b) "
+        f"SELECT id, shard, tokens, "
+        f"CAST(start // {budget} AS BIGINT) AS seq_id, "
+        f"CAST(start % {budget} AS BIGINT) AS seq_off FROM s ORDER BY id"
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token inventory and the sampling weight that flattens
+    the mix to uniform — the knob a pretraining pipeline turns to hit
+    a target data mixture (weight > 1: upsample; < 1: downsample).
+
+    share = domain_tokens / total_tokens; weight = (1/n_domains) /
+    share. Plan at scale: the groupBy is the only full-data shuffle
+    (map-side combined to one row per domain per task); the
+    total/count pass is a window over the POST-aggregation frame —
+    #domains rows, so the single-partition window is a driver-scale
+    triviality, never a data-scale one.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("tokens"),
+    )
+    wall = Window.partitionBy()
+    total = F.sum("tokens").over(wall)
+    ndom = F.count("*").over(wall)
+    share = F.col("tokens") / total
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("share_r"),
+        F.round((F.lit(1.0) / ndom) / share, 6).alias("weight_r"),
+    ).orderBy("source")
+
+
+def domain_mix_sql(
+    table: str, source_col: str = "source", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`domain_mix` (same tokenizer, same
+    share/weight arithmetic and rounding)."""
+    toks = (
+        f"CASE WHEN trim(COALESCE({text_col}, '')) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim(COALESCE({text_col}, '')), "
+        "'\\s+')) END"
+    )
+    return (
+        f"WITH a AS (SELECT {source_col} AS source, COUNT(*) AS n_docs, "
+        f"CAST(SUM(CAST({toks} AS BIGINT)) AS BIGINT) AS tokens "
+        f"FROM {table} GROUP BY 1) "
+        "SELECT source, n_docs, tokens, "
+        "ROUND(tokens / (SUM(tokens) OVER ()), 6) AS share_r, "
+        "ROUND((1.0 / (COUNT(*) OVER ())) / "
+        "(tokens / (SUM(tokens) OVER ())), 6) AS weight_r "
+        "FROM a ORDER BY source"
+    )

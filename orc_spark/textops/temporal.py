@@ -1,0 +1,220 @@
+"""Temporal operators over the events stream: gap-based sessionization
+and as-of (most-recent-prior) joins.
+
+Control-plane provenance: the reference aggregates its run ledger by
+time bucket and chains steps on "the latest prior state" (reference
+internal/stats/stats.go:233-480 weekly/percentile rollups;
+internal/state/state.go resume picks the newest prior run record) —
+semantics only, not a port; the implementations here are Spark window
+algebra over an event table.
+
+Both operators are SQL-expressible, so each ships with a DuckDB twin
+(`*_sql`) for the driver's oracle gate.
+
+Scale notes (100 TB):
+- ``sessionize`` costs exactly ONE shuffle, on the user key: the
+  session-boundary window partitions by user, and the follow-up
+  groupBy(user, session_id) is satisfied by the same hash
+  partitioning (user is a prefix of the grouping key), so Catalyst
+  inserts no second Exchange. Running-sum frames are evaluated
+  incrementally (O(1) per row), never O(frame).
+- ``asof_join`` is the union trick: tag both sides, ONE shuffle on the
+  join key, one ordered window with a last(ignorenulls) carry-forward.
+  No range-explode, no per-row subquery, no skew beyond what the key
+  itself carries (salt upstream if one user owns a shard's worth of
+  events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _micros(col):
+    """Integer microseconds since the NAIVE epoch: timestamp_diff on
+    two TIMESTAMP_NTZ values is pure wall-clock arithmetic — no
+    session timezone, no DST — so it equals DuckDB's ``epoch_us(ts)``
+    exactly (testdata timestamps are NTZ). Built lazily: Column
+    construction needs an active SparkContext."""
+    epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+    return F.timestamp_diff("MICROSECOND", epoch, col)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> DataFrame:
+    """Split each user's event stream into sessions separated by
+    inactivity gaps > ``gap_minutes``; return one row per session.
+
+    A session boundary is an event whose predecessor (same user, time
+    order) is more than the gap away — the standard web-analytics
+    definition. Gap arithmetic is in exact integer MICROSECONDS
+    (naive-epoch ``timestamp_diff`` here, ``epoch_us`` in the DuckDB
+    twin) so both
+    engines agree bit-for-bit; float epoch seconds would not.
+
+    Output: user_id, session_id (0-based per user, time order),
+    n_events, t_start, t_end, duration_sec, total_value_r.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    us = _micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (F.sum(is_new).over(run) - F.lit(1)).alias("session_id")
+    return (
+        df.select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+            sess,
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.round(
+                (_micros(F.max("ts")) - _micros(F.min("ts")))
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("duration_sec"),
+            F.round(F.sum("value"), 6).alias("total_value_r"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def sessionize_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`sessionize` — identical window algebra,
+    identical integer-microsecond gap test."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    return (
+        "WITH b AS (SELECT "
+        f"{user_col} AS user_id, {ts_col} AS ts, {value_col} AS value, "
+        "CASE WHEN epoch_us("
+        f"LAG({ts_col}) OVER (PARTITION BY {user_col} "
+        f"ORDER BY {ts_col}, event_id)) IS NULL "
+        f"OR epoch_us({ts_col}) - epoch_us(LAG({ts_col}) OVER ("
+        f"PARTITION BY {user_col} ORDER BY {ts_col}, event_id)) > {gap_us} "
+        "THEN 1 ELSE 0 END AS is_new "
+        f"FROM {table}), "
+        "s AS (SELECT user_id, ts, value, "
+        "CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM b) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(ts) AS t_start, MAX(ts) AS t_end, "
+        "ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) "
+        "AS duration_sec, "
+        "ROUND(SUM(value), 6) AS total_value_r "
+        "FROM s GROUP BY user_id, session_id "
+        "ORDER BY user_id, session_id"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_id_col: str = "event_id",
+    right_carry: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """For every left row, attach the most recent right row with the
+    same key and ``right.ts <= left.ts`` (LEFT semantics: unmatched
+    left rows keep NULL right columns).
+
+    Implemented as the scale-safe UNION trick, not a range join:
+    tag both sides, shuffle ONCE on the key, order by
+    (ts, right-first, right_id), and carry the latest right row
+    forward with ``last(..., ignorenulls=True)``. A right and left row
+    at the SAME timestamp match (<= semantics), which is why right
+    rows sort before left rows at ts ties; among right ties the
+    largest ``right_id_col`` wins — a deterministic total order, so
+    the DuckDB ``ASOF LEFT JOIN`` twin agrees exactly.
+
+    Output: left columns prefixed ``l_`` (id/ts), matched right id/ts
+    prefixed ``r_``, carried right columns prefixed ``r_``, and
+    ``lag_sec`` (left.ts - right.ts, exact microseconds / 1e6).
+    """
+    lcols = [
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.lit(0).alias("is_right"),
+        F.col("event_id").alias("l_id"),
+        F.lit(None).cast("long").alias("r_id"),
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+    ] + [F.lit(None).cast("double").alias(f"r_{c}") for c in right_carry]
+    rcols = [
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.lit(1).alias("is_right"),
+        F.lit(None).cast("long").alias("l_id"),
+        F.col(right_id_col).alias("r_id"),
+        F.col(ts_col).alias("r_ts"),
+    ] + [F.col(c).alias(f"r_{c}") for c in right_carry]
+    both = left.select(lcols).unionByName(right.select(rcols))
+    # right rows first at ts ties (<= matches equality), newest right
+    # id last so last() picks it; l_id breaks left ties (no effect on
+    # the carried value, keeps the order total)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", F.desc("is_right"), "r_id", "l_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last("r_id", ignorenulls=True).over(w).alias("m_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("m_ts"),
+    ] + [
+        F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"m_{c}")
+        for c in right_carry
+    ]
+    out = both.select("k", "ts", "is_right", "l_id", *carried).where(
+        F.col("is_right") == 0
+    )
+    return out.select(
+        F.col("l_id"),
+        F.col("k").alias("key"),
+        F.col("ts").alias("l_ts"),
+        F.col("m_id").alias("r_id"),
+        F.col("m_ts").alias("r_ts"),
+        F.round(
+            (_micros(F.col("ts")) - _micros(F.col("m_ts"))) / F.lit(1_000_000.0),
+            6,
+        ).alias("lag_sec"),
+        *[F.col(f"m_{c}").alias(f"r_{c}") for c in right_carry],
+    ).orderBy("l_id")
+
+
+def asof_join_events_sql(
+    table: str,
+    left_type: str = "error",
+    right_type: str = "click",
+) -> str:
+    """DuckDB twin for the events-table as-of query (native
+    ``ASOF LEFT JOIN``): for each *left_type* event, the most recent
+    prior-or-simultaneous *right_type* event by the same user."""
+    return (
+        f"WITH l AS (SELECT * FROM {table} WHERE event_type = '{left_type}'), "
+        f"r AS (SELECT * FROM {table} WHERE event_type = '{right_type}') "
+        "SELECT l.event_id AS l_id, l.user_id AS key, l.ts AS l_ts, "
+        "r.event_id AS r_id, r.ts AS r_ts, "
+        "ROUND((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0, 6) AS lag_sec, "
+        "r.value AS r_value "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts "
+        "ORDER BY l_id"
+    )

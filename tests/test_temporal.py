@@ -1,0 +1,148 @@
+"""Unit semantics for the temporal operators (sessionize, asof_join)
+and the packing/mixing ops — hand-built micro-frames with known
+answers, complementing the DuckDB parity gate in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.textops import analysis, temporal
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double"
+    )
+
+
+class TestSessionize:
+    def test_gap_boundary_splits_sessions(self, spark):
+        # user 1: events at 12:00, 12:10, then 12:50 (40-min gap) — two
+        # sessions; user 2: single event — one session.
+        df = _events(spark, [
+            (1, _ts(0), 1, "view", 1.0),
+            (2, _ts(10), 1, "view", 2.0),
+            (3, _ts(50), 1, "view", 4.0),
+            (4, _ts(5), 2, "click", 8.0),
+        ])
+        out = temporal.sessionize(df, gap_minutes=30).collect()
+        got = {(r.user_id, r.session_id): r for r in out}
+        assert set(got) == {(1, 0), (1, 1), (2, 0)}
+        assert got[(1, 0)].n_events == 2
+        assert got[(1, 0)].total_value_r == 3.0
+        assert got[(1, 0)].duration_sec == 600.0
+        assert got[(1, 1)].n_events == 1
+        assert got[(1, 1)].duration_sec == 0.0
+        assert got[(2, 0)].n_events == 1
+
+    def test_gap_is_strict(self, spark):
+        # exactly 30:00.000000 apart: NOT a new session (> gap, not >=)
+        df = _events(spark, [
+            (1, _ts(0), 1, "view", 1.0),
+            (2, _ts(30), 1, "view", 1.0),
+            (3, _ts(30, 0, 1), 2, "view", 1.0),  # other user
+            (4, _ts(0), 2, "view", 1.0),
+        ])
+        out = temporal.sessionize(df, gap_minutes=30).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r.user_id, []).append(r)
+        assert len(by_user[1]) == 1  # exactly-at-gap stays one session
+        assert len(by_user[2]) == 2  # one microsecond past gap splits
+
+    def test_one_shuffle_plan(self, spark):
+        # the session window and the per-session groupBy share the
+        # user_id hash partitioning — exactly ONE Exchange in the plan
+        df = _events(spark, [(1, _ts(0), 1, "view", 1.0)])
+        plan = temporal.sessionize(df)._jdf.queryExecution().executedPlan().toString()
+        # final orderBy adds a range Exchange; ignore it (presentation
+        # only, dropped in production use) and count hash exchanges
+        n_hash = plan.count("Exchange hashpartitioning")
+        assert n_hash == 1, plan
+
+
+class TestAsofJoin:
+    def test_matches_latest_prior_and_null_when_none(self, spark):
+        left = _events(spark, [
+            (10, _ts(5), 1, "error", 0.0),   # after clicks 1,2 -> id 2
+            (11, _ts(1), 1, "error", 0.0),   # after click 1 only
+            (12, _ts(0, 30), 2, "error", 0.0),  # user 2 has no clicks
+        ])
+        right = _events(spark, [
+            (1, _ts(0), 1, "click", 5.0),
+            (2, _ts(3), 1, "click", 7.0),
+            (3, _ts(9), 1, "click", 9.0),  # later than every error
+        ])
+        out = {r.l_id: r for r in temporal.asof_join(left, right).collect()}
+        assert out[10].r_id == 2 and out[10].r_value == 7.0
+        assert out[10].lag_sec == 120.0
+        assert out[11].r_id == 1 and out[11].r_value == 5.0
+        assert out[12].r_id is None and out[12].r_ts is None
+        assert out[12].lag_sec is None
+
+    def test_simultaneous_right_matches(self, spark):
+        # <= semantics: a right row at the exact left timestamp matches
+        left = _events(spark, [(10, _ts(5), 1, "error", 0.0)])
+        right = _events(spark, [(1, _ts(5), 1, "click", 5.0)])
+        (row,) = temporal.asof_join(left, right).collect()
+        assert row.r_id == 1 and row.lag_sec == 0.0
+
+
+class TestSequencePack:
+    def test_slot_arithmetic(self, spark):
+        # one shard (shards=1) so the cumsum order is doc-id order
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "f g h i")],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in
+               analysis.sequence_pack(df, budget=4, shards=1).collect()}
+        assert (out[1].seq_id, out[1].seq_off, out[1].tokens) == (0, 0, 3)
+        # doc 2 starts at token 3, spans the seq 0/1 boundary
+        assert (out[2].seq_id, out[2].seq_off) == (0, 3)
+        # doc 3 starts at cumsum 5 -> seq 1 offset 1
+        assert (out[3].seq_id, out[3].seq_off) == (1, 1)
+
+    def test_shard_assignment_stable(self, spark):
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 7 + 1)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        a = {r.id: (r.shard, r.seq_id, r.seq_off)
+             for r in analysis.sequence_pack(df).collect()}
+        b = {r.id: (r.shard, r.seq_id, r.seq_off)
+             for r in analysis.sequence_pack(df).collect()}
+        assert a == b
+        assert len({v[0] for v in a.values()}) > 1  # actually sharded
+
+
+class TestDomainMix:
+    def test_uniform_weight_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "c d", "s2"), (3, "e f", "s2"),
+             (4, "g h", "s1")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in analysis.domain_mix(df).collect()}
+        # equal token mass -> both shares 0.5, both weights 1.0
+        assert out["s1"].share_r == 0.5 and out["s2"].share_r == 0.5
+        assert out["s1"].weight_r == 1.0 and out["s2"].weight_r == 1.0
+        assert out["s1"].n_docs == 2 and out["s1"].tokens == 4
+
+    def test_upsample_downsample_direction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f", "big"), (2, "x y", "small")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in analysis.domain_mix(df).collect()}
+        assert out["big"].weight_r < 1.0 < out["small"].weight_r
+        assert abs(out["big"].share_r + out["small"].share_r - 1.0) < 1e-9
