@@ -195,6 +195,39 @@ def _q_zonemap_prune(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_zorder_prune(spark, sf_dir):
+    """Multi-column zone-map pruning via Z-ORDER clustering
+    (engine/zorder.py — Morton-interleaved sort key, public Delta/
+    Iceberg-style layout technique): encode events z-ordered on
+    (user_id, value), then decode under a BOX predicate (BETWEEN on
+    both dimensions). Stripes are range-local in BOTH columns, so the
+    zonemap prunes on both; the residual filter makes the result
+    exactly the SQL WHERE — correctness of the layout + pruning IS
+    the query."""
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_zo_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-zo-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "user_id", "value"],
+        n_partitions=8,
+        zorder_by=["user_id", "value"],
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    pred = [
+        ("user_id", "between", (3, 80)),
+        ("value", "between", (10.0, 60.0)),
+    ]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_bloom_point_lookup(spark, sf_dir):
     """Bloom-filter index pruning (zonemap.stripe_bloom — ORC bloom
     filter stream semantics, public spec): equality on a
@@ -1157,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
         "zonemap_prune": _q_zonemap_prune,
+        "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
         "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
@@ -1385,6 +1419,11 @@ def oracle_sql() -> dict[str, str]:
         "zonemap_prune": (
             "SELECT event_id, value FROM events "
             "WHERE event_id BETWEEN 2500 AND 4999"
+        ),
+        "zorder_prune": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE user_id BETWEEN 3 AND 80 "
+            "AND value BETWEEN 10.0 AND 60.0"
         ),
         "null_inequality_decode": (
             "SELECT doc_id, lang AS lang_n FROM documents "

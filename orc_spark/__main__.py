@@ -53,6 +53,10 @@ def cmd_encode(args) -> int:
         n_partitions=n_partitions,
         waves=args.waves,
         cluster_by=args.cluster_by,
+        zorder_by=(
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if getattr(args, "zorder_by", None) else None
+        ),
         compression=None if args.compression == "none" else args.compression,
         compression_level=args.compression_level,
         stripe_rows=args.stripe_rows,
@@ -314,6 +318,12 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument(
         "--cluster-by",
         help="sort within partitions on this column so zone maps prune",
+    )
+    enc.add_argument(
+        "--zorder-by",
+        help="comma-separated numeric/temporal columns: Morton-"
+        "interleaved clustering so MULTI-column box predicates prune "
+        "(exclusive with --cluster-by)",
     )
     enc.add_argument(
         "--compression", choices=["zlib", "none"], default="zlib",

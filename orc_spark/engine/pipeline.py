@@ -36,6 +36,15 @@ class EncodeJobConfig:
     # stripes range-local so zone maps actually prune (no extra
     # shuffle — the sort rides the encode exchange's output).
     cluster_by: str | None = None
+    # Z-order (Morton) clustering over SEVERAL numeric/temporal
+    # columns: stripes become range-local in every listed dimension at
+    # once, so multi-column box predicates prune on all of them
+    # (engine/zorder.py). Same no-extra-shuffle contract as
+    # cluster_by; mutually exclusive with it. Bucketing bounds come
+    # from one min/max pass, or supply zorder_bounds {col: (lo, hi)}
+    # to skip the pass (at 100 TB you know your domain bounds).
+    zorder_by: list[str] | None = None
+    zorder_bounds: dict | None = None
     size_budget_ratio: float = encode_mod.DEFAULT_SIZE_BUDGET
     overrides: dict[str, list[str]] | None = None
     # Frame-level block compressor over the lightweight encodings (ORC
@@ -222,6 +231,18 @@ def run_encode_job(
         return result
 
     epoch = lineage_mod.next_epoch(spark, cfg.out_dir, cfg.run_id)
+    zexpr = None
+    if cfg.zorder_by:
+        if cfg.cluster_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
+        from . import zorder as zorder_mod
+
+        # bounds once for the whole job (not per wave): one min/max
+        # aggregate, or caller-supplied to skip the pass entirely
+        zbounds = cfg.zorder_bounds or zorder_mod.column_bounds(
+            df, cfg.zorder_by
+        )
+        zexpr = zorder_mod.zorder_key(df, cfg.zorder_by, bounds=zbounds)
     waves = max(1, min(cfg.waves, len(todo)))
     per_wave = -(-len(todo) // waves)
     for w in range(waves):
@@ -236,6 +257,8 @@ def run_encode_job(
         )
         if cfg.cluster_by:
             wave_df = wave_df.sortWithinPartitions(cfg.cluster_by)
+        elif zexpr is not None:
+            wave_df = wave_df.sortWithinPartitions(zexpr)
         stripes = encode_mod.encode_stage(
             wave_df, plans, cfg.run_id, cfg.size_budget_ratio,
             epoch=epoch, fault_spec=cfg.fault_spec,
