@@ -128,6 +128,19 @@ def _q_roundtrip_alp_float(spark, sf_dir):
     )
 
 
+def _q_roundtrip_embeddings(spark, sf_dir):
+    """LIST-column framing (codecs/framing.py dt=_DT_LIST — the ORC
+    v1 LIST type analogue: LENGTH stream through the int auto-selector
+    + a recursively-framed child column): the embeddings table's
+    array<float> column encoded through the full pipeline and decoded
+    back bit-identically. Uniform vector lengths RLE to a few bytes;
+    the float payload stays exact (no quantization on this path)."""
+    return _roundtrip(
+        spark, sf_dir, "embeddings", "vec_id",
+        ["vec_id", "embedding", "label"],
+    )
+
+
 def _q_roundtrip_lineitem_auto(spark, sf_dir):
     """'Encode any user table': the full 11-column TPC-H lineitem
     through codec auto-selection — int64/int32 keys (rle), decimal
@@ -957,6 +970,78 @@ def _q_top_terms(spark, sf_dir):
     return analysis.top_terms(_load(spark, sf_dir, "documents"))
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Inverted index (term -> df + sorted complete posting list),
+    df-capped BEFORE collection so no posting list ever exceeds the
+    cap — stopword-grade terms are filtered, never truncated. One
+    map-side-combined groupBy + one term-keyed join."""
+    from orc_spark.textops import analysis
+
+    # this corpus's vocabulary is ~30 heavily-reused terms (dfs in the
+    # hundreds at every SF) — cap at 400 so the index is non-trivial
+    return analysis.inverted_index(
+        _load(spark, sf_dir, "documents"), df_cap=400
+    )
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (similarity.quantize_int8 — FAISS/Lucene SQ8 layout, 4x smaller
+    than float32). float64 arithmetic with floor(t+0.5) rounding in
+    both engines, so the int codes hash-match bit-for-bit. Map-only,
+    zero shuffle, pure JVM array expressions."""
+    from orc_spark.textops import similarity
+
+    return similarity.quantize_int8(_load(spark, sf_dir, "embeddings"))
+
+
+def _q_link_graph(spark, sf_dir):
+    """Host-level link graph (extraction.link_graph): hrefs extracted
+    from page markup, endpoints reduced to hosts, edges counted. Pages
+    are synthesized deterministically from documents rows (the
+    pii_scrub seeding pattern) so the DuckDB twin rebuilds byte-equal
+    inputs; the operator itself is the same regex chain a real crawl
+    run applies to the html column."""
+    from orc_spark.textops import extraction
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://h'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example.net/p'),
+            F.col("doc_id").cast("string"),
+            F.lit('">a</a>'),
+            F.when(
+                F.col("n_chars") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="https://m'),
+                    (F.col("n_chars") % 5).cast("string"),
+                    F.lit('.example.org/">b</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return extraction.link_graph(seeded)
+
+
+_LINK_SEED_SQL = (
+    "SELECT 'https://' || source || '.example.com/' || "
+    "CAST(doc_id AS VARCHAR) AS url, "
+    "'<html><body><a href=\"https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.example.net/p' || CAST(doc_id AS VARCHAR) || '\">a</a>' || "
+    "CASE WHEN n_chars % 2 = 0 THEN "
+    "'<a href=\"https://m' || CAST(n_chars % 5 AS VARCHAR) || "
+    "'.example.org/\">b</a>' ELSE '' END || "
+    "'</body></html>' AS html FROM documents"
+)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: train docs sharing any 5-token
     shingle with the eval carve-out (doc_id % 20 == 0). The eval
@@ -1162,6 +1247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
+        "inverted_index": _q_inverted_index,
+        "embedding_quantize": _q_embedding_quantize,
+        "link_graph": _q_link_graph,
         "decontaminate": _q_decontaminate,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
@@ -1184,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_for_ts": _q_roundtrip_for_ts,
         "roundtrip_raw_float": _q_roundtrip_raw_float,
         "roundtrip_alp_float": _q_roundtrip_alp_float,
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -1313,7 +1402,7 @@ def _metrics_report_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from orc_spark.engine import selector, stats
-    from orc_spark.textops import analysis, dedup, temporal
+    from orc_spark.textops import analysis, dedup, extraction, similarity, temporal
 
     return {
         "codec_selection": selector.codec_selection_sql(
@@ -1378,6 +1467,13 @@ def oracle_sql() -> dict[str, str]:
             "documents", rates=_SAMPLE_RATES, default_rate=1.0
         ),
         "top_terms": analysis.top_terms_sql("documents"),
+        "inverted_index": analysis.inverted_index_sql(
+            "documents", df_cap=400
+        ),
+        "embedding_quantize": similarity.quantize_int8_sql("embeddings"),
+        "link_graph": extraction.link_graph_sql(
+            "(" + _LINK_SEED_SQL + ") seeded"
+        ),
         "sequence_pack": analysis.sequence_pack_sql("documents"),
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
@@ -1408,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",
         "roundtrip_raw_float": "SELECT event_id, value FROM events",
         "roundtrip_alp_float": "SELECT event_id, value FROM events",
+        "roundtrip_embeddings": (
+            "SELECT vec_id, embedding, label FROM embeddings"
+        ),
         "roundtrip_lineitem_auto": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity, l_extendedprice, l_discount, l_tax, "

@@ -61,6 +61,7 @@ CODECS = {
     "fsst": 7,
     "for_ts": 8,  # frame-of-reference for timestamps (rle_auto on int64 view)
     "alp": 9,  # decimal-scaled doubles -> int codecs, verbatim exceptions
+    "list": 10,  # ORC LIST type analogue: length stream + child frame
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -85,6 +86,7 @@ _DT_FLOAT32 = 9
 _DT_DATE32 = 10
 _DT_BOOL = 11
 _DT_DECIMAL128 = 12
+_DT_LIST = 13
 
 
 def _dtype_id(t: pa.DataType) -> int:
@@ -112,6 +114,9 @@ def _dtype_id(t: pa.DataType) -> int:
         return _DT_BOOL
     if pa.types.is_decimal128(t):
         return _DT_DECIMAL128
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        _dtype_id(t.value_type)  # child must itself be encodable
+        return _DT_LIST
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -403,6 +408,32 @@ def _interleave_decimal(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------- the frame
 
+def _list_child_codec(child: pa.Array) -> str:
+    """Static child-codec rule for LIST frames (the per-stripe budget
+    walk happens at the outer level; the child picks by type family):
+    int-family -> rle_auto, strings -> fsst when the data can amortize
+    a symbol table, nested lists recurse, floats raw (embeddings are
+    near-random mantissas; the outer frame's zlib still applies)."""
+    t = child.type
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date32(t)
+        or pa.types.is_boolean(t)
+    ):
+        return "rle_auto"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return "fsst" if child.nbytes >= 4096 else "raw"
+    return "raw"
+
+
 def encode_frame(
     arr: pa.Array,
     codec: str,
@@ -503,6 +534,40 @@ def encode_frame(
             payload = _encode_strings_raw(lengths, data)
         else:
             raise ValueError(f"codec {codec} not valid for string/binary column")
+    elif dt == _DT_LIST:
+        # ORC LIST type analogue (public ORC v1 spec: PRESENT + LENGTH
+        # streams over a recursively-encoded child column): lengths go
+        # through the int auto-selector (uniform-length vectors — the
+        # embedding case — RLE to a few bytes), the flattened child
+        # through its own self-describing frame. "raw" aliases "list":
+        # the structural encoding IS the floor for nested data, so the
+        # budget fallback chain still terminates.
+        if codec not in ("list", "raw"):
+            raise ValueError(f"codec {codec} not valid for list column")
+        codec = "list"
+        params["large"] = bool(pa.types.is_large_list(arr.type))
+        # round-trip the child FIELD identity, not just its type:
+        # parquet names list children "element", arrow defaults to
+        # "item" — a decode that renamed the child would break the
+        # bit-identical contract at the schema level (and spuriously
+        # fail checksum verification, which hashes the type string)
+        vf = arr.type.value_field
+        if vf.name != "item":
+            params["field"] = vf.name
+        if not vf.nullable:
+            params["field_nullable"] = False
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        lengths = pa.compute.list_value_length(dense).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        child = dense.flatten()
+        child_blob = encode_frame(
+            child, _list_child_codec(child), state=state
+        )
+        lb = encode_ints_auto(lengths)
+        payload = struct.pack("<I", len(lb)) + lb + child_blob
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
@@ -613,6 +678,27 @@ def decode_frame(blob: bytes) -> pa.Array:
             lo = decode_ints_auto(payload, n_valid)
             hi = lo >> 63  # sign extension (verified <= int64 at encode)
         return _build_decimal_array(lo, hi, valid_mask, n, params)
+    if dt == _DT_LIST:
+        (lb_len,) = struct.unpack("<I", payload[:4])
+        lengths = decode_ints_auto(payload[4 : 4 + lb_len], n_valid)
+        child = decode_frame(payload[4 + lb_len :])
+        full_lengths = _expand_valid(lengths.astype(np.int64), valid_mask, n)
+        large = bool(params.get("large"))
+        off_dt = np.int64 if large else np.int32
+        offsets = np.zeros(n + 1, dtype=off_dt)
+        np.cumsum(full_lengths, out=offsets[1:], dtype=off_dt)
+        vf = pa.field(
+            params.get("field", "item"),
+            child.type,
+            nullable=params.get("field_nullable", True),
+        )
+        t = pa.large_list(vf) if large else pa.list_(vf)
+        return pa.Array.from_buffers(
+            t, n,
+            [_arrow_validity(valid_mask, n), pa.py_buffer(offsets.tobytes())],
+            children=[child],
+            null_count=-1 if valid_mask is not None else 0,
+        )
     raise TypeError(f"unhandled dtype id {dt}")
 
 
@@ -741,6 +827,15 @@ def column_checksum(arr: pa.Array) -> str:
             dense = dense.combine_chunks()
         lo, hi = _decimal_halves(dense)
         h.update(_interleave_decimal(lo, hi).astype("<i8").tobytes())
+    elif dt == _DT_LIST:
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        lengths = pa.compute.list_value_length(dense).to_numpy(
+            zero_copy_only=False
+        ).astype("<i8")
+        h.update(lengths.tobytes())
+        h.update(column_checksum(dense.flatten()).encode())
     else:
         raise TypeError(str(arr.type))
     return h.hexdigest()

@@ -59,6 +59,11 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
             # bools RLE beautifully; decimals <= precision 18 ride the
             # int64 path (framing falls back to 16-byte raw above it)
             chain = ["rle_auto", "raw"]
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            # ORC LIST: length stream via the int auto-selector +
+            # recursively-framed child; "list" IS the structural floor
+            # (framing aliases raw to it), so the chain is terminal
+            chain = ["list"]
         else:
             chain = ["raw"]
         plans[f.name] = ColumnPlan(f.name, chain)

@@ -719,3 +719,68 @@ def domain_mix_sql(
         "(tokens / (SUM(tokens) OVER ())), 6) AS weight_r "
         "FROM a ORDER BY source"
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    df_cap: int = 50,
+    min_len: int = 3,
+) -> DataFrame:
+    """Inverted index (term -> sorted posting list + document
+    frequency) over a corpus — the retrieval-side data structure a
+    training pipeline builds for decontamination lookups and corpus
+    search.
+
+    Scale shape: per-doc ``array_distinct`` caps each document's vote
+    at one; the df aggregation is map-side partial; and the DF-CAP is
+    applied BEFORE postings are collected — stopword-grade terms
+    (df > cap) never materialize a list, so no collect_list ever
+    exceeds ``df_cap`` elements (the same inverted-index df-cap bound
+    as dedup.ngram_jaccard). One groupBy + one term-keyed join.
+    (term, df, postings) is a deterministic total order: postings are
+    array_sort'ed and every surviving list is complete (cap filters
+    terms, never truncates lists).
+    """
+    toks = df.select(
+        F.col(id_col).alias("pid"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("term"),
+    ).where(F.length("term") >= min_len)
+    dfc = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= df_cap))
+    )
+    return (
+        toks.join(dfc, "term")
+        .groupBy("term", "df")
+        .agg(F.array_sort(F.collect_list("pid")).alias("postings"))
+        .select("term", "df", "postings")
+    )
+
+
+def inverted_index_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    df_cap: int = 50,
+    min_len: int = 3,
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same tokenizer, same
+    df-cap-before-collect, same sorted complete postings)."""
+    return (
+        f"WITH toks AS (SELECT {id_col} AS pid, "
+        f"unnest(list_distinct(string_split_regex(lower({text_col}), "
+        f"'\\s+'))) AS term FROM {table}), "
+        f"t AS (SELECT * FROM toks WHERE length(term) >= {min_len}), "
+        "dfc AS (SELECT term, count(*) AS df FROM t GROUP BY term "
+        f"HAVING count(*) >= {min_df} AND count(*) <= {df_cap}) "
+        "SELECT t.term, any_value(dfc.df) AS df, "
+        "list_sort(list(t.pid)) AS postings "
+        "FROM t JOIN dfc USING (term) GROUP BY t.term"
+    )

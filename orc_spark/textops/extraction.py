@@ -136,3 +136,63 @@ def extract_text(
     return df.withColumn(
         out_col, extract_text_col(F.col(html_col), body_only, collapse_ws)
     )
+
+
+# href attribute + scheme://host of a URL (Spark and DuckDB both run
+# these verbatim — keep the patterns engine-portable: no lookaround,
+# no \p classes)
+HREF_PATTERN = 'href="([^"]+)"'
+HOST_PATTERN = "^[a-z][a-z0-9+.-]*://([^/]+)"
+
+
+def link_graph(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Host-level link graph from raw pages: extract every href from
+    the page markup, reduce both endpoints to their hosts, and count
+    edges — the web-graph side-product (host in/out-degree, PageRank
+    input, spam-cluster signal) a Common-Crawl-scale pipeline derives
+    during the same pass that extracts text.
+
+    Plan at scale: regexp_extract_all + explode is map-side (JVM regex,
+    zero Python); the only shuffle is the (src_host, dst_host) count
+    aggregation, which map-side-combines to one row per edge. Binary
+    pages decode via cast(binary as string) — UTF-8, JVM-side.
+    """
+    html_str = F.col(html_col).cast("string")
+    links = df.select(
+        F.lower(F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)).alias(
+            "src_host"
+        ),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), F.lit(1))
+        ).alias("href"),
+    )
+    return (
+        links.select(
+            "src_host",
+            F.lower(F.regexp_extract("href", HOST_PATTERN, 1)).alias(
+                "dst_host"
+            ),
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def link_graph_sql(table: str, html_col: str = "html", url_col: str = "url") -> str:
+    """DuckDB twin of :func:`link_graph` (same patterns, same host
+    normalization, same edge-count aggregation)."""
+    return (
+        "WITH links AS (SELECT "
+        f"lower(regexp_extract({url_col}, '{HOST_PATTERN}', 1)) AS src_host, "
+        f"unnest(regexp_extract_all({html_col}, '{HREF_PATTERN}', 1)) AS href "
+        f"FROM {table}), "
+        "edges AS (SELECT src_host, "
+        f"lower(regexp_extract(href, '{HOST_PATTERN}', 1)) AS dst_host "
+        "FROM links) "
+        "SELECT src_host, dst_host, count(*) AS n_links FROM edges "
+        "WHERE src_host != '' AND dst_host != '' "
+        "GROUP BY src_host, dst_host"
+    )

@@ -299,3 +299,54 @@ def ivf_topk(
         F.col("_ivf_list").isin(probe)
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage codec for vector corpora (4x smaller than float32; the
+    standard scalar-quantization layout used by FAISS/Lucene SQ8):
+    ``q[i] = round(x[i] / scale)`` with ``scale = max|x| / 127`` stored
+    per vector, so dequantization is one multiply.
+
+    Engine-portable determinism: all arithmetic in float64 with
+    ``floor(t + 0.5)`` as the rounding rule — identical IEEE op order
+    in Spark and the SQL twin, so the int8 codes are bit-identical
+    across engines (plain ``round`` half-even vs half-away drifts).
+    Plan at scale: map-only, zero shuffle, pure JVM array expressions
+    (transform/array_max) — no Python in the hot path.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    qvec = F.when(
+        mx > 0,
+        F.transform(
+            xd, lambda x: F.floor(x / mx * 127.0 + 0.5).cast("int")
+        ),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0)))
+    scale = F.when(mx > 0, mx / 127.0).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col), qvec.alias("qvec"), scale.alias("scale")
+    )
+
+
+def quantize_int8_sql(
+    table: str, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`quantize_int8` — same float64 op order,
+    same floor(t + 0.5) rounding, so codes match bit-for-bit."""
+    return (
+        f"WITH s AS (SELECT {id_col}, {vec_col}, "
+        f"list_aggregate(list_transform({vec_col}, "
+        "x -> abs(CAST(x AS DOUBLE))), 'max') AS mx "
+        f"FROM {table}) "
+        f"SELECT {id_col}, "
+        f"CASE WHEN mx > 0 THEN list_transform({vec_col}, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INTEGER)) "
+        f"ELSE list_transform({vec_col}, x -> 0) END AS qvec, "
+        "CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale "
+        "FROM s"
+    )
