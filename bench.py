@@ -710,81 +710,96 @@ def run_scale_smoke(spark, extras: dict, probes: list, bench_t0: float) -> None:
     smoke_mode = os.environ.get("ORCSPARK_BENCH_SCALE_SMOKE", "auto")
     smoke_deadline = float(os.environ.get("ORCSPARK_SMOKE_DEADLINE_S", "480"))
     elapsed = time.perf_counter() - bench_t0
-    if smoke_mode != "0" and smoke_mode != "1" and elapsed >= smoke_deadline:
-        extras["scale_smoke"] = {
-            "skipped": (
-                f"bench already at {round(elapsed)}s (budget {round(smoke_deadline)}s) "
-                "before the smoke phase — the scaling phase ate the "
-                "budget; see scaling.host_probes"
-            )
-        }
-    if smoke_mode != "0" and (smoke_mode == "1" or elapsed < smoke_deadline):
+    if smoke_mode != "0":
         smoke: dict = {"workload": "full encode+decode pipeline, distributed-generated table"}
         sprobes: list[dict] = []
+        over_budget = smoke_mode != "1" and elapsed >= smoke_deadline
         healthy = wait_for_healthy_host(
-            240.0 if smoke_mode == "1" else 45.0, sprobes
+            240.0 if smoke_mode == "1" else (5.0 if over_budget else 45.0),
+            sprobes,
         )
         probes.extend(sprobes)  # scaling's whole-run probe record
-        if healthy or smoke_mode == "1":
-            smoke_rows = int(os.environ.get("ORCSPARK_SMOKE_ROWS", "600000"))
-            spath = ensure_web_parquet_distributed(spark, smoke_rows)
-            esec, sbi, sbo, sdir, srun = encode_web_job(
-                spark, spath, MAIN_CORES, "smoke"
-            )
-            sprobes.append(probe_host_health())
-            sdf = spark.read.parquet(spath)
-            t0 = time.perf_counter()
-            sdec = pipeline.decode_job(spark, sdir, srun, sdf.schema)
-            n_sdec = sdec.count()
-            dsec = time.perf_counter() - t0
-            sprobes.append(probe_host_health())
-            # index-path point lookup at this size: full decode is tens
-            # of seconds, the pruned lookup stays ~flat — the speedup
-            # the 518 MB main phase can't show over its fixed job cost
-            s_url = sdf.select("url").first().url
-            s_pred = [("url", "==", s_url)]
-            pl_runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n_pl = (
-                    pipeline.decode_job(
-                        spark, sdir, srun, sdf.schema, predicate=s_pred
-                    )
-                    .filter(zonemap.predicate_expr(s_pred))
-                    .count()
-                )
-                pl_runs.append(time.perf_counter() - t0)
-            smoke["point_lookup_sec"] = round(min(pl_runs), 3)
-            smoke["point_lookup_rows"] = int(n_pl)
-            smoke["point_lookup_speedup_vs_full_decode"] = round(
-                dsec / min(pl_runs), 2
-            )
-            _update_plk_best(
-                smoke_rows, round(dsec, 3), round(min(pl_runs), 3)
-            )
-            shutil.rmtree(sdir, ignore_errors=True)
-            assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
-            smoke.update(
-                {
-                    "rows": smoke_rows,
-                    "bytes_in": sbi,
-                    "ratio": round(sbi / sbo, 3),
-                    "encode_sec": round(esec, 3),
-                    "encode_mb_s": round(sbi / 1e6 / esec, 1),
-                    "decode_sec": round(dsec, 3),
-                    "decode_mb_s": round(sbi / 1e6 / dsec, 1),
-                    "decoded_rows": n_sdec,
-                    "measured_during_degraded_host": not any(
-                        p["healthy"] for p in sprobes
-                    ),
-                }
-            )
+        # NEVER skip: a flagged/shrunk number beats a skip — four
+        # rounds of "skipped" is worse provenance than honest floor
+        # numbers (VERDICT r4 #2). Over-budget runs get a quarter-size
+        # input, degraded hosts half-size, so the phase cannot starve
+        # the rest of the bench either way.
+        if smoke_mode == "1":
+            default_rows = 600000
+        elif over_budget:
+            default_rows = 150000
+        elif not healthy:
+            default_rows = 300000
         else:
-            smoke["skipped"] = (
-                "no healthy memory-subsystem window within bounded wait; "
-                "measuring would profile the hypervisor's page-supply "
-                "phase, not the engine (probes recorded)"
+            default_rows = 600000
+        smoke_rows = int(
+            os.environ.get("ORCSPARK_SMOKE_ROWS", str(default_rows))
+        )
+        if over_budget:
+            smoke["note"] = (
+                f"bench already at {round(elapsed)}s (budget "
+                f"{round(smoke_deadline)}s) before the smoke phase — "
+                "measured anyway at quarter size so the snapshot "
+                "carries a real number (probes recorded)"
             )
+        elif not healthy and smoke_mode != "1":
+            smoke["note"] = (
+                "no healthy memory-subsystem window within bounded "
+                "wait; measured anyway at half size — treat as a "
+                "floor (degraded flag below, probes recorded)"
+            )
+        spath = ensure_web_parquet_distributed(spark, smoke_rows)
+        esec, sbi, sbo, sdir, srun = encode_web_job(
+            spark, spath, MAIN_CORES, "smoke"
+        )
+        sprobes.append(probe_host_health())
+        sdf = spark.read.parquet(spath)
+        t0 = time.perf_counter()
+        sdec = pipeline.decode_job(spark, sdir, srun, sdf.schema)
+        n_sdec = sdec.count()
+        dsec = time.perf_counter() - t0
+        sprobes.append(probe_host_health())
+        # index-path point lookup at this size: full decode is tens
+        # of seconds, the pruned lookup stays ~flat — the speedup
+        # the 518 MB main phase can't show over its fixed job cost
+        s_url = sdf.select("url").first().url
+        s_pred = [("url", "==", s_url)]
+        pl_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pl = (
+                pipeline.decode_job(
+                    spark, sdir, srun, sdf.schema, predicate=s_pred
+                )
+                .filter(zonemap.predicate_expr(s_pred))
+                .count()
+            )
+            pl_runs.append(time.perf_counter() - t0)
+        smoke["point_lookup_sec"] = round(min(pl_runs), 3)
+        smoke["point_lookup_rows"] = int(n_pl)
+        smoke["point_lookup_speedup_vs_full_decode"] = round(
+            dsec / min(pl_runs), 2
+        )
+        _update_plk_best(
+            smoke_rows, round(dsec, 3), round(min(pl_runs), 3)
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+        assert n_sdec == smoke_rows, (n_sdec, smoke_rows)
+        smoke.update(
+            {
+                "rows": smoke_rows,
+                "bytes_in": sbi,
+                "ratio": round(sbi / sbo, 3),
+                "encode_sec": round(esec, 3),
+                "encode_mb_s": round(sbi / 1e6 / esec, 1),
+                "decode_sec": round(dsec, 3),
+                "decode_mb_s": round(sbi / 1e6 / dsec, 1),
+                "decoded_rows": n_sdec,
+                "measured_during_degraded_host": not any(
+                    p["healthy"] for p in sprobes
+                ),
+            }
+        )
         smoke["host_probes"] = sprobes[-6:]
         extras["scale_smoke"] = smoke
 
