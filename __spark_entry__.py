@@ -1228,6 +1228,134 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("id", F.round("cosine", 6).alias("cosine_r"))
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (CCNet/RefinedWeb line-dedup pass):
+    every distinct paragraph survives only at its global first
+    occurrence; documents re-assemble from survivors in order. Pages
+    are seeded with shared nav/footer paragraphs (doc_id arithmetic,
+    DuckDB-rebuildable) around each doc's own unique text."""
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared nav "), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" <p> "), F.col("text"),
+            F.lit(" <p> shared footer "), (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(seeded)
+
+
+_PARA_SEED_SQL = (
+    "SELECT doc_id, 'shared nav ' || CAST(doc_id % 7 AS VARCHAR) || "
+    "' <p> ' || text || ' <p> shared footer ' || "
+    "CAST(doc_id % 5 AS VARCHAR) AS text FROM documents"
+)
+
+
+def _q_dup_window_stats(spark, sf_dir):
+    """Exact substring-duplication stats (Lee et al. substring-dedup
+    detection half): per-doc count of k-token windows that appear in
+    at least one OTHER document. k=3 over the small-vocab synthetic
+    corpus gives a dense, meaningful duplicate set."""
+    from orc_spark.textops import dedup
+
+    return dedup.dup_window_stats(_load(spark, sf_dir, "documents"), k=3)
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf * ln(N/df); deterministic
+    (score desc, term asc) tie-break in both engines."""
+    from orc_spark.textops import analysis
+
+    return analysis.tfidf_top_terms(_load(spark, sf_dir, "documents"), k=3)
+
+
+def _q_mojibake_score(spark, sf_dir):
+    """Encoding-anomaly filter: U+FFFD replacement chars + C0 control
+    chars, counted map-side. Anomalies are seeded deterministically
+    (doc_id arithmetic) since the synthetic corpus is clean ASCII."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" �bad�"))
+            .when(F.col("doc_id") % 13 == 0, F.lit(" \x07ding"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return analysis.mojibake_score(seeded)
+
+
+_MOJIBAKE_SEED_SQL = (
+    "SELECT doc_id, text || CASE "
+    "WHEN doc_id % 11 = 0 THEN ' ' || chr(65533) || 'bad' || chr(65533) "
+    "WHEN doc_id % 13 = 0 THEN ' ' || chr(7) || 'ding' "
+    "ELSE '' END AS text FROM documents"
+)
+
+
+def _q_url_host_filter(spark, sf_dir):
+    """URL-level corpus gate: drop hosts on an exact blocklist or
+    matching a spam regex, map-side, before any text processing.
+    Urls seeded from documents rows (the link_graph pattern)."""
+    from orc_spark.textops import extraction
+
+    docs = _load(spark, sf_dir, "documents")
+    # spam marker in the HOST for doc_id%23 rows (regex-rejected), in
+    # the PATH for doc_id%17 rows (kept: the filter gates hosts only);
+    # two exact hosts land on the blocklist
+    plain_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("casino-night/"))
+        .otherwise(F.lit("")),
+        F.col("doc_id").cast("string"),
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.lit("https://casino."), F.col("source"), F.lit(".example.com/x")),
+        ).otherwise(plain_url).alias("url"),
+    )
+    return extraction.url_host_filter(
+        seeded, blocklist=["src3.example.com", "src7.example.com"]
+    )
+
+
+_URLFILTER_SEED_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 23 = 0 THEN "
+    "'https://casino.' || source || '.example.com/x' "
+    "ELSE 'https://' || source || '.example.com/' || "
+    "CASE WHEN doc_id % 17 = 0 THEN 'casino-night/' ELSE '' END || "
+    "CAST(doc_id AS VARCHAR) END AS url FROM documents"
+)
+
+
+def _q_pagerank_hosts(spark, sf_dir):
+    """Fixed-3-iteration weighted PageRank over the seeded host link
+    graph (the link_graph edges). Two shuffles per iteration (join +
+    inflow agg); rank table broadcastable at scale. Oracle = the same
+    power-method steps unrolled as DuckDB CTEs."""
+    from orc_spark.textops import graph
+
+    return graph.pagerank_hosts(
+        _q_link_graph(spark, sf_dir), iterations=3, damping=0.85
+    )
+
+
+def _pagerank_hosts_oracle_sql() -> str:
+    from orc_spark.textops import extraction, graph
+
+    edges = extraction.link_graph_sql("(" + _LINK_SEED_SQL + ") seeded")
+    return graph.pagerank_hosts_sql(edges, iterations=3, damping=0.85)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": _q_extract_text,
@@ -1250,12 +1378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "embedding_quantize": _q_embedding_quantize,
         "link_graph": _q_link_graph,
+        "pagerank_hosts": _q_pagerank_hosts,
+        "url_host_filter": _q_url_host_filter,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "mojibake_score": _q_mojibake_score,
         "decontaminate": _q_decontaminate,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "normalized_dedup": _q_normalized_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "dup_window_stats": _q_dup_window_stats,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
@@ -1437,6 +1571,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "near_dup_purge": dedup.near_dup_purge_sql("documents"),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
+        "paragraph_dedup": dedup.paragraph_dedup_sql(
+            "(" + _PARA_SEED_SQL + ") seeded"
+        ),
+        "dup_window_stats": dedup.dup_window_stats_sql("documents", k=3),
+        "tfidf_top_terms": analysis.tfidf_top_terms_sql("documents", k=3),
+        "mojibake_score": analysis.mojibake_score_sql(
+            "(" + _MOJIBAKE_SEED_SQL + ") seeded"
+        ),
+        "url_host_filter": extraction.url_host_filter_sql(
+            "(" + _URLFILTER_SEED_SQL + ") seeded",
+            blocklist=["src3.example.com", "src7.example.com"],
+        ),
+        "pagerank_hosts": _pagerank_hosts_oracle_sql(),
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),

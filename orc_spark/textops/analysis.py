@@ -784,3 +784,142 @@ def inverted_index_sql(
         "list_sort(list(t.pid)) AS postings "
         "FROM t JOIN dfc USING (term) GROUP BY t.term"
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic relevance
+    weighting (tf * ln(N / df)) used for keyword extraction, domain
+    tagging, and quality heuristics over a web corpus.
+
+    Scale plan: term frequencies and document frequencies are two
+    map-side-combining aggregations over the same exploded token
+    stream; N is one scalar broadcast (crossJoin of a 1-row agg —
+    Catalyst turns it into BroadcastNestedLoopJoin); the per-doc top-k
+    is a row_number window over doc_id partitions, never a global
+    sort. Ties break (score desc, term asc) — a total order per doc,
+    so the k rows are deterministic in both engines.
+
+    Returns (doc_id, term, tf, score), ordered by doc_id, score desc,
+    term asc.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_count")
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df_count")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (same tokenizer, same
+    tf * ln(N/df) weight, same (score desc, term asc) tie-break)."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(string_split_regex(lower({text_col}), '\s+')) AS term
+  FROM {table}
+),
+tok2 AS (SELECT * FROM toks WHERE term != ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_count FROM tok2 GROUP BY term),
+n AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(n.n_docs * 1.0 / dfreq.df_count) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, score FROM ranked WHERE rn <= {k}
+ORDER BY doc_id, score DESC, term
+"""
+
+
+def mojibake_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-anomaly scoring — the cheap filter a Common-Crawl
+    pipeline runs before any model-based quality pass: count U+FFFD
+    replacement characters (the scar a mis-declared charset leaves
+    after UTF-8 decode) and raw C0 control characters (binary junk
+    inside a text field), and flag the document if either appears.
+
+    Pure map-side JVM regex — no shuffle, no Python; at 100 TB this
+    fuses into whatever scan already reads the text column.
+
+    Returns (doc_id, n_replacement, n_control, is_suspect),
+    order by doc_id.
+    """
+    repl = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("�"), F.lit(0))
+    )
+    ctrl = F.size(
+        F.regexp_extract_all(
+            F.col(text_col),
+            F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+            F.lit(0),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        repl.alias("n_replacement"),
+        ctrl.alias("n_control"),
+        ((repl > 0) | (ctrl > 0)).alias("is_suspect"),
+    ).orderBy("doc_id")
+
+
+def mojibake_score_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`mojibake_score` (same patterns; chr(65533)
+    is U+FFFD so the SQL string stays pure ASCII)."""
+    return rf"""
+SELECT {id_col} AS doc_id,
+       len(regexp_extract_all({text_col}, chr(65533))) AS n_replacement,
+       len(regexp_extract_all({text_col}, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_control,
+       (len(regexp_extract_all({text_col}, chr(65533))) > 0
+        OR len(regexp_extract_all({text_col}, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0)
+       AS is_suspect
+FROM {table} ORDER BY doc_id
+"""

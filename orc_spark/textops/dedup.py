@@ -768,3 +768,167 @@ SELECT tr.id AS id, count(*) AS n_shared
 FROM tr JOIN ev USING (s)
 GROUP BY tr.id ORDER BY id
 """
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " <p> ",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet / RefinedWeb line-dedup
+    pass): split every document into paragraphs, keep each distinct
+    paragraph only at its GLOBAL first occurrence (lowest (doc_id,
+    position)), and re-assemble documents from their surviving
+    paragraphs in original order. Boilerplate that repeats across a
+    host (nav bars, cookie banners, footers) disappears from every
+    page but the first; documents whose paragraphs all lose vanish.
+
+    Scale plan: one shuffle on md5(paragraph) for the first-occurrence
+    window, one shuffle on doc_id for re-assembly — both key-local;
+    the window is a row_number over a hash partition whose groups are
+    copy-counts (small), never a global sort. Re-assembly sorts the
+    collected (pos, para) structs per doc in memory — bounded by
+    paragraphs-per-doc, not corpus size.
+
+    Returns (doc_id, text) with the deduped text; order by doc_id.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias(
+            "pos", "para"
+        ),
+    ).where(F.col("para") != "")
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "pos")
+    first = paras.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _re_escape(sep: str) -> str:
+    import re as _re
+
+    return _re.escape(sep)
+
+
+def paragraph_dedup_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " <p> ",
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (same split, same global
+    first-occurrence rule, same in-order re-assembly). DuckDB zips
+    parallel unnests, giving (pos, para) without a lateral join."""
+    import re as _re
+
+    esc = _re.escape(sep).replace("'", "''")
+    return f"""
+WITH paras AS (
+  SELECT {id_col} AS doc_id,
+         unnest(generate_series(1, len(string_split_regex({text_col}, '{esc}')))) AS pos,
+         unnest(string_split_regex({text_col}, '{esc}')) AS para
+  FROM {table}
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras WHERE para != ''
+)
+SELECT doc_id, string_agg(para, '{sep.replace("'", "''")}' ORDER BY pos) AS text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def dup_window_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact substring-duplication statistics (the detection half of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" substring dedup): every k-token window of every document,
+    counted once per document, is checked for appearance in ANY other
+    document; returns per-doc totals — how much of each page is
+    verbatim-shared text.
+
+    Scale plan: windows reuse :func:`shingles` (JVM higher-order
+    functions, no Python); each window is reduced to md5 BEFORE the
+    shuffle so the duplicated-window aggregation and the join back
+    move 16-byte keys, not window strings. Two shuffles (window-hash
+    agg, per-doc agg) + one hash-key join. At 100 TB the window-hash
+    agg is the big one — it map-side-combines, and the join back is
+    hash-key vs hash-key (AQE can pick shuffled hash join; no
+    broadcast needed).
+
+    Returns (doc_id, n_windows, n_dup_windows), order by doc_id.
+    """
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(text_col, k))
+        ).alias("w"),
+    ).select("doc_id", F.md5("w").alias("wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("wh")
+    )
+    return (
+        wins.join(dup.withColumn("is_dup", F.lit(1)), "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_window_stats_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`dup_window_stats` (same tokenizer, same
+    per-doc-distinct windows, same >=2-docs duplication rule). The
+    short-text fallback mirrors :func:`shingles`: a document with
+    fewer than k tokens contributes its whole text as one window."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), '\s+') AS t
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id, md5(unnest(
+    CASE WHEN len(t) >= {k} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> array_to_string(t[i:i + {k} - 1], ' ')))
+    ELSE [array_to_string(t, ' ')] END)) AS wh
+  FROM toks
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)
+SELECT w.doc_id AS doc_id, count(*) AS n_windows,
+       count(d.wh) AS n_dup_windows
+FROM wins w LEFT JOIN dup d USING (wh)
+GROUP BY w.doc_id ORDER BY doc_id
+"""

@@ -196,3 +196,59 @@ def link_graph_sql(table: str, html_col: str = "html", url_col: str = "url") -> 
         "WHERE src_host != '' AND dst_host != '' "
         "GROUP BY src_host, dst_host"
     )
+
+
+def url_host_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    spam_pattern: str = r"(porn|casino|viagra)",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level corpus filtering — the first, cheapest gate in a
+    crawl curation pipeline: drop documents whose host is on an exact
+    blocklist or matches a spam regex, BEFORE any text processing
+    spends cycles on them.
+
+    Plan at scale: pure map-side (host regex + isin + rlike inside
+    whole-stage codegen); the blocklist is a literal IN-list (Catalyst
+    folds small lists; for a multi-million-entry blocklist switch to a
+    broadcast anti-join — same semantics, documented seam). No
+    shuffle, no Python.
+
+    Returns (doc_id, url, host) for the SURVIVORS, order by doc_id.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+    )
+    return (
+        out.where(
+            (~F.col("host").isin(blocklist))
+            & (~F.col("host").rlike(spam_pattern))
+        )
+        .orderBy("doc_id")
+    )
+
+
+def url_host_filter_sql(
+    table: str,
+    blocklist: list[str],
+    spam_pattern: str = "(porn|casino|viagra)",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`url_host_filter` (same host extraction,
+    same exact + regex rejection)."""
+    bl = ", ".join("'" + b.replace("'", "''") + "'" for b in blocklist)
+    return (
+        f"WITH h AS (SELECT {id_col} AS doc_id, {url_col} AS url, "
+        f"lower(regexp_extract({url_col}, '{HOST_PATTERN}', 1)) AS host "
+        f"FROM {table}) "
+        f"SELECT doc_id, url, host FROM h "
+        f"WHERE host NOT IN ({bl}) "
+        f"AND NOT regexp_matches(host, '{spam_pattern}') "
+        f"ORDER BY doc_id"
+    )

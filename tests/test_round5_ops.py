@@ -119,3 +119,175 @@ class TestLinkGraph:
         assert [(r.src_host, r.dst_host, r.n_links) for r in rows] == [
             ("s.a", "d.b", 1)
         ]
+
+
+class TestParagraphDedup:
+    def test_global_first_occurrence(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "nav <p> alpha <p> footer"),
+                (2, "nav <p> beta <p> footer"),
+                (3, "nav <p> footer"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.text for r in dedup.paragraph_dedup(df).collect()}
+        # doc 1 keeps everything (first occurrence of nav+footer);
+        # doc 2 keeps only its unique paragraph; doc 3 vanishes
+        assert got == {1: "nav <p> alpha <p> footer", 2: "beta"}
+
+    def test_order_preserved_within_doc(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "z <p> a <p> m")], "doc_id long, text string"
+        )
+        got = dedup.paragraph_dedup(df).collect()[0].text
+        assert got == "z <p> a <p> m"  # original order, not sorted
+
+
+class TestDupWindowStats:
+    def test_hand_computed_counts(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),   # windows: abc, bcd
+                (2, "a b c"),     # windows: abc
+                (3, "x y z"),     # windows: xyz
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows)
+            for r in dedup.dup_window_stats(df, k=3).collect()
+        }
+        assert got == {1: (2, 1), 2: (1, 1), 3: (1, 0)}
+
+    def test_short_doc_whole_text_window(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows)
+            for r in dedup.dup_window_stats(df, k=3).collect()
+        }
+        assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0)}
+
+
+class TestTfidfTopTerms:
+    def test_idf_zeroes_ubiquitous_term(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "common rare1 common"), (2, "common rare2")],
+            "doc_id long, text string",
+        )
+        rows = analysis.tfidf_top_terms(df, k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.term, r.tf, r.score))
+        # 'common' appears in both docs -> idf = ln(2/2) = 0
+        for doc, terms in by_doc.items():
+            top_term, tf, score = terms[0]
+            assert top_term.startswith("rare")
+            assert score == pytest.approx(math.log(2.0))
+        common = [t for ts in by_doc.values() for t in ts if t[0] == "common"]
+        assert all(t[2] == 0.0 for t in common)
+
+    def test_k_bounds_rows_per_doc(self, spark, documents):
+        out = analysis.tfidf_top_terms(documents, k=3)
+        counts = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+        assert counts <= 3
+
+
+class TestMojibakeScore:
+    def test_counts_and_flag(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "clean text"),
+                (2, "bad � char � twice"),
+                (3, "bell \x07 and null-ish \x01"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_replacement, r.n_control, r.is_suspect)
+            for r in analysis.mojibake_score(df).collect()
+        }
+        assert got == {
+            1: (0, 0, False),
+            2: (2, 0, True),
+            3: (0, 2, True),
+        }
+
+    def test_tab_and_newline_not_control_flagged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\tb\nc")], "doc_id long, text string"
+        )
+        r = analysis.mojibake_score(df).collect()[0]
+        assert (r.n_control, r.is_suspect) == (0, False)
+
+
+class TestUrlHostFilter:
+    def test_blocklist_and_regex(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "https://good.example.com/a"),
+                (2, "https://blocked.example.com/b"),
+                (3, "https://casino.example.net/c"),
+                (4, "https://good.example.com/casino-in-path"),
+            ],
+            "doc_id long, url string",
+        )
+        out = extraction.url_host_filter(
+            df, blocklist=["blocked.example.com"]
+        ).collect()
+        assert [r.doc_id for r in out] == [1, 4]  # path spam is NOT a host match
+        assert all(r.host == "good.example.com" for r in out)
+
+
+class TestPagerankHosts:
+    def test_two_node_cycle_is_uniform(self, spark):
+        from orc_spark.textops import graph
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("b", "a", 1)],
+            "src_host string, dst_host string, n_links long",
+        )
+        ranks = {r.host: r.rank for r in graph.pagerank_hosts(edges).collect()}
+        assert ranks["a"] == pytest.approx(0.5)
+        assert ranks["b"] == pytest.approx(0.5)
+
+    def test_authority_outranks_spoke(self, spark):
+        from orc_spark.textops import graph
+
+        # star: three spokes all link to hub, hub links to one spoke
+        edges = spark.createDataFrame(
+            [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1), ("hub", "s1", 1)],
+            "src_host string, dst_host string, n_links long",
+        )
+        ranks = {r.host: r.rank for r in graph.pagerank_hosts(edges).collect()}
+        assert ranks["hub"] > ranks["s1"] > ranks["s2"]
+        assert ranks["s2"] == ranks["s3"]  # symmetric spokes tie exactly
+
+    def test_weighted_edges_split_proportionally(self, spark):
+        from orc_spark.textops import graph
+
+        # a sends 3/4 of its mass to b, 1/4 to c (one iteration checkable)
+        edges = spark.createDataFrame(
+            [("a", "b", 3), ("a", "c", 1)],
+            "src_host string, dst_host string, n_links long",
+        )
+        ranks = {
+            r.host: r.rank
+            for r in graph.pagerank_hosts(edges, iterations=1).collect()
+        }
+        base = 0.15 / 3
+        assert ranks["a"] == pytest.approx(base)  # no in-links
+        assert ranks["b"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75)
+        assert ranks["c"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25)
