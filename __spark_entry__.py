@@ -1349,6 +1349,66 @@ def _q_pagerank_hosts(spark, sf_dir):
     )
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain document cap: keep <=10 docs per source, chosen by
+    salted-md5 priority (stable across re-runs; WindowGroupLimit
+    pushes the top-k below the exchange at scale)."""
+    from orc_spark.textops import analysis
+
+    return analysis.domain_cap(_load(spark, sf_dir, "documents"), cap=10)
+
+
+def _q_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM: P(w2|w1) over adjacent token pairs; one
+    map-side-combining shuffle + a vocab^2-bounded window for the
+    left-context totals. min_count filters after totals, so
+    probabilities are exact over the full distribution."""
+    from orc_spark.textops import analysis
+
+    return analysis.bigram_lm(_load(spark, sf_dir, "documents"), min_count=5)
+
+
+def _q_anchor_text_index(spark, sf_dir):
+    """Anchor-text aggregation per target host (what other pages call
+    a host). Pages seeded with doc_id-arithmetic anchor texts so the
+    twin rebuilds them byte-equal."""
+    from orc_spark.textops import extraction
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        F.concat(
+            F.lit('<html><body><a href="https://h'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example.net/p">anchor '),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                F.col("n_chars") % 3 == 0,
+                F.concat(
+                    F.lit('<a href="https://m'),
+                    (F.col("n_chars") % 5).cast("string"),
+                    F.lit('.example.org/">see '),
+                    F.col("source"),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return extraction.anchor_text_index(seeded)
+
+
+_ANCHOR_SEED_SQL = (
+    "SELECT '<html><body><a href=\"https://h' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example.net/p\">anchor ' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '</a>' || "
+    "CASE WHEN n_chars % 3 = 0 THEN "
+    "'<a href=\"https://m' || CAST(n_chars % 5 AS VARCHAR) || "
+    "'.example.org/\">see ' || source || '</a>' ELSE '' END || "
+    "'</body></html>' AS html FROM documents"
+)
+
+
 def _pagerank_hosts_oracle_sql() -> str:
     from orc_spark.textops import extraction, graph
 
@@ -1378,7 +1438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "embedding_quantize": _q_embedding_quantize,
         "link_graph": _q_link_graph,
+        "anchor_text_index": _q_anchor_text_index,
         "pagerank_hosts": _q_pagerank_hosts,
+        "domain_cap": _q_domain_cap,
+        "bigram_lm": _q_bigram_lm,
         "url_host_filter": _q_url_host_filter,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mojibake_score": _q_mojibake_score,
@@ -1584,6 +1647,11 @@ def oracle_sql() -> dict[str, str]:
             blocklist=["src3.example.com", "src7.example.com"],
         ),
         "pagerank_hosts": _pagerank_hosts_oracle_sql(),
+        "domain_cap": analysis.domain_cap_sql("documents", cap=10),
+        "bigram_lm": analysis.bigram_lm_sql("documents", min_count=5),
+        "anchor_text_index": extraction.anchor_text_index_sql(
+            "(" + _ANCHOR_SEED_SQL + ") seeded"
+        ),
         "extract_text": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),

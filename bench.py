@@ -868,10 +868,14 @@ def main() -> None:
                 break
 
     late_scale_deadline = float(
-        os.environ.get("ORCSPARK_LATE_SCALE_DEADLINE_S", "460")
+        # 720 s: degraded runs are the LONG runs (observed 6 min
+        # healthy vs 16 min degraded wall-clock), so the old 460 s
+        # deadline expired exactly when late retries were most needed
+        # — healthy windows reappearing mid-degraded-run.
+        os.environ.get("ORCSPARK_LATE_SCALE_DEADLINE_S", "720")
     )
 
-    def try_late_scaling(label: str) -> None:
+    def try_late_scaling(label: str, wait_s: float = 0.0) -> None:
         """One opportunistic fresh-child retry when (a) the gate is not
         yet earned in a healthy window, (b) the bench still has budget,
         and (c) the host is healthy RIGHT NOW — spreading attempts
@@ -885,10 +889,16 @@ def main() -> None:
             return
         if time.perf_counter() - bench_t0 > late_scale_deadline:
             return
-        p = probe_host_health()
-        probes.append(p)
-        if not p["healthy"]:
-            return  # a degraded retry cannot earn the gate; save budget
+        if wait_s > 0:
+            # last-chance site: a bounded wait for a healthy window is
+            # cheaper than shipping a degraded-only snapshot
+            if not wait_for_healthy_host(wait_s, probes):
+                return
+        else:
+            p = probe_host_health()
+            probes.append(p)
+            if not p["healthy"]:
+                return  # a degraded retry cannot earn the gate; save budget
         r = run_scale_subprocess(small, large)
         r["efficiency"] = round(
             (r["sec_small"] / r["sec_large"]) / (large / small), 3
@@ -1053,6 +1063,11 @@ def main() -> None:
     spark.stop()
 
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # final last-chance retry AFTER the main JVM is gone (its memory
+    # pressure released back to the host), with a bounded wait for a
+    # healthy window — the gate needs one healthy-window measurement
+    try_late_scaling("final", wait_s=60.0)
 
     finalize_scaling(queries, extras, rounds, probes, small, large)
 

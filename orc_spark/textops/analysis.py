@@ -923,3 +923,139 @@ SELECT {id_col} AS doc_id,
        AS is_suspect
 FROM {table} ORDER BY doc_id
 """
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Per-domain document cap — the anti-monoculture step of crawl
+    curation: keep at most ``cap`` documents per domain, chosen by a
+    deterministic salted-hash priority (NOT first-seen order, which
+    would bias toward crawl order; the salt versions the draw so a
+    re-run or backfill keeps the SAME survivors).
+
+    Scale plan: one shuffle on domain; the rn<=cap filter is a window
+    group limit — Spark's WindowGroupLimit pushes the top-k below the
+    exchange (per-partition partial top-k before the shuffle), so a
+    100M-page domain ships ~cap rows per input partition, not 100M.
+    Priority = md5(salt:id) with id as tiebreak — a total order, so
+    both engines pick identical survivors.
+
+    Returns (doc_id, domain, priority_rank), order by domain, rank.
+    """
+    from pyspark.sql import Window
+
+    pri = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("pri"), F.col("doc_id"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            pri.alias("pri"),
+        )
+        .withColumn("priority_rank", F.row_number().over(w))
+        .where(F.col("priority_rank") <= cap)
+        .select("doc_id", "domain", "priority_rank")
+        .orderBy("domain", "priority_rank")
+    )
+
+
+def domain_cap_sql(
+    table: str,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    salt: str = "cap-v1",
+) -> str:
+    """DuckDB twin of :func:`domain_cap` (same salted md5 priority,
+    same total order, same cap)."""
+    return f"""
+WITH p AS (
+  SELECT {id_col} AS doc_id, {domain_col} AS domain,
+         md5('{salt}:' || CAST({id_col} AS VARCHAR)) AS pri
+  FROM {table}
+),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id)
+         AS priority_rank
+  FROM p
+)
+SELECT doc_id, domain, priority_rank FROM r
+WHERE priority_rank <= {cap} ORDER BY domain, priority_rank
+"""
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus bigram language model — the classic n-gram statistic
+    behind perplexity-style quality filters and contamination probes:
+    conditional probability P(w2 | w1) = c(w1,w2) / c(w1,·) over every
+    adjacent token pair.
+
+    Scale plan: bigrams reuse :func:`orc_spark.textops.dedup.shingles`
+    (JVM higher-order functions — no Python); ONE map-side-combining
+    shuffle for the pair counts; the left-context total is a window
+    sum over the w1 partition — the pair-count table is already
+    grouped, so the window input is vocab²-bounded, tiny next to the
+    corpus. min_count filters AFTER totals, so probabilities stay
+    exact over the full distribution.
+
+    Returns (w1, w2, c, prob), order by w1, w2.
+    """
+    from pyspark.sql import Window
+
+    from orc_spark.textops.dedup import shingles
+
+    bg = df.select(
+        F.explode(shingles(text_col, 2)).alias("bg")
+    ).where(F.col("bg").rlike(r"^\S+ \S+$"))
+    pairs = bg.select(
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("w1")
+    return (
+        counts.withColumn("prob", F.col("c") / F.sum("c").over(w))
+        .where(F.col("c") >= min_count)
+        .select("w1", "w2", "c", "prob")
+        .orderBy("w1", "w2")
+    )
+
+
+def bigram_lm_sql(
+    table: str,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`bigram_lm` (same tokenizer/shingler, same
+    windowed totals, same post-total min_count filter). The rlike
+    guard on the Spark side only rejects sub-2-token documents (whose
+    whole-text fallback shingle has no space); the twin applies the
+    same len(t) >= 2 condition directly."""
+    return rf"""
+WITH toks AS (
+  SELECT string_split_regex(lower({text_col}), '\s+') AS t FROM {table}
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+tot AS (
+  SELECT w1, w2, c, c * 1.0 / sum(c) OVER (PARTITION BY w1) AS prob
+  FROM counts
+)
+SELECT w1, w2, c, prob FROM tot WHERE c >= {min_count} ORDER BY w1, w2
+"""

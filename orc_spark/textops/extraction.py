@@ -252,3 +252,71 @@ def url_host_filter_sql(
         f"AND NOT regexp_matches(host, '{spam_pattern}') "
         f"ORDER BY doc_id"
     )
+
+
+ANCHOR_PATTERN = r'<a\s+href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_text_index(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Anchor-text aggregation — the relevance/quality signal search
+    and curation pipelines mine from the link graph: what OTHER pages
+    call a host. Extracts every ``<a href>`` tag, pairs the target
+    host with the anchor's visible text, and aggregates per host.
+
+    Plan at scale: tag extraction + href/text recovery is all JVM
+    regex map-side; the one shuffle is the per-host aggregation.
+    ``texts`` is a sorted-distinct digest (collect_set) — anchor
+    vocabulary per host is small in practice; for adversarial hosts
+    cap it upstream with a (host, text) distinct + per-host window
+    limit (same WindowGroupLimit seam as domain_cap).
+
+    Returns (dst_host, n_anchors, n_texts, texts), order by dst_host.
+    """
+    html_str = F.col(html_col).cast("string")
+    tags = df.select(
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), F.lit(0))
+        ).alias("tag")
+    )
+    pairs = tags.select(
+        F.lower(
+            F.regexp_extract(
+                F.regexp_extract("tag", ANCHOR_PATTERN, 1), HOST_PATTERN, 1
+            )
+        ).alias("dst_host"),
+        F.regexp_extract("tag", ANCHOR_PATTERN, 2).alias("anchor_text"),
+    ).where((F.col("dst_host") != "") & (F.col("anchor_text") != ""))
+    return (
+        pairs.groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.countDistinct("anchor_text").alias("n_texts"),
+            F.array_join(
+                F.array_sort(F.collect_set("anchor_text")), "|"
+            ).alias("texts"),
+        )
+        .orderBy("dst_host")
+    )
+
+
+def anchor_text_index_sql(
+    table: str, html_col: str = "html", url_col: str = "url"
+) -> str:
+    """DuckDB twin of :func:`anchor_text_index` (same tag pattern,
+    same host extraction, same sorted-distinct text digest)."""
+    return (
+        "WITH tags AS (SELECT unnest(regexp_extract_all("
+        f"{html_col}, '{ANCHOR_PATTERN}')) AS tag FROM {table}), "
+        "pairs AS (SELECT "
+        f"lower(regexp_extract(regexp_extract(tag, '{ANCHOR_PATTERN}', 1), "
+        f"'{HOST_PATTERN}', 1)) AS dst_host, "
+        f"regexp_extract(tag, '{ANCHOR_PATTERN}', 2) AS anchor_text "
+        "FROM tags) "
+        "SELECT dst_host, count(*) AS n_anchors, "
+        "count(DISTINCT anchor_text) AS n_texts, "
+        "string_agg(DISTINCT anchor_text, '|' ORDER BY anchor_text) AS texts "
+        "FROM pairs WHERE dst_host != '' AND anchor_text != '' "
+        "GROUP BY dst_host ORDER BY dst_host"
+    )

@@ -291,3 +291,82 @@ class TestPagerankHosts:
         assert ranks["a"] == pytest.approx(base)  # no in-links
         assert ranks["b"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75)
         assert ranks["c"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25)
+
+
+class TestDomainCap:
+    def test_cap_respected_and_deterministic(self, spark, documents):
+        out = analysis.domain_cap(documents, cap=5)
+        per = out.groupBy("domain").count().collect()
+        assert all(r["count"] <= 5 for r in per)
+        # deterministic: same survivors on a re-run
+        a = sorted((r.doc_id, r.domain) for r in out.collect())
+        b = sorted((r.doc_id, r.domain) for r in analysis.domain_cap(documents, cap=5).collect())
+        assert a == b
+
+    def test_salt_changes_the_draw(self, spark, documents):
+        a = {r.doc_id for r in analysis.domain_cap(documents, cap=5, salt="s1").collect()}
+        b = {r.doc_id for r in analysis.domain_cap(documents, cap=5, salt="s2").collect()}
+        assert a != b  # 25-docs-per-domain corpus: collision is ~impossible
+
+    def test_small_domain_survives_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+        )
+        out = analysis.domain_cap(df, cap=10).collect()
+        assert len(out) == 3
+
+
+class TestBigramLm:
+    def test_probs_sum_to_one_per_context(self, spark, documents):
+        out = analysis.bigram_lm(documents, min_count=1)
+        sums = out.groupBy("w1").agg(F.sum("prob").alias("p")).collect()
+        for r in sums:
+            assert abs(r.p - 1.0) < 1e-9, (r.w1, r.p)
+
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {(r.w1, r.w2): (r.c, r.prob) for r in
+               analysis.bigram_lm(df, min_count=1).collect()}
+        # pairs: (a,b)x3, (b,a)x1, (b,c)x1
+        assert out[("a", "b")] == (3, 1.0)
+        assert out[("b", "a")] == (1, 0.5)
+        assert out[("b", "c")] == (1, 0.5)
+
+    def test_min_count_filters_after_totals(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a c")], "doc_id long, text string"
+        )
+        out = {(r.w1, r.w2): r.prob for r in
+               analysis.bigram_lm(df, min_count=2).collect()}
+        # pairs: (a,b)x2 (b,a)x2 (a,c)x1 — (a,c) drops, but (a,b)'s
+        # prob uses the FULL a-total (3), not the filtered one
+        assert out == {
+            ("a", "b"): pytest.approx(2 / 3),
+            ("b", "a"): pytest.approx(1.0),
+        }
+
+
+class TestAnchorTextIndex:
+    def test_extracts_hosts_and_texts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, '<a href="https://x.com/a">click here</a>'
+                    '<a href="https://x.com/b">click here</a>'
+                    '<a href="https://y.com/">other</a>'),
+            ],
+            "doc_id long, html string",
+        )
+        got = {r.dst_host: (r.n_anchors, r.n_texts, r.texts)
+               for r in extraction.anchor_text_index(df).collect()}
+        assert got == {
+            "x.com": (2, 1, "click here"),
+            "y.com": (1, 1, "other"),
+        }
+
+    def test_empty_anchor_text_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, '<a href="https://x.com/"></a>')], "doc_id long, html string"
+        )
+        assert extraction.anchor_text_index(df).count() == 0
