@@ -156,6 +156,45 @@ def _q_roundtrip_lineitem_auto(spark, sf_dir):
     )
 
 
+def _q_roundtrip_struct(spark, sf_dir):
+    """STRUCT-column framing (codecs/framing.py dt=_DT_STRUCT — the
+    ORC v1 STRUCT type analogue: the struct column carries only a
+    PRESENT stream; each field is a recursively self-describing child
+    frame picking its codec by type family — dict for the status
+    string, alp for the price double, FOR for the date timestamp).
+    Orders rows packed into struct<status,total,odate>, encoded
+    through the full pipeline, decoded, and flattened back to scalars
+    for the oracle compare."""
+    from orc_spark.engine import pipeline
+
+    df = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("meta"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_struct_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-struct-{uuid.uuid4().hex[:8]}",
+        key="o_orderkey",
+        columns=["o_orderkey", "meta"],
+        n_partitions=8,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, df.schema, ["o_orderkey", "meta"]
+    )
+    return dec.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.total").alias("total"),
+        F.col("meta.odate").alias("odate"),
+    )
+
+
 def _q_decode_projection(spark, sf_dir):
     """Column-pruned decode: documents is encoded with all five
     columns, but the decode requests only (doc_id, lang) — the stripe
@@ -1470,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_raw_float": _q_roundtrip_raw_float,
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
+        "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -1721,6 +1761,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_alp_float": "SELECT event_id, value FROM events",
         "roundtrip_embeddings": (
             "SELECT vec_id, embedding, label FROM embeddings"
+        ),
+        "roundtrip_struct": (
+            "SELECT o_orderkey, o_orderstatus AS status, "
+            "o_totalprice AS total, o_orderdate AS odate FROM orders"
         ),
         "roundtrip_lineitem_auto": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "

@@ -62,6 +62,7 @@ CODECS = {
     "for_ts": 8,  # frame-of-reference for timestamps (rle_auto on int64 view)
     "alp": 9,  # decimal-scaled doubles -> int codecs, verbatim exceptions
     "list": 10,  # ORC LIST type analogue: length stream + child frame
+    "struct": 11,  # ORC STRUCT type analogue: per-field child frames
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -87,6 +88,7 @@ _DT_DATE32 = 10
 _DT_BOOL = 11
 _DT_DECIMAL128 = 12
 _DT_LIST = 13
+_DT_STRUCT = 14
 
 
 def _dtype_id(t: pa.DataType) -> int:
@@ -117,6 +119,10 @@ def _dtype_id(t: pa.DataType) -> int:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         _dtype_id(t.value_type)  # child must itself be encodable
         return _DT_LIST
+    if pa.types.is_struct(t):
+        for f in t:
+            _dtype_id(f.type)  # every field must itself be encodable
+        return _DT_STRUCT
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -424,6 +430,8 @@ def _list_child_codec(child: pa.Array) -> str:
         return "rle_auto"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return "list"
+    if pa.types.is_struct(t):
+        return "struct"
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -568,6 +576,28 @@ def encode_frame(
         )
         lb = encode_ints_auto(lengths)
         payload = struct.pack("<I", len(lb)) + lb + child_blob
+    elif dt == _DT_STRUCT:
+        # ORC STRUCT type analogue (public ORC v1 spec: the struct
+        # column itself carries only a PRESENT stream; each field is a
+        # child column encoded on its own): one recursively
+        # self-describing frame per field, each picking its codec by
+        # type family. "raw" aliases "struct" — the per-field framing
+        # IS the structural floor, so the budget chain terminates.
+        if codec not in ("struct", "raw"):
+            raise ValueError(f"codec {codec} not valid for struct column")
+        codec = "struct"
+        params["fields"] = [[f.name, bool(f.nullable)] for f in arr.type]
+        # flatten() (not .field(i)) is slice-offset-safe and propagates
+        # parent nulls into the children — the ORC semantics (child
+        # values under a null parent are not data); decode re-attaches
+        # the parent PRESENT stream from the frame head.
+        blobs = [
+            encode_frame(child, _list_child_codec(child), state=state)
+            for child in arr.flatten()
+        ]
+        payload = struct.pack("<H", len(blobs)) + b"".join(
+            struct.pack("<I", len(b)) + b for b in blobs
+        )
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
@@ -697,6 +727,27 @@ def decode_frame(blob: bytes) -> pa.Array:
             t, n,
             [_arrow_validity(valid_mask, n), pa.py_buffer(offsets.tobytes())],
             children=[child],
+            null_count=-1 if valid_mask is not None else 0,
+        )
+    if dt == _DT_STRUCT:
+        (nf,) = struct.unpack("<H", payload[:2])
+        pos = 2
+        children = []
+        for _ in range(nf):
+            (blen,) = struct.unpack("<I", payload[pos : pos + 4])
+            pos += 4
+            children.append(decode_frame(payload[pos : pos + blen]))
+            pos += blen
+        t = pa.struct(
+            [
+                pa.field(name, child.type, nullable=bool(nullable))
+                for (name, nullable), child in zip(params["fields"], children)
+            ]
+        )
+        return pa.Array.from_buffers(
+            t, n,
+            [_arrow_validity(valid_mask, n)],
+            children=children,
             null_count=-1 if valid_mask is not None else 0,
         )
     raise TypeError(f"unhandled dtype id {dt}")
@@ -836,6 +887,13 @@ def column_checksum(arr: pa.Array) -> str:
         ).astype("<i8")
         h.update(lengths.tobytes())
         h.update(column_checksum(dense.flatten()).encode())
+    elif dt == _DT_STRUCT:
+        # flatten() propagates parent nulls into the children — both
+        # the pre-encode original and the decoded rebuild hash the same
+        # child masks (child values under a null parent are not data)
+        for f, child in zip(arr.type, arr.flatten()):
+            h.update(f.name.encode())
+            h.update(column_checksum(child).encode())
     else:
         raise TypeError(str(arr.type))
     return h.hexdigest()

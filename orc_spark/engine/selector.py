@@ -64,6 +64,10 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
             # recursively-framed child; "list" IS the structural floor
             # (framing aliases raw to it), so the chain is terminal
             chain = ["list"]
+        elif pa.types.is_struct(t):
+            # ORC STRUCT: per-field recursively-framed children; the
+            # structural framing is the floor, chain is terminal
+            chain = ["struct"]
         else:
             chain = ["raw"]
         plans[f.name] = ColumnPlan(f.name, chain)

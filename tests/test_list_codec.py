@@ -86,7 +86,11 @@ def test_selector_plans_list_chain():
 
 
 def test_unsupported_child_rejected():
-    arr = pa.array([[{"a": 1}]], type=pa.list_(pa.struct([("a", pa.int64())])))
+    # map children are not in the type registry (struct/list are);
+    # the frame must refuse rather than mis-encode
+    arr = pa.array(
+        [[[("k", 1)]]], type=pa.list_(pa.map_(pa.string(), pa.int64()))
+    )
     with pytest.raises(TypeError):
         fr.encode_frame(arr, "list")
 
