@@ -1448,6 +1448,88 @@ _ANCHOR_SEED_SQL = (
 )
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher-style rule filter (public DeepMind Gopher / RedPajama
+    rules): word-count window, mean word length, symbol/bullet/
+    ellipsis ratios, alphabetic-word ratio, stopword presence — all
+    JVM expressions, map-only. min_words lowered to 20 so the
+    synthetic short docs exercise both keep outcomes."""
+    from orc_spark.textops import analysis
+
+    return analysis.gopher_rules(
+        _load(spark, sf_dir, "documents"), min_words=20
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Fixed-size overlapping token-window chunking (context-window
+    prep for embedding/packing): split + sequence + explode + slice,
+    zero shuffle."""
+    from orc_spark.textops import analysis
+
+    return analysis.chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk=32, overlap=8
+    )
+
+
+def _q_length_buckets(spark, sf_dir):
+    """Power-of-2 token-length histogram (padding-efficient batching
+    report); integer-only CASE ladder shared with the twin."""
+    from orc_spark.textops import analysis
+
+    return analysis.length_buckets(_load(spark, sf_dir, "documents"))
+
+
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization via the vectorized Pandas-UDF path
+    (Spark has no NFC builtin). Odd doc_ids are seeded with decomposed
+    combining marks so both changed outcomes appear."""
+    from orc_spark.textops import analysis
+
+    df = _load(spark, sf_dir, "documents")
+    seeded = df.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                # decomposed combining marks (e+U+0301, A+U+030A),
+                # matching the twin's chr(769)/chr(778) seeds; both
+                # sides compose to the same NFC and changed flips
+                F.lit(" cafe\u0301 A\u030a"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return analysis.nfc_normalize(seeded)
+
+
+_NFC_SEED_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN "
+    "COALESCE(text,'') || ' cafe' || chr(769) || ' A' || chr(778) "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def _q_extract_title_meta(spark, sf_dir):
+    """Head-metadata extraction (<title> + description <meta>) — the
+    inverse-checkable twin of page_with_meta_expr: pages built from
+    doc_id/text with entity-escaping, extracted back verbatim."""
+    from orc_spark.textops import extraction
+
+    df = _load(spark, sf_dir, "documents")
+    title = F.concat(
+        F.lit("Doc <"), F.col("doc_id").cast("string"), F.lit('> & "co"')
+    )
+    desc = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    pages = df.select(
+        "doc_id",
+        extraction.page_with_meta_expr(
+            title, desc, F.coalesce(F.col("text"), F.lit(""))
+        ).alias("html"),
+    )
+    return extraction.extract_title_meta(pages)
+
+
 def _pagerank_hosts_oracle_sql() -> str:
     from orc_spark.textops import extraction, graph
 
@@ -1485,6 +1567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mojibake_score": _q_mojibake_score,
         "decontaminate": _q_decontaminate,
+        "gopher_rules": _q_gopher_rules,
+        "chunk_documents": _q_chunk_documents,
+        "length_buckets": _q_length_buckets,
+        "nfc_normalize": _q_nfc_normalize,
+        "extract_title_meta": _q_extract_title_meta,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -1733,6 +1820,20 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
         "asof_join": temporal.asof_join_events_sql("events"),
+        "gopher_rules": analysis.gopher_rules_sql("documents", min_words=20),
+        "chunk_documents": analysis.chunk_documents_sql(
+            "documents", chunk=32, overlap=8
+        ),
+        "length_buckets": analysis.length_buckets_sql("documents"),
+        "nfc_normalize": analysis.nfc_normalize_sql(
+            "(" + _NFC_SEED_SQL + ") seeded"
+        ),
+        "extract_title_meta": (
+            "SELECT doc_id AS id, "
+            "'Doc <' || CAST(doc_id AS VARCHAR) || '> & \"co\"' AS title, "
+            "left(COALESCE(text, ''), 40) AS description "
+            "FROM documents ORDER BY id"
+        ),
         "decontaminate": dedup.decontaminate_sql(
             "documents", "doc_id % 20 = 0"
         ),

@@ -1059,3 +1059,289 @@ tot AS (
 )
 SELECT w1, w2, c, prob FROM tot WHERE c >= {min_count} ORDER BY w1, w2
 """
+
+
+# Gopher-style rule filter (public DeepMind Gopher / RedPajama rule
+# set; the canonical stopword octet from the paper)
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Rule-based document filter after the public Gopher quality
+    rules (word-count window, mean word length, symbol ratio, bullet/
+    ellipsis line ratios, alphabetic-word ratio, stopword presence).
+
+    Every feature is a JVM column expression (split + higher-order
+    filters) — zero Python, zero shuffle; ``keep`` is the AND of all
+    rules so the filter composes as one map-only stage at 100 TB.
+    The alpha rule uses [A-Za-z] (as published) — non-Latin scripts
+    fail it by design; route those through language_id first."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tr = F.trim(t)
+    toks = F.split(tr, r"\s+")
+    n_words = F.when(F.length(tr) == 0, F.lit(0)).otherwise(F.size(toks))
+    nw1 = F.greatest(n_words, F.lit(1))
+    mean_wl = F.length(F.regexp_replace(tr, r"\s+", "")) / nw1
+    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ell_cnt = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0)))
+    symbol_ratio = (hash_cnt + ell_cnt) / nw1
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    alpha_ratio = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / nw1
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP])
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`gopher_rules` (same rules, same unrounded
+    comparisons; thresholds are exact doubles from small-int ratios so
+    keep cannot drift across engines)."""
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOP)
+    return (
+        rf"WITH f AS (SELECT {id_col} AS id, COALESCE({text_col},'') AS t, "
+        rf"TRIM(COALESCE({text_col},'')) AS tr FROM {table}), "
+        r"g AS (SELECT id, t, tr, "
+        r"CASE WHEN LENGTH(tr)=0 THEN 0 ELSE len(string_split_regex(tr, '\s+')) END AS n_words, "
+        r"string_split_regex(tr, '\s+') AS toks, "
+        r"string_split(t, chr(10)) AS lines FROM f), "
+        r"h AS (SELECT id, n_words, GREATEST(n_words, 1) AS nw1, "
+        r"LENGTH(regexp_replace(tr, '\s+', '', 'g')) AS nonspace, "
+        r"LENGTH(t) - LENGTH(replace(t, '#', '')) AS hash_cnt, "
+        r"len(regexp_extract_all(t, '\.\.\.|…')) AS ell_cnt, "
+        r"GREATEST(len(lines), 1) AS n_lines, "
+        r"len(list_filter(lines, l -> regexp_matches(TRIM(l), '^[-*•]'))) AS bullet_lines, "
+        r"len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ell_lines, "
+        r"len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words, "
+        rf"len(list_filter(toks, w -> list_contains([{stops}], lower(w)))) AS stop_hits "
+        r"FROM g) "
+        r"SELECT id, n_words, "
+        r"ROUND(nonspace * 1.0 / nw1, 6) AS mean_word_len, "
+        r"ROUND((hash_cnt + ell_cnt) * 1.0 / nw1, 6) AS symbol_ratio, "
+        r"ROUND(bullet_lines * 1.0 / n_lines, 6) AS bullet_ratio, "
+        r"ROUND(ell_lines * 1.0 / n_lines, 6) AS ellipsis_ratio, "
+        r"ROUND(alpha_words * 1.0 / nw1, 6) AS alpha_word_ratio, stop_hits, "
+        rf"(n_words BETWEEN {min_words} AND {max_words}) "
+        r"AND (nonspace * 1.0 / nw1 BETWEEN 3.0 AND 10.0) "
+        r"AND ((hash_cnt + ell_cnt) * 1.0 / nw1 <= 0.1) "
+        r"AND (bullet_lines * 1.0 / n_lines <= 0.9) "
+        r"AND (ell_lines * 1.0 / n_lines <= 0.3) "
+        r"AND (alpha_words * 1.0 / nw1 >= 0.8) "
+        r"AND stop_hits >= 2 AS keep "
+        r"FROM h ORDER BY id"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split long documents into fixed-size overlapping token windows
+    (the context-window chunking a training/RAG pipeline runs before
+    embedding or packing).
+
+    Map-only: split + sequence + explode + slice, all JVM expressions,
+    zero shuffle — each task chunks its own documents, so the operator
+    scales linearly with corpus bytes at 100 TB. Window starts step by
+    ``chunk - overlap``; the final window may be shorter (never
+    empty). Output grows by ~n_tokens/(chunk-overlap) rows per doc."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    step = chunk - overlap
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    base = (
+        df.select(F.col(id_col).alias("id"), F.split(t, r"\s+").alias("toks"))
+        .where(F.length(t) > 0)
+    )
+    exploded = base.select(
+        "id",
+        F.size("toks").alias("n"),
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(step))
+        ).alias("chunk_start"),
+    )
+    return exploded.select(
+        "id",
+        "chunk_start",
+        F.least(F.lit(chunk), F.col("n") - F.col("chunk_start")).alias(
+            "chunk_tokens"
+        ),
+        F.array_join(
+            F.slice("toks", F.col("chunk_start") + 1, chunk), " "
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    overlap: int = 8,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (range(0, n, step) ==
+    sequence(0, n-1, step) for positive step; 1-based inclusive list
+    slices match Spark's slice(start, length))."""
+    step = chunk - overlap
+    return (
+        rf"WITH toks AS (SELECT {id_col} AS id, "
+        rf"string_split_regex(TRIM(COALESCE({text_col},'')), '\s+') AS t "
+        rf"FROM {table} WHERE LENGTH(TRIM(COALESCE({text_col},''))) > 0), "
+        rf"st AS (SELECT id, t, len(t) AS n, "
+        rf"unnest(range(0, len(t), {step})) AS chunk_start FROM toks) "
+        rf"SELECT id, chunk_start, "
+        rf"LEAST({chunk}, n - chunk_start) AS chunk_tokens, "
+        rf"array_to_string(t[chunk_start + 1 : chunk_start + {chunk}], ' ') "
+        r"AS chunk_text FROM st ORDER BY id, chunk_start"
+    )
+
+
+# Power-of-2 token-length bucket floors, shared by the Spark and SQL
+# sides so the CASE ladders cannot drift (integer comparisons only —
+# no cross-engine log2/floor float hazard).
+LENGTH_BUCKET_FLOORS = [0, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def length_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-length histogram over power-of-2 buckets — the batching
+    report a padding-efficient training loader plans from (docs per
+    bucket, token inventory, mean length).
+
+    One map-side-combined groupBy over ≤len(LENGTH_BUCKET_FLOORS)
+    groups; the CASE ladder is integer-only so the bucket id is
+    bit-portable across engines."""
+    n_tok = token_count(F.col(text_col))
+    bucket = F.lit(LENGTH_BUCKET_FLOORS[0])
+    for lo in LENGTH_BUCKET_FLOORS[1:]:
+        bucket = F.when(n_tok >= lo, F.lit(lo)).otherwise(bucket)
+    return (
+        df.select(bucket.alias("bucket_lo"), n_tok.alias("n_tok"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def length_buckets_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`length_buckets`, CASE ladder generated
+    from the same LENGTH_BUCKET_FLOORS."""
+    ladder = "CASE "
+    for lo in reversed(LENGTH_BUCKET_FLOORS[1:]):
+        ladder += f"WHEN n_tok >= {lo} THEN {lo} "
+    ladder += f"ELSE {LENGTH_BUCKET_FLOORS[0]} END"
+    return (
+        rf"WITH f AS (SELECT CASE WHEN TRIM(COALESCE({text_col},'')) = '' "
+        rf"THEN 0 ELSE len(string_split_regex(TRIM(COALESCE({text_col},'')), "
+        rf"'\s+')) END AS n_tok FROM {table}) "
+        rf"SELECT {ladder} AS bucket_lo, COUNT(*) AS n_docs, "
+        r"CAST(SUM(n_tok) AS BIGINT) AS total_tokens, "
+        r"ROUND(AVG(n_tok), 6) AS avg_tokens "
+        r"FROM f GROUP BY 1 ORDER BY bucket_lo"
+    )
+
+
+def nfc_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC by default) — the canonicalization a
+    dedup/tokenize stage runs so that composed and decomposed encodings
+    of the same glyph hash identically.
+
+    Spark has no NFC builtin, so this is the deliberate vectorized
+    Pandas-UDF path (Arrow batches; per-batch ``str`` map over C
+    strings — no per-row Python round trips through the JVM). Map-only,
+    zero shuffle."""
+    import pandas as pd  # noqa: F401 (signature type only)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if isinstance(x, str)
+            else x
+        )
+
+    t = F.col(text_col)
+    out = _norm(t)
+    return df.select(
+        F.col(id_col).alias("id"),
+        out.alias("text_nfc"),
+        F.coalesce(out != t, F.lit(False)).alias("changed"),
+    )
+
+
+def nfc_normalize_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`nfc_normalize` (DuckDB's nfc_normalize is
+    the same Unicode NFC the Python unicodedata tables implement)."""
+    return (
+        f"SELECT {id_col} AS id, nfc_normalize({text_col}) AS text_nfc, "
+        f"COALESCE(nfc_normalize({text_col}) <> {text_col}, FALSE) AS changed "
+        f"FROM {table} ORDER BY id"
+    )

@@ -320,3 +320,59 @@ def anchor_text_index_sql(
         "FROM pairs WHERE dst_host != '' AND anchor_text != '' "
         "GROUP BY dst_host ORDER BY dst_host"
     )
+
+
+def attr_escape_expr(col: Column) -> Column:
+    """HTML attribute-value escaping (& first, then < > \")."""
+    return F.regexp_replace(html_escape_expr(col), '"', "&quot;")
+
+
+def _unescape_expr(c: Column) -> Column:
+    """Inverse of attr_escape_expr/html_escape_expr for the basic
+    entity set (&amp; last, per the HTML spec, so double-escapes
+    survive the round trip)."""
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;", '"')
+    return F.regexp_replace(c, "&amp;", "&")
+
+
+def page_with_meta_expr(title: Column, desc: Column, text: Column) -> Column:
+    """Build a page (binary) carrying <title> and a description
+    <meta>, whose extract_title_meta returns (title, desc) exactly —
+    the oracle-checkable inverse, like wrap_html_expr for body text."""
+    return F.encode(
+        F.concat(
+            F.lit("<html><head><title>"),
+            html_escape_expr(title),
+            F.lit('</title><meta name="description" content="'),
+            attr_escape_expr(desc),
+            F.lit('"></head><body><p>'),
+            html_escape_expr(text),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+
+
+def extract_title_meta(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pull <title> and the description <meta> out of raw page bytes —
+    head metadata extract_text deliberately drops (it is body-only).
+
+    Pure JVM regexp over the decoded page — zero Python, zero shuffle,
+    map-only at 100 TB. Missing title/meta come back as empty strings
+    (regexp_extract's no-match value), not nulls."""
+    page = F.decode(F.col(html_col), "UTF-8")
+    title = F.regexp_extract(page, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)
+    desc = F.regexp_extract(
+        page,
+        r'(?is)<meta\s+name="description"\s+content="([^"]*)"',
+        1,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        _unescape_expr(title).alias("title"),
+        _unescape_expr(desc).alias("description"),
+    )

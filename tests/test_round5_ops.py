@@ -370,3 +370,115 @@ class TestAnchorTextIndex:
             [(1, '<a href="https://x.com/"></a>')], "doc_id long, html string"
         )
         assert extraction.anchor_text_index(df).count() == 0
+
+
+class TestGopherRules:
+    def test_bullet_heavy_doc_rejected(self, spark):
+        good = " ".join(
+            "the quick brown fox and that dog have fun with it".split() * 8
+        )
+        bullets = "\n".join(f"- item {i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, good), (2, bullets)], ["doc_id", "text"]
+        )
+        out = {
+            r.id: r for r in analysis.gopher_rules(df, min_words=20).collect()
+        }
+        assert out[1].keep is True
+        assert out[2].keep is False
+        assert out[2].bullet_ratio == 1.0
+
+    def test_stopword_gate(self, spark):
+        # long enough, right word shapes, but zero Gopher stopwords
+        no_stops = " ".join(["lorem", "ipsum", "dolor", "amet"] * 20)
+        df = spark.createDataFrame([(1, no_stops)], ["doc_id", "text"])
+        row = analysis.gopher_rules(df, min_words=20).collect()[0]
+        assert row.stop_hits == 0 and row.keep is False
+
+    def test_empty_and_null_safe(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+        rows = analysis.gopher_rules(df).collect()
+        assert all(r.keep is False and r.n_words == 0 for r in rows)
+
+
+class TestChunkDocuments:
+    def test_window_layout(self, spark):
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        rows = sorted(
+            analysis.chunk_documents(df, chunk=4, overlap=1).collect(),
+            key=lambda r: r.chunk_start,
+        )
+        # step 3: starts 0,3,6,9; last chunk is the 1-token tail
+        assert [r.chunk_start for r in rows] == [0, 3, 6, 9]
+        assert [r.chunk_tokens for r in rows] == [4, 4, 4, 1]
+        assert rows[0].chunk_text == "t0 t1 t2 t3"
+        assert rows[1].chunk_text == "t3 t4 t5 t6"
+        assert rows[3].chunk_text == "t9"
+
+    def test_every_token_covered(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(57)))], ["doc_id", "text"]
+        )
+        rows = analysis.chunk_documents(df, chunk=16, overlap=4).collect()
+        seen = set()
+        for r in rows:
+            seen.update(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
+        assert seen == set(range(57))
+
+    def test_overlap_must_be_smaller(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            analysis.chunk_documents(df, chunk=4, overlap=4)
+
+
+class TestNfcNormalize:
+    def test_decomposed_composes_and_flags(self, spark):
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "café"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in analysis.nfc_normalize(df).collect()}
+        assert out[1].text_nfc == "café" and out[1].changed is True
+        assert out[2].text_nfc == "café" and out[2].changed is False
+        assert out[3].text_nfc is None and out[3].changed is False
+
+
+class TestExtractTitleMeta:
+    def test_escape_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'A <b> & "q"', 'desc with "quotes" & <tags>', "body")],
+            ["doc_id", "title", "desc", "text"],
+        )
+        pages = df.select(
+            "doc_id",
+            extraction.page_with_meta_expr(
+                F.col("title"), F.col("desc"), F.col("text")
+            ).alias("html"),
+        )
+        row = extraction.extract_title_meta(pages).collect()[0]
+        assert row.title == 'A <b> & "q"'
+        assert row.description == 'desc with "quotes" & <tags>'
+
+    def test_missing_head_yields_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"<html><body>no head</body></html>"))],
+            "doc_id long, html binary",
+        )
+        row = extraction.extract_title_meta(df).collect()[0]
+        assert row.title == "" and row.description == ""
+
+
+class TestLengthBuckets:
+    def test_bucket_floors(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 16, 40, 64, 2000])],
+            ["doc_id", "text"],
+        )
+        rows = {r.bucket_lo: r for r in analysis.length_buckets(df).collect()}
+        assert rows[0].n_docs == 1       # 1 token
+        assert rows[16].n_docs == 1      # exactly at the 16 floor
+        assert rows[32].n_docs == 1      # 40 -> bucket 32
+        assert rows[64].n_docs == 1
+        assert rows[1024].n_docs == 1    # 2000 -> floor 1024
+        assert rows[1024].total_tokens == 2000
