@@ -195,6 +195,38 @@ def _q_roundtrip_struct(spark, sf_dir):
     )
 
 
+def _q_roundtrip_map(spark, sf_dir):
+    """MAP-column framing (codecs/framing.py dt=_DT_MAP — the ORC v1
+    MAP type analogue: PRESENT + LENGTH streams over parallel
+    key/value child frames). Orders attributes packed into
+    map<string,string>, encoded through the full pipeline, decoded,
+    and exploded to (key, value) rows for the oracle compare."""
+    from orc_spark.engine import pipeline
+
+    df = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ).alias("attrs"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_map_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-map-{uuid.uuid4().hex[:8]}",
+        key="o_orderkey",
+        columns=["o_orderkey", "attrs"],
+        n_partitions=8,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, df.schema, ["o_orderkey", "attrs"]
+    )
+    return dec.select(
+        "o_orderkey", F.explode(F.col("attrs")).alias("k", "v")
+    )
+
+
 def _q_decode_projection(spark, sf_dir):
     """Column-pruned decode: documents is encoded with all five
     columns, but the decode requests only (doc_id, lang) — the stripe
@@ -1597,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
+        "roundtrip_map": _q_roundtrip_map,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -1866,6 +1899,12 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_struct": (
             "SELECT o_orderkey, o_orderstatus AS status, "
             "o_totalprice AS total, o_orderdate AS odate FROM orders"
+        ),
+        "roundtrip_map": (
+            "SELECT o_orderkey, 'status' AS k, o_orderstatus AS v "
+            "FROM orders UNION ALL "
+            "SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v "
+            "FROM orders"
         ),
         "roundtrip_lineitem_auto": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "

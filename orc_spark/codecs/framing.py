@@ -63,6 +63,7 @@ CODECS = {
     "alp": 9,  # decimal-scaled doubles -> int codecs, verbatim exceptions
     "list": 10,  # ORC LIST type analogue: length stream + child frame
     "struct": 11,  # ORC STRUCT type analogue: per-field child frames
+    "map": 12,  # ORC MAP type analogue: length stream + key/value frames
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -89,6 +90,7 @@ _DT_BOOL = 11
 _DT_DECIMAL128 = 12
 _DT_LIST = 13
 _DT_STRUCT = 14
+_DT_MAP = 15
 
 
 def _dtype_id(t: pa.DataType) -> int:
@@ -123,6 +125,10 @@ def _dtype_id(t: pa.DataType) -> int:
         for f in t:
             _dtype_id(f.type)  # every field must itself be encodable
         return _DT_STRUCT
+    if pa.types.is_map(t):
+        _dtype_id(t.key_type)
+        _dtype_id(t.item_type)
+        return _DT_MAP
     raise TypeError(f"unsupported column type: {t}")
 
 
@@ -432,6 +438,8 @@ def _list_child_codec(child: pa.Array) -> str:
         return "list"
     if pa.types.is_struct(t):
         return "struct"
+    if pa.types.is_map(t):
+        return "map"
     if (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
@@ -440,6 +448,21 @@ def _list_child_codec(child: pa.Array) -> str:
     ):
         return "fsst" if child.nbytes >= 4096 else "raw"
     return "raw"
+
+
+def _map_parts(dense: pa.Array):
+    """(keys, items, lengths) for a MapArray — via the offsets buffer,
+    because MapArray.keys/.items are NOT slice-aware (they return the
+    whole child) while .offsets is; slicing the children to
+    [offsets[0], offsets[-1]) realigns them."""
+    off = np.asarray(dense.offsets, dtype=np.int64)
+    if len(off) == 0:  # zero-length array has empty offsets
+        off = np.zeros(1, dtype=np.int64)
+    lengths = np.diff(off)
+    start, end = int(off[0]), int(off[-1])
+    keys = dense.keys.slice(start, end - start)
+    items = dense.items.slice(start, end - start)
+    return keys, items, lengths
 
 
 def encode_frame(
@@ -598,6 +621,27 @@ def encode_frame(
         payload = struct.pack("<H", len(blobs)) + b"".join(
             struct.pack("<I", len(b)) + b for b in blobs
         )
+    elif dt == _DT_MAP:
+        # ORC MAP type analogue (public ORC v1 spec: PRESENT + LENGTH
+        # streams over parallel key and value child columns):
+        # structurally a LIST of (key, value) pairs — the LENGTH
+        # stream rides the int auto-selector, keys and values each get
+        # their own recursively self-describing frame. "raw" aliases
+        # the structural floor so budget chains terminate.
+        if codec not in ("map", "raw"):
+            raise ValueError(f"codec {codec} not valid for map column")
+        codec = "map"
+        params["keys_sorted"] = bool(arr.type.keys_sorted)
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        keys, items, lengths = _map_parts(dense)
+        kb = encode_frame(keys, _list_child_codec(keys), state=state)
+        vb = encode_frame(items, _list_child_codec(items), state=state)
+        lb = encode_ints_auto(lengths)
+        payload = (
+            struct.pack("<II", len(lb), len(kb)) + lb + kb + vb
+        )
     else:
         raise TypeError(f"unhandled dtype id {dt}")
 
@@ -750,6 +794,27 @@ def decode_frame(blob: bytes) -> pa.Array:
             children=children,
             null_count=-1 if valid_mask is not None else 0,
         )
+    if dt == _DT_MAP:
+        lb_len, kb_len = struct.unpack("<II", payload[:8])
+        pos = 8
+        lengths = decode_ints_auto(payload[pos : pos + lb_len], n_valid)
+        pos += lb_len
+        keys = decode_frame(payload[pos : pos + kb_len])
+        pos += kb_len
+        items = decode_frame(payload[pos:])
+        full_lengths = _expand_valid(lengths.astype(np.int64), valid_mask, n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(full_lengths, out=offsets[1:], dtype=np.int32)
+        t = pa.map_(keys.type, items.type, bool(params.get("keys_sorted")))
+        entries = pa.StructArray.from_arrays(
+            [keys, items], fields=[t.key_field, t.item_field]
+        )
+        return pa.Array.from_buffers(
+            t, n,
+            [_arrow_validity(valid_mask, n), pa.py_buffer(offsets.tobytes())],
+            children=[entries],
+            null_count=-1 if valid_mask is not None else 0,
+        )
     raise TypeError(f"unhandled dtype id {dt}")
 
 
@@ -894,6 +959,14 @@ def column_checksum(arr: pa.Array) -> str:
         for f, child in zip(arr.type, arr.flatten()):
             h.update(f.name.encode())
             h.update(column_checksum(child).encode())
+    elif dt == _DT_MAP:
+        dense = arr.drop_null()
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        keys, items, lengths = _map_parts(dense)
+        h.update(lengths.astype("<i8").tobytes())
+        h.update(column_checksum(keys).encode())
+        h.update(column_checksum(items).encode())
     else:
         raise TypeError(str(arr.type))
     return h.hexdigest()

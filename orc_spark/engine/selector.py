@@ -68,6 +68,9 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
             # ORC STRUCT: per-field recursively-framed children; the
             # structural framing is the floor, chain is terminal
             chain = ["struct"]
+        elif pa.types.is_map(t):
+            # ORC MAP: length stream + key/value child frames
+            chain = ["map"]
         else:
             chain = ["raw"]
         plans[f.name] = ColumnPlan(f.name, chain)
