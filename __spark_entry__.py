@@ -1562,6 +1562,32 @@ def _q_extract_title_meta(spark, sf_dir):
     return extraction.extract_title_meta(pages)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03): k-gram
+    md5 hashes, sliding-window minima — any shared token run of
+    length >= k+w-1 shares a fingerprint. Pure JVM array algebra,
+    map-only."""
+    from orc_spark.textops import analysis
+
+    return analysis.winnow_fingerprints(
+        _load(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+_BM25_QUERY_TERMS = ["spark", "window", "merge"]
+
+
+def _q_bm25_rank(spark, sf_dir):
+    """BM25 top-k ranking for a bag-of-terms query (Robertson BM25,
+    Lucene +1 idf): per-doc tfs map-side, corpus stats reduced to one
+    broadcast row, top-k via TakeOrderedAndProject."""
+    from orc_spark.textops import analysis
+
+    return analysis.bm25_rank(
+        _load(spark, sf_dir, "documents"), _BM25_QUERY_TERMS, k=10
+    )
+
+
 def _pagerank_hosts_oracle_sql() -> str:
     from orc_spark.textops import extraction, graph
 
@@ -1604,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "nfc_normalize": _q_nfc_normalize,
         "extract_title_meta": _q_extract_title_meta,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "bm25_rank": _q_bm25_rank,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -1853,6 +1881,12 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
         "asof_join": temporal.asof_join_events_sql("events"),
+        "winnow_fingerprints": analysis.winnow_fingerprints_sql(
+            "documents", k=5, w=4
+        ),
+        "bm25_rank": analysis.bm25_rank_sql(
+            "documents", _BM25_QUERY_TERMS, k=10
+        ),
         "gopher_rules": analysis.gopher_rules_sql("documents", min_words=20),
         "chunk_documents": analysis.chunk_documents_sql(
             "documents", chunk=32, overlap=8

@@ -1345,3 +1345,175 @@ def nfc_normalize_sql(table: str, text_col: str = "text", id_col: str = "doc_id"
         f"COALESCE(nfc_normalize({text_col}) <> {text_col}, FALSE) AS changed "
         f"FROM {table} ORDER BY id"
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (public algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — semantics only, not a port): hash
+    every k-token gram, slide a w-gram window, keep each window's
+    minimum hash. Guarantees any shared token run of length >= k+w-1
+    shares at least one fingerprint — the plagiarism/near-dup detector
+    with a density bound (~2/(w+1)) that random sampling lacks.
+
+    Pure JVM column algebra (split + sequence + transform + slice +
+    array_min), map-only, zero Python, zero shuffle; output is one row
+    per (doc, distinct fingerprint). The md5-prefix hash is the same
+    portable arithmetic as hash_split, so the twin is bit-identical."""
+    toks_expr = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks_expr.alias("toks")
+    ).where(F.size(toks_expr) >= k)
+    n = F.size(F.col("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    g = base.select("id", grams.alias("grams"))
+    n_g = F.size(F.col("grams"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_g - w, F.lit(0))),
+            lambda i: F.array_min(F.slice(F.col("grams"), i + 1, w)),
+        )
+    )
+    return g.select("id", F.explode(fps).alias("fp"))
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (same md5-prefix
+    arithmetic; list_distinct orders differently than array_distinct
+    but the compare is a row multiset)."""
+    return (
+        rf"WITH t AS (SELECT {id_col} AS id, "
+        rf"string_split_regex(lower(trim(COALESCE({text_col},''))), '\s+') AS toks "
+        rf"FROM {table}), "
+        rf"g AS (SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) >= {k}), "
+        rf"h AS (SELECT id, list_transform(range(0, n - {k} + 1), i -> "
+        rf"('0x' || substr(md5(array_to_string(toks[i+1 : i+{k}], ' ')), 1, 8))::BIGINT) "
+        r"AS grams FROM g), "
+        rf"m AS (SELECT id, list_distinct(list_transform("
+        rf"range(0, GREATEST(len(grams) - {w}, 0) + 1), i -> "
+        rf"list_min(grams[i+1 : i+{w}]))) AS fps FROM h) "
+        r"SELECT id, unnest(fps) AS fp FROM m ORDER BY id, fp"
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document ranking for a bag-of-terms query (public Robertson
+    BM25 with the Lucene +1 idf form, so idf stays positive for
+    df > N/2).
+
+    Scale shape: one map-side pass computes per-doc tf for each query
+    term; the corpus stats (N, avgdl, per-term df) reduce to ONE row
+    broadcast back via cross-join — no per-term shuffle, no global
+    sort; top-k lands in TakeOrderedAndProject (per-partition heap +
+    k-row driver merge)."""
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    def _tf(term):
+        # NB: a 2-arg lambda in F.filter means (element, index) to
+        # Spark — capture the term via closure, never a default arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    dl = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+                F.lit(0)).otherwise(F.size(toks))
+    per_doc = df.select(
+        F.col(id_col).alias("id"), dl.alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        part = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    ranked = joined.select(
+        "id", F.round(score, 6).alias("bm25")
+    ).where(F.col("bm25") > 0)
+    return ranked.orderBy(F.col("bm25").desc(), F.col("id")).limit(k)
+
+
+def bm25_rank_sql(
+    table: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_rank` (same tf/df/idf arithmetic in
+    the same operation order; ln and IEEE doubles agree bit-for-bit
+    on identical inputs)."""
+    terms = [t.lower() for t in query_terms]
+    tf_exprs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score_parts = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0) "
+        f"* (tf_{i} * ({k1} + 1)) / "
+        f"(tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return (
+        rf"WITH d AS (SELECT {id_col} AS id, "
+        rf"string_split_regex(lower(trim(COALESCE({text_col},''))), '\s+') AS toks, "
+        rf"CASE WHEN LENGTH(trim(COALESCE({text_col},''))) = 0 THEN 0 "
+        rf"ELSE len(string_split_regex(lower(trim(COALESCE({text_col},''))), '\s+')) END AS dl "
+        rf"FROM {table}), "
+        rf"p AS (SELECT id, dl, {tf_exprs} FROM d), "
+        rf"s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_exprs} FROM p), "
+        rf"r AS (SELECT id, ROUND({score_parts}, 6) AS bm25 FROM p CROSS JOIN s) "
+        rf"SELECT id, bm25 FROM r WHERE bm25 > 0 "
+        rf"ORDER BY bm25 DESC, id LIMIT {k}"
+    )

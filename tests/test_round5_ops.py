@@ -482,3 +482,62 @@ class TestLengthBuckets:
         assert rows[64].n_docs == 1
         assert rows[1024].n_docs == 1    # 2000 -> floor 1024
         assert rows[1024].total_tokens == 2000
+
+
+class TestWinnowFingerprints:
+    def test_shared_run_guarantee(self, spark):
+        # winnowing guarantee: token runs >= k+w-1 (=8 here) shared
+        # between docs must share at least one fingerprint
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                (1, f"xx yy {shared} zz"),
+                (2, f"{shared} completely different tail words here"),
+                (3, "nothing in common with the others at all okay"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = analysis.winnow_fingerprints(df, k=5, w=4).collect()
+        fps = {}
+        for r in rows:
+            fps.setdefault(r.id, set()).add(r.fp)
+        assert fps[1] & fps[2]
+        assert not (fps[3] & fps[1])
+
+    def test_density_bound(self, spark):
+        # ~2/(w+1) of grams become fingerprints, never more than grams
+        text = " ".join(f"w{i}" for i in range(200))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        n_fp = analysis.winnow_fingerprints(df, k=5, w=4).count()
+        assert 0 < n_fp <= 196  # n-k+1 grams
+
+    def test_short_doc_dropped(self, spark):
+        df = spark.createDataFrame([(1, "too few tokens")], ["doc_id", "text"])
+        assert analysis.winnow_fingerprints(df, k=5, w=4).count() == 0
+
+
+class TestBm25Rank:
+    def test_tf_and_idf_ordering(self, spark):
+        filler = "pad " * 30
+        df = spark.createDataFrame(
+            [
+                (1, filler + "spark spark spark"),
+                (2, filler + "spark"),
+                (3, filler + "nothing relevant"),
+                (4, filler + "rare"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = analysis.bm25_rank(df, ["spark"], k=10).collect()
+        ids = [r.id for r in rows]
+        assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
+
+    def test_rare_term_outweighs_common(self, spark):
+        # 'common' appears in every doc, 'rare' in one — a doc matching
+        # only the rare term must outrank one matching only the common
+        docs = [(i, "common filler words here") for i in range(1, 9)]
+        docs.append((9, "rare filler words here"))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = analysis.bm25_rank(df, ["common", "rare"], k=10).collect()
+        score = {r.id: r.bm25 for r in rows}
+        assert score[9] > score[1]
