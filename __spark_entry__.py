@@ -1574,6 +1574,17 @@ def _q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rule: fraction of in-doc n-gram occurrences
+    whose gram repeats within the document; one (id, gram)-keyed
+    map-side-combining shuffle."""
+    from orc_spark.textops import analysis
+
+    return analysis.gopher_repetition(
+        _load(spark, sf_dir, "documents"), n=3
+    )
+
+
 _BM25_QUERY_TERMS = ["spark", "window", "merge"]
 
 
@@ -1632,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_title_meta": _q_extract_title_meta,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bm25_rank": _q_bm25_rank,
+        "gopher_repetition": _q_gopher_repetition,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -1886,6 +1898,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_rank": analysis.bm25_rank_sql(
             "documents", _BM25_QUERY_TERMS, k=10
+        ),
+        "gopher_repetition": analysis.gopher_repetition_sql(
+            "documents", n=3
         ),
         "gopher_rules": analysis.gopher_rules_sql("documents", min_words=20),
         "chunk_documents": analysis.chunk_documents_sql(

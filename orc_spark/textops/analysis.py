@@ -1517,3 +1517,72 @@ def bm25_rank_sql(
         rf"SELECT id, bm25 FROM r WHERE bm25 > 0 "
         rf"ORDER BY bm25 DESC, id LIMIT {k}"
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The repetition section of the public Gopher rules: the fraction
+    of a document's n-gram occurrences whose n-gram repeats WITHIN the
+    document (boilerplate loops, keyword stuffing, degenerate
+    generations score high).
+
+    One (id, gram)-keyed map-side-combining shuffle — per-doc work is
+    bounded by document length, the aggregate carries one row per
+    distinct in-doc gram, so no key can exceed a single document's
+    gram count; safe under any corpus skew at 100 TB."""
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).where(
+        F.size(toks) >= n
+    )
+    exploded = base.select("id", F.explode("grams").alias("g"))
+    per_gram = exploded.groupBy("id", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def gopher_repetition_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition` (same tokenizer and
+    gram windows, same count arithmetic)."""
+    return (
+        rf"WITH t AS (SELECT {id_col} AS id, "
+        rf"string_split_regex(lower(trim(COALESCE({text_col},''))), '\s+') AS toks "
+        rf"FROM {table}), "
+        rf"g AS (SELECT id, list_transform(range(0, len(toks) - {n} + 1), "
+        rf"i -> array_to_string(toks[i+1 : i+{n}], ' ')) AS grams "
+        rf"FROM t WHERE len(toks) >= {n}), "
+        r"e AS (SELECT id, unnest(grams) AS gr FROM g), "
+        r"c AS (SELECT id, gr, COUNT(*) AS c FROM e GROUP BY id, gr), "
+        r"a AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n_grams, "
+        r"CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_grams "
+        r"FROM c GROUP BY id) "
+        r"SELECT id, n_grams, dup_grams, "
+        r"ROUND(dup_grams * 1.0 / n_grams, 6) AS dup_fraction "
+        r"FROM a ORDER BY id"
+    )

@@ -86,11 +86,9 @@ def test_selector_plans_list_chain():
 
 
 def test_unsupported_child_rejected():
-    # map children are not in the type registry (struct/list are);
-    # the frame must refuse rather than mis-encode
-    arr = pa.array(
-        [[[("k", 1)]]], type=pa.list_(pa.map_(pa.string(), pa.int64()))
-    )
+    # duration children are not in the type registry (struct/list/map
+    # now are); the frame must refuse rather than mis-encode
+    arr = pa.array([[1, 2]], type=pa.list_(pa.duration("s")))
     with pytest.raises(TypeError):
         fr.encode_frame(arr, "list")
 

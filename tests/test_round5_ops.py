@@ -541,3 +541,21 @@ class TestBm25Rank:
         rows = analysis.bm25_rank(df, ["common", "rare"], k=10).collect()
         score = {r.id: r.bm25 for r in rows}
         assert score[9] > score[1]
+
+
+class TestGopherRepetition:
+    def test_repeated_grams_detected(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "buy now " * 10 + "limited offer"),   # heavy repeats
+                (2, " ".join(f"w{i}" for i in range(30))),  # all distinct
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.id: r for r in analysis.gopher_repetition(df, n=3).collect()}
+        assert out[1].dup_fraction > 0.5
+        assert out[2].dup_fraction == 0.0
+
+    def test_short_doc_excluded(self, spark):
+        df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+        assert analysis.gopher_repetition(df, n=3).count() == 0
