@@ -1585,6 +1585,46 @@ def _q_gopher_repetition(spark, sf_dir):
     )
 
 
+def _q_robots_directives(spark, sf_dir):
+    """Robots meta directives + canonical link: seeded pages carry a
+    robots <meta> for doc_id%4 in (0,1,2) and a canonical <link> for
+    even ids; the twin recomputes both flags from the same id
+    arithmetic."""
+    from orc_spark.textops import extraction
+
+    df = _load(spark, sf_dir, "documents")
+    robots_meta = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit('<meta name="robots" content="noindex">'))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    canonical = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://ex.org/d'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = df.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"), robots_meta, canonical,
+                F.lit("</head><body><p>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extraction.robots_directives(pages)
+
+
 _BM25_QUERY_TERMS = ["spark", "window", "merge"]
 
 
@@ -1644,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bm25_rank": _q_bm25_rank,
         "gopher_repetition": _q_gopher_repetition,
+        "robots_directives": _q_robots_directives,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -1901,6 +1942,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition": analysis.gopher_repetition_sql(
             "documents", n=3
+        ),
+        "robots_directives": (
+            "SELECT doc_id AS id, doc_id % 4 IN (0, 1) AS noindex, "
+            "doc_id % 4 = 0 AS nofollow, "
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "'https://ex.org/d' || CAST(doc_id AS VARCHAR) ELSE '' END "
+            "AS canonical FROM documents ORDER BY id"
         ),
         "gopher_rules": analysis.gopher_rules_sql("documents", min_words=20),
         "chunk_documents": analysis.chunk_documents_sql(

@@ -376,3 +376,34 @@ def extract_title_meta(
         _unescape_expr(title).alias("title"),
         _unescape_expr(desc).alias("description"),
     )
+
+
+def robots_directives(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-policy head metadata: the robots <meta> directives
+    (noindex/nofollow) and the canonical <link> target — the gate a
+    crawl pipeline applies before a page may enter the corpus, plus
+    the dedup hint search engines honor.
+
+    Pure JVM regexp over the decoded page, map-only, zero Python.
+    Absent directives read as False / empty canonical."""
+    page = F.decode(F.col(html_col), "UTF-8")
+    robots = F.lower(
+        F.regexp_extract(
+            page,
+            r'(?is)<meta\s+name="robots"\s+content="([^"]*)"',
+            1,
+        )
+    )
+    canonical = F.regexp_extract(
+        page,
+        r'(?is)<link\s+rel="canonical"\s+href="([^"]*)"',
+        1,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(robots.contains("noindex"), F.lit(False)).alias("noindex"),
+        F.coalesce(robots.contains("nofollow"), F.lit(False)).alias("nofollow"),
+        _unescape_expr(canonical).alias("canonical"),
+    )

@@ -559,3 +559,20 @@ class TestGopherRepetition:
     def test_short_doc_excluded(self, spark):
         df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
         assert analysis.gopher_repetition(df, n=3).count() == 0
+
+
+class TestRobotsDirectives:
+    def test_flags_and_canonical(self, spark):
+        pages = [
+            (1, b'<html><head><meta name="robots" content="noindex, nofollow">'
+                b'<link rel="canonical" href="https://e.x/a&amp;b"></head>'
+                b'<body>x</body></html>'),
+            (2, b"<html><head></head><body>no directives</body></html>"),
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(h)) for i, h in pages], "doc_id long, html binary"
+        )
+        out = {r.id: r for r in extraction.robots_directives(df).collect()}
+        assert out[1].noindex is True and out[1].nofollow is True
+        assert out[1].canonical == "https://e.x/a&b"  # entity-unescaped
+        assert out[2].noindex is False and out[2].canonical == ""
