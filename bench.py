@@ -671,6 +671,10 @@ def compact_headline(result: dict) -> dict:
             out["scaling"]["best_observed"] = {
                 k: bo.get(k) for k in ("efficiency", "measured_at")
             }
+    ro = result.get("reference_orc") or {}
+    if "zlib" in ro:
+        # one-number contrast: reference C++ ORC writer, single thread
+        out["reference_orc_zlib_write_mb_s"] = ro["zlib"].get("write_mb_s")
     pb = result.get("point_lookup_best_observed_on_host")
     if pb:
         out["point_lookup_best_observed"] = {
@@ -690,6 +694,51 @@ def compact_headline(result: dict) -> dict:
                 )
             }
     return out
+
+
+def reference_orc_phase(extras: dict, web_path: str, rows: int = 40000) -> None:
+    """Reference-writer throughput stand-in: pyarrow's C++ ORC writer
+    (the ORC implementation the reference Go library round-trips
+    against) over a slice of the same web table, single-threaded
+    in-process — the single-core contrast for the engine's own 1-core
+    kernel number (scaling.mb_s_small). Best of two runs per mode so a
+    cold page-fault window doesn't misattribute host noise to the
+    reference writer. Seconds of wall, bounded input; recorded in the
+    sidecar + a one-number summary in the headline."""
+    try:
+        import pyarrow.orc as paorc
+        import pyarrow.parquet as pq
+    except ImportError:
+        extras["reference_orc"] = {"skipped": "pyarrow.orc absent"}
+        return
+    tbl = pq.read_table(web_path).slice(0, rows)
+    raw_mb = tbl.nbytes / 1e6
+    out: dict = {"rows": len(tbl), "raw_mb": round(raw_mb, 1)}
+    tmp = tempfile.mkdtemp(prefix="orcspark_reforc_")
+    try:
+        for comp in ("uncompressed", "zlib"):
+            path = os.path.join(tmp, f"ref_{comp}.orc")
+            wsec = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                paorc.write_table(tbl, path, compression=comp.upper())
+                wsec = min(wsec, time.perf_counter() - t0)
+            rsec = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                paorc.read_table(path)
+                rsec = min(rsec, time.perf_counter() - t0)
+            size = os.path.getsize(path)
+            out[comp] = {
+                "write_mb_s": round(raw_mb / wsec, 1),
+                "read_mb_s": round(raw_mb / rsec, 1),
+                "ratio": round(tbl.nbytes / size, 3),
+            }
+    except Exception as exc:  # honest skip, never sink the bench
+        out["error"] = str(exc)[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    extras["reference_orc"] = out
 
 
 def run_scale_smoke(spark, extras: dict, probes: list, bench_t0: float) -> None:
@@ -1056,6 +1105,9 @@ def main() -> None:
         stats.stats_sample(docs).collect()
         ss = min(ss, time.perf_counter() - t0)
     queries["stats_sample_documents"] = round(ss, 3)
+
+    # reference-writer throughput stand-in (single-threaded, seconds)
+    reference_orc_phase(extras, web_path)
 
     try_late_scaling("documents")
 

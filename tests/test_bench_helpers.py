@@ -95,3 +95,24 @@ def test_compact_headline_under_tail_window():
     fake["scale_smoke"] = {"skipped": "s" * 500, "host_probes": [{}] * 6}
     line2 = json.dumps(bench.compact_headline(fake))
     assert len(line2) < 2048
+
+
+def test_reference_orc_phase_records_contrast(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    b = _bench()
+    p = str(tmp_path / "web.parquet")
+    pq.write_table(
+        pa.table({"url": [f"https://e.x/{i}" for i in range(2000)],
+                  "text": [f"row text {i} " * 5 for i in range(2000)]}),
+        p,
+    )
+    extras = {}
+    b.reference_orc_phase(extras, p, rows=2000)
+    ro = extras["reference_orc"]
+    assert ro["rows"] == 2000
+    for mode in ("uncompressed", "zlib"):
+        assert ro[mode]["write_mb_s"] > 0
+        assert ro[mode]["read_mb_s"] > 0
+        assert ro[mode]["ratio"] > 0
