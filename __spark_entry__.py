@@ -227,6 +227,44 @@ def _q_roundtrip_map(spark, sf_dir):
     )
 
 
+def _q_nested_predicate_decode(spark, sf_dir):
+    """Nested-column statistics pushdown (ORC per-descendant column
+    statistics analogue): orders packed into struct<status,total>,
+    clustered by meta.status so stripes are status-homogeneous; the
+    decode's `meta.status = 'F'` predicate prunes stripe groups from
+    the per-child stats rows and row-filters via struct_field — rows
+    returned are exactly the matching set (no caller re-filter)."""
+    from orc_spark.engine import pipeline
+
+    df = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        ).alias("meta"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_nested_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-nested-{uuid.uuid4().hex[:8]}",
+        key="o_orderkey",
+        columns=["o_orderkey", "meta"],
+        n_partitions=8,
+        cluster_by="meta.status",
+        stripe_rows=256,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, df.schema, ["o_orderkey", "meta"],
+        predicate=[("meta.status", "==", "F")],
+    )
+    return dec.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.total").alias("total"),
+    )
+
+
 def _q_decode_projection(spark, sf_dir):
     """Column-pruned decode: documents is encoded with all five
     columns, but the decode requests only (doc_id, lang) — the stripe
@@ -1711,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_map": _q_roundtrip_map,
+        "nested_predicate_decode": _q_nested_predicate_decode,
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
@@ -2002,6 +2041,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders UNION ALL "
             "SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v "
             "FROM orders"
+        ),
+        "nested_predicate_decode": (
+            "SELECT o_orderkey, o_orderstatus AS status, "
+            "o_totalprice AS total FROM orders "
+            "WHERE o_orderstatus = 'F' ORDER BY o_orderkey"
         ),
         "roundtrip_lineitem_auto": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "

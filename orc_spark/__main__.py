@@ -83,7 +83,7 @@ def cmd_encode(args) -> int:
 
 
 # Longest alternative first so `>=` wins over `>`. Anchoring the
-# operator right after the column NAME (\w+) is what keeps operator
+# operator right after the column NAME ([\w.]+) is what keeps operator
 # characters inside a quoted right-hand side out of the scan: in
 # `tag='a<b'` the only operator position considered is after `tag`,
 # so the embedded `<` can never split the clause (ADVICE r4 #3).
@@ -100,14 +100,14 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
 
     global _WHERE_RE
     if _WHERE_RE is None:
-        _WHERE_RE = _re.compile(r"^\s*(\w+)\s*(>=|<=|==|!=|>|<|=)\s*(.+?)\s*$")
-    m = _re.match(r"^\s*(\w+)\s+is\s+(not\s+)?null\s*$", clause, _re.IGNORECASE)
+        _WHERE_RE = _re.compile(r"^\s*([\w.]+)\s*(>=|<=|==|!=|>|<|=)\s*(.+?)\s*$")
+    m = _re.match(r"^\s*([\w.]+)\s+is\s+(not\s+)?null\s*$", clause, _re.IGNORECASE)
     if m:
         return m.group(1), ("not_null" if m.group(2) else "is_null"), None
     m = _WHERE_RE.match(clause)
     if m:
         return m.group(1), m.group(2), _parse_value(m.group(3))
-    m = _re.match(r"^\s*(\w+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
+    m = _re.match(r"^\s*([\w.]+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
     if m:
         # split on commas OUTSIDE quotes so quoted list members may
         # contain commas/operators verbatim

@@ -138,9 +138,18 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
     names = set(batch.schema.names)
     mask = None
     for col, op, value in predicate:
-        if col not in names:
+        root, _, path = col.partition(".")
+        if root not in names:
             continue
-        c = batch.column(batch.schema.get_field_index(col))
+        c = batch.column(batch.schema.get_field_index(root))
+        if path:
+            # nested-column predicate ("meta.status"): descend via
+            # struct_field — parent nulls propagate into the child,
+            # matching Spark's meta.status IS NULL when meta is null
+            try:
+                c = pc.struct_field(c, path.split("."))
+            except (pa.ArrowInvalid, KeyError, TypeError):
+                continue  # unknown path -> keep every row (conservative)
         try:
             if op == "is_null":
                 m = pc.is_null(c)

@@ -292,6 +292,37 @@ def encode_stage(
                     rows[k].append(v)
                 rows["bloom"].append(bloom)
                 rows["data"].append(blob)
+                if status == "completed":
+                    # ORC nested-column statistics: one metadata-only
+                    # row per scalar struct descendant ("meta.status")
+                    # so predicates on nested fields prune stripe
+                    # groups and probe blooms exactly like top-level
+                    # columns; codec "stats" marks the row blob-free
+                    # (decode never requests it, metrics exclude it)
+                    for cname, child in zonemap.nested_stat_children(
+                        arr, prefix=f"{col}."
+                    ):
+                        czs = zonemap.stripe_zone_stats(child)
+                        rows["run_id"].append(run_id)
+                        rows["partition_id"].append(pid)
+                        rows["stripe_idx"].append(sidx)
+                        rows["column"].append(cname)
+                        rows["codec"].append("stats")
+                        rows["n_rows"].append(len(child))
+                        rows["bytes_in"].append(0)
+                        rows["bytes_out"].append(0)
+                        rows["checksum"].append("")
+                        rows["encode_ms"].append(0.0)
+                        rows["attempts"].append(0)
+                        rows["status"].append("completed")
+                        rows["failure_category"].append(None)
+                        rows["epoch"].append(epoch)
+                        for k, v in czs.items():
+                            rows[k].append(v)
+                        rows["bloom"].append(
+                            zonemap.stripe_bloom(child) if bloom_index else None
+                        )
+                        rows["data"].append(b"")
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 
     return df.select(columns).mapInArrow(fn, STRIPE_SCHEMA)

@@ -9,9 +9,12 @@ from pyspark.sql import functions as F
 
 
 def compression_by_column(lineage: DataFrame) -> DataFrame:
-    """Per-column bytes in/out, ratio, throughput — the headline report."""
+    """Per-column bytes in/out, ratio, throughput — the headline report.
+    Blob-free nested-stats rows (codec='stats') carry no bytes and
+    would only add 0/0 ratio noise — excluded."""
     return (
-        lineage.groupBy("column")
+        lineage.filter(F.col("codec") != "stats")
+        .groupBy("column")
         .agg(
             F.sum("bytes_in").alias("bytes_in"),
             F.sum("bytes_out").alias("bytes_out"),
@@ -28,7 +31,8 @@ def compression_by_column(lineage: DataFrame) -> DataFrame:
 
 def compression_by_codec(lineage: DataFrame) -> DataFrame:
     return (
-        lineage.groupBy("codec")
+        lineage.filter(F.col("codec") != "stats")
+        .groupBy("codec")
         .agg(
             F.count(F.lit(1)).alias("n_stripes"),
             F.sum("bytes_in").alias("bytes_in"),

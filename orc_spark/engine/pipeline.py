@@ -495,6 +495,28 @@ def decode_job(
         if not want:  # nothing encoded to anchor row counts on
             return spark.createDataFrame([], result_schema)
     if predicate:
+        # nested-column conjuncts ("meta.status") prune via the
+        # per-descendant stats rows encode emits; a run encoded
+        # WITHOUT them would silently prune every group (a group with
+        # no row for a conjunct's column never survives) — hard-error
+        # instead, mirroring metadata_aggregate's exact-or-loud rule
+        nested = sorted({c for c, _, _ in predicate if "." in c})
+        if nested:
+            present = {
+                r.column
+                for r in all_stripes.select("column")
+                .filter(F.col("column").isin(nested))
+                .distinct()
+                .collect()
+            }
+            missing = [c for c in nested if c not in present]
+            if missing:
+                raise ValueError(
+                    f"no nested stats rows for predicate column(s) "
+                    f"{missing} in run {run_id!r} — the run predates "
+                    "nested-column statistics; decode without the "
+                    "predicate and filter the result instead"
+                )
         # ONE fused metadata job for epoch keep-map + zone/bloom
         # keep-set (point lookups pay 2 driver actions total, not 4);
         # small runs plan driver-side off the parquet footers

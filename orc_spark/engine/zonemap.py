@@ -48,6 +48,38 @@ _OPS = {
 
 # ------------------------------------------------------- encode side
 
+def nested_stat_children(arr: pa.Array, prefix: str = "") -> list:
+    """(dotted_name, child_array) pairs for a struct column's scalar
+    descendants — the ORC nested-column-statistics analogue. Children
+    come from flatten() (parent nulls propagated — matching Spark's
+    `meta.f IS NULL` when meta itself is null); struct-of-struct
+    recurses with dotted paths; list/map children carry no per-row
+    scalar to bound, so they are skipped."""
+    if not pa.types.is_struct(arr.type):
+        return []
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = []
+    for field, child in zip(arr.type, arr.flatten()):
+        name = f"{prefix}{field.name}"
+        t = field.type
+        if pa.types.is_struct(t):
+            out.extend(nested_stat_children(child, prefix=f"{name}."))
+        elif (
+            pa.types.is_integer(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date32(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            out.append((name, child))
+    return out
+
+
 def stripe_zone_stats(arr: pa.Array) -> dict:
     """Zone-map entry for one stripe: typed min/max + null count.
 
