@@ -130,3 +130,25 @@ def test_nested_stat_children_shapes():
     # parent null propagated into child null_count
     child = dict(zonemap.nested_stat_children(arr, prefix="m."))["m.a"]
     assert child.null_count == 1
+
+
+def test_metadata_aggregate_on_nested_column(spark, struct_run):
+    """agg over a struct descendant answers from the same stats rows —
+    zero data bytes, exact bounds (the nested rows make it free)."""
+    orders, _, out, cfg = struct_run
+    res = {
+        r.column: r
+        for r in pipeline.metadata_aggregate(
+            spark, out, cfg.run_id, ["meta.total", "meta.status"]
+        ).collect()
+    }
+    exact = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_orderstatus"), F.max("o_orderstatus"),
+        F.count("*"),
+    ).first()
+    t = res["meta.total"]
+    assert t.min_num == exact[0] and t.max_num == exact[1]
+    s = res["meta.status"]
+    assert s.min_str == exact[2] and s.max_str == exact[3]
+    assert t.n_rows == exact[4]
