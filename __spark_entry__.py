@@ -1184,6 +1184,26 @@ def _q_domain_mix(spark, sf_dir):
     return analysis.domain_mix(_load(spark, sf_dir, "documents"))
 
 
+def _q_latest_snapshot(spark, sf_dir):
+    """Keep-newest-snapshot-per-key (the crawl revisit policy): newest
+    event per (user, event_type); rank<=1 compiles to WindowGroupLimit
+    so the one key shuffle carries ~one row per (key, partition)."""
+    from orc_spark.textops import temporal
+
+    return temporal.latest_snapshot(_load(spark, sf_dir, "events"))
+
+
+def _q_json_extract_props(spark, sf_dir):
+    """Typed JSON sidecar extraction (events.props carries a JSON
+    object): get_json_object JVM expression, map-only, null on
+    malformed/missing — bad records degrade, never abort."""
+    from orc_spark.textops import analysis
+
+    return analysis.json_extract_props(
+        _load(spark, sf_dir, "events"), paths={"k": "$.k"}
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the event stream (30-min inactivity
     boundary). ONE shuffle on user_id — the session window and the
@@ -1727,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "latest_snapshot": _q_latest_snapshot,
+        "json_extract_props": _q_json_extract_props,
         "normalized_dedup": _q_normalized_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "dup_window_stats": _q_dup_window_stats,
@@ -1972,6 +1994,10 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": analysis.sequence_pack_sql("documents"),
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
+        "latest_snapshot": temporal.latest_snapshot_events_sql("events"),
+        "json_extract_props": analysis.json_extract_props_sql(
+            "events", paths={"k": "$.k"}
+        ),
         "asof_join": temporal.asof_join_events_sql("events"),
         "winnow_fingerprints": analysis.winnow_fingerprints_sql(
             "documents", k=5, w=4

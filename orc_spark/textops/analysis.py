@@ -1586,3 +1586,41 @@ def gopher_repetition_sql(
         r"ROUND(dup_grams * 1.0 / n_grams, 6) AS dup_fraction "
         r"FROM a ORDER BY id"
     )
+
+
+def json_extract_props(
+    df: DataFrame,
+    json_col: str = "props",
+    paths: dict[str, str] | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Typed field extraction from a JSON-string column (crawl records
+    carry JSON sidecar metadata — fetch headers, scores, labels).
+
+    ``paths`` maps output name -> JSONPath. get_json_object is a JVM
+    expression (Jackson under codegen) — map-only, zero Python, zero
+    shuffle; malformed JSON and missing paths yield null, never an
+    error (the 100 TB posture: bad records degrade, not abort)."""
+    paths = paths or {"k": "$.k"}
+    cols = [F.col(id_col).alias("id")]
+    for name, path in paths.items():
+        cols.append(
+            F.get_json_object(F.col(json_col), path).alias(name)
+        )
+    return df.select(*cols)
+
+
+def json_extract_props_sql(
+    table: str,
+    json_col: str = "props",
+    paths: dict[str, str] | None = None,
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`json_extract_props` (json_extract_string
+    matches get_json_object's string-typed nulls-on-missing)."""
+    paths = paths or {"k": "$.k"}
+    sel = ", ".join(
+        f"json_extract_string({json_col}, '{path}') AS {name}"
+        for name, path in paths.items()
+    )
+    return f"SELECT {id_col} AS id, {sel} FROM {table} ORDER BY id"

@@ -218,3 +218,43 @@ def asof_join_events_sql(
         "ON l.user_id = r.user_id AND l.ts >= r.ts "
         "ORDER BY l_id"
     )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Keep-newest-snapshot-per-key — the crawl revisit policy: a URL
+    recrawled across dumps keeps only its most recent capture
+    (re-expressed over the events table: newest event per
+    (user, event_type)).
+
+    One key shuffle; the rank<=1 predicate compiles to Spark's
+    WindowGroupLimit, which pre-filters to each partition's per-key
+    newest row BELOW the exchange — the shuffle carries ~one row per
+    (key, input-partition), not the full history. Deterministic
+    tie-break on ``tiebreak_col`` descending."""
+    from pyspark.sql import Window
+
+    keys = key_cols or ["user_id", "event_type"]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_snapshot_events_sql(table: str) -> str:
+    """DuckDB twin of :func:`latest_snapshot` over the events table."""
+    return (
+        f"WITH r AS (SELECT *, row_number() OVER ("
+        "PARTITION BY user_id, event_type "
+        f"ORDER BY ts DESC, event_id DESC) AS rn FROM {table}) "
+        "SELECT event_id, ts, user_id, event_type, value, props "
+        "FROM r WHERE rn = 1 ORDER BY event_id"
+    )

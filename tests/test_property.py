@@ -211,3 +211,77 @@ def test_int_frame_roundtrip_compressed(vals):
     blob = framing.encode_frame(arr, "rle_auto", state={}, compression="zlib")
     out = framing.decode_frame(blob)
     assert out.equals(arr)
+
+
+# ----------------------------------------------- nested types (r5)
+
+_SCALARS = [pa.int64(), pa.float64(), pa.string(), pa.bool_()]
+
+
+@st.composite
+def nested_arrays(draw):
+    """Arbitrary nested arrays over {list, struct, map} x scalar leaves,
+    depth <= 2, with nulls at every level."""
+    def leaf_values(t, n):
+        if t == pa.int64():
+            v = st.none() | st.integers(-(2**62), 2**62 - 1)
+        elif t == pa.float64():
+            v = st.none() | st.floats(allow_nan=False, width=64)
+        elif t == pa.string():
+            v = st.none() | st.text(max_size=12)
+        else:
+            v = st.none() | st.booleans()
+        return draw(st.lists(v, min_size=n, max_size=n))
+
+    kind = draw(st.sampled_from(["struct", "list", "map", "struct_in_list"]))
+    n = draw(st.integers(min_value=0, max_value=60))
+    t1 = draw(st.sampled_from(_SCALARS))
+    t2 = draw(st.sampled_from(_SCALARS))
+    if kind == "struct":
+        typ = pa.struct([("a", t1), ("b", t2)])
+        a, b = leaf_values(t1, n), leaf_values(t2, n)
+        nulls = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        vals = [
+            None if nz else {"a": x, "b": y}
+            for x, y, nz in zip(a, b, nulls)
+        ]
+    elif kind == "list":
+        typ = pa.list_(t1)
+        vals = [
+            draw(st.none() | st.just(leaf_values(t1, draw(st.integers(0, 5)))))
+            for _ in range(n)
+        ]
+    elif kind == "map":
+        typ = pa.map_(pa.string(), t1)
+        vals = []
+        for i in range(n):
+            if draw(st.booleans()):
+                m = draw(st.integers(0, 4))
+                vals.append(
+                    [(f"k{j}", v) for j, v in enumerate(leaf_values(t1, m))]
+                )
+            else:
+                vals.append(None)
+    else:  # struct_in_list
+        typ = pa.list_(pa.struct([("q", t1)]))
+        vals = []
+        for i in range(n):
+            if draw(st.booleans()):
+                m = draw(st.integers(0, 3))
+                vals.append([{"q": v} for v in leaf_values(t1, m)])
+            else:
+                vals.append(None)
+    return pa.array(vals, type=typ)
+
+
+@settings(max_examples=60, deadline=None)
+@given(nested_arrays())
+def test_nested_frame_roundtrip(arr):
+    codec = ("struct" if pa.types.is_struct(arr.type)
+             else "map" if pa.types.is_map(arr.type) else "list")
+    for compression in (None, "zlib"):
+        blob = framing.encode_frame(arr, codec, compression=compression)
+        out = framing.decode_frame(blob)
+        assert out.type == arr.type
+        assert out.to_pylist() == arr.to_pylist()
+        assert framing.column_checksum(out) == framing.column_checksum(arr)

@@ -146,3 +146,36 @@ class TestDomainMix:
         out = {r.source: r for r in analysis.domain_mix(df).collect()}
         assert out["big"].weight_r < 1.0 < out["small"].weight_r
         assert abs(out["big"].share_r + out["small"].share_r - 1.0) < 1e-9
+
+
+class TestLatestSnapshot:
+    def test_keeps_newest_per_key(self, spark):
+        import datetime as dt
+
+        from orc_spark.textops import temporal
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 3), 1, "view", 2.0, "{}"),
+            (3, dt.datetime(2024, 1, 2), 1, "view", 3.0, "{}"),
+            (4, dt.datetime(2024, 1, 1), 2, "view", 4.0, "{}"),
+            # tie on ts: higher event_id wins
+            (5, dt.datetime(2024, 1, 5), 2, "click", 5.0, "{}"),
+            (6, dt.datetime(2024, 1, 5), 2, "click", 6.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        got = {r.event_id for r in temporal.latest_snapshot(df).collect()}
+        assert got == {2, 4, 6}
+
+    def test_window_group_limit_in_plan(self, spark):
+        from orc_spark.textops import temporal
+        from tests.conftest import SF_DIR
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        plan = temporal.latest_snapshot(events)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # rank<=1 must pre-filter below the exchange at scale
+        assert "WindowGroupLimit" in plan
