@@ -1683,6 +1683,24 @@ def _q_robots_directives(spark, sf_dir):
     return extraction.robots_directives(pages)
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy (bits/char) — degenerate-text
+    detector; one (id,char)-keyed map-side-combining shuffle."""
+    from orc_spark.textops import analysis
+
+    return analysis.char_entropy(_load(spark, sf_dir, "documents"))
+
+
+def _q_perplexity_score(spark, sf_dir):
+    """CCNet-style pseudo-perplexity: each doc scored by the corpus
+    bigram LM (broadcast, vocab²-bounded); unseen pairs floored."""
+    from orc_spark.textops import analysis
+
+    return analysis.perplexity_score(
+        _load(spark, sf_dir, "documents"), min_count=5
+    )
+
+
 _BM25_QUERY_TERMS = ["spark", "window", "merge"]
 
 
@@ -1743,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25_rank,
         "gopher_repetition": _q_gopher_repetition,
         "robots_directives": _q_robots_directives,
+        "char_entropy": _q_char_entropy,
+        "perplexity_score": _q_perplexity_score,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -2007,6 +2027,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition": analysis.gopher_repetition_sql(
             "documents", n=3
+        ),
+        "char_entropy": analysis.char_entropy_sql("documents"),
+        "perplexity_score": analysis.perplexity_score_sql(
+            "documents", min_count=5
         ),
         "robots_directives": (
             "SELECT doc_id AS id, doc_id % 4 IN (0, 1) AS noindex, "

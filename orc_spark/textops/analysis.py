@@ -1624,3 +1624,125 @@ def json_extract_props_sql(
         for name, path in paths.items()
     )
     return f"SELECT {id_col} AS id, {sel} FROM {table} ORDER BY id"
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    degenerate-text detector: keyboard mashing, single-char floods,
+    and base64 blobs sit far from natural language's ~4 bits.
+
+    One (id, char)-keyed map-side-combining shuffle; per-key rows are
+    bounded by the alphabet, per-doc rows by distinct chars. Entropy
+    via ln(n) - Σ c·ln(c)/n, one pass over the counts."""
+    chars = F.regexp_extract_all(
+        F.col(text_col), F.lit("(?s)."), F.lit(0)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(chars).alias("ch")
+    )
+    counts = exploded.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    ent_nats = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return counts.groupBy("id").agg(
+        n.alias("n_chars"),
+        F.round(ent_nats / float(__import__("math").log(2)), 6).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+def char_entropy_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`char_entropy` (same (?s). extraction,
+    same ln-based formula and operation order)."""
+    return (
+        rf"WITH e AS (SELECT {id_col} AS id, "
+        rf"unnest(regexp_extract_all({text_col}, '(?s).')) AS ch FROM {table}), "
+        r"c AS (SELECT id, ch, COUNT(*) AS c FROM e GROUP BY id, ch) "
+        r"SELECT id, CAST(SUM(c) AS BIGINT) AS n_chars, "
+        r"ROUND((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) / ln(2.0), 6) "
+        r"AS entropy_bits FROM c GROUP BY id ORDER BY id"
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Pseudo-perplexity quality filter (the CCNet-style signal): score
+    each document by the corpus bigram LM — exp of the average
+    negative log-probability of its adjacent token pairs; repetitive
+    boilerplate scores low, rare-junk scores high.
+
+    Scale plan: the LM is the vocab²-bounded :func:`bigram_lm` table,
+    broadcast to the doc-bigram join (the 100 TB side never shuffles
+    on the pair key for the join); unseen pairs take the ``floor``
+    probability. One pair-count shuffle (the LM build) + one doc-keyed
+    aggregation."""
+    model = bigram_lm(df, text_col, min_count).select("w1", "w2", "prob")
+    from orc_spark.textops.dedup import shingles
+
+    bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, 2)).alias("bg"),
+    ).where(F.col("bg").rlike(r"^\S+ \S+$"))
+    pairs = bg.select(
+        "id",
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+    )
+    joined = pairs.join(F.broadcast(model), ["w1", "w2"], "left")
+    p = F.coalesce(F.col("prob"), F.lit(floor))
+    avg_nll = -F.avg(F.log(p))
+    return joined.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(avg_nll, 6).alias("avg_neg_logp"),
+        F.round(F.exp(avg_nll), 6).alias("pseudo_ppl"),
+    )
+
+
+def perplexity_score_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    floor: float = 1e-6,
+) -> str:
+    """DuckDB twin of :func:`perplexity_score` (same tokenizer, same
+    LM CTEs as bigram_lm_sql, same floor and op order)."""
+    return rf"""
+WITH toks AS (
+  SELECT string_split_regex(lower({text_col}), '\s+') AS t FROM {table}
+),
+cpairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS c FROM cpairs GROUP BY w1, w2),
+model AS (
+  SELECT w1, w2, c * 1.0 / sum(c) OVER (PARTITION BY w1) AS prob
+  FROM counts QUALIFY c >= {min_count}
+),
+dbg AS (
+  SELECT {id_col} AS id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT {id_col}, string_split_regex(lower({text_col}), '\s+') AS t
+        FROM {table}) x,
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+j AS (
+  SELECT id, COALESCE(m.prob, {floor}) AS p
+  FROM dbg LEFT JOIN model m USING (w1, w2)
+)
+SELECT id, COUNT(*) AS n_bigrams,
+  ROUND(-AVG(ln(p)), 6) AS avg_neg_logp,
+  ROUND(exp(-AVG(ln(p))), 6) AS pseudo_ppl
+FROM j GROUP BY id ORDER BY id
+"""

@@ -576,3 +576,31 @@ class TestRobotsDirectives:
         assert out[1].noindex is True and out[1].nofollow is True
         assert out[1].canonical == "https://e.x/a&b"  # entity-unescaped
         assert out[2].noindex is False and out[2].canonical == ""
+
+
+class TestCharEntropy:
+    def test_degenerate_vs_natural(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "aaaaaaaaaaaaaaaaaaaa"),           # 0 bits
+                (2, "the quick brown fox jumps over"),  # natural ~4
+                (3, "abab"),                            # exactly 1 bit
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.id: r for r in analysis.char_entropy(df).collect()}
+        assert out[1].entropy_bits == 0.0
+        assert out[3].entropy_bits == 1.0
+        assert 3.0 < out[2].entropy_bits < 5.0
+
+
+class TestPerplexityScore:
+    def test_repetitive_scores_lower(self, spark):
+        common = "the cat sat on the mat and " * 20
+        docs = [(i, common) for i in range(1, 9)]
+        docs.append((9, common + " zyx wvu tsr qpo nml kji"))  # rare tail
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r.id: r for r in analysis.perplexity_score(df, min_count=2).collect()}
+        # the doc with unseen-bigram junk must score higher perplexity
+        assert out[9].pseudo_ppl > out[1].pseudo_ppl
+        assert out[1].n_bigrams > 0
