@@ -1701,6 +1701,36 @@ def _q_perplexity_score(spark, sf_dir):
     )
 
 
+def _q_audio_metadata(spark, sf_dir):
+    """Real RIFF/WAVE header parsing (multimodal audio column): pages
+    seeded with spec-conformant 16-bit-PCM headers built from doc_id
+    arithmetic (rate/channels/sample-count), probed back via the
+    chunk-scanning parser; the twin recomputes every field, duration
+    in exact integer math."""
+    from orc_spark.textops import multimodal
+
+    df = _load(spark, sf_dir, "documents")
+    rate = (F.lit(8000) * (1 + F.col("doc_id") % 3)).cast("long")
+    ch = (1 + F.col("doc_id") % 2).cast("long")
+    nsamp = (F.lit(1000) + (F.col("doc_id") * 37) % 5000).cast("long")
+    wavs = df.select(
+        "doc_id",
+        multimodal.synth_wav_expr(rate, ch, nsamp).alias("audio"),
+    )
+    return multimodal.probe_audio_headers(wavs, "doc_id", "audio")
+
+
+_AUDIO_METADATA_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate, "
+    "CAST(1 + doc_id % 2 AS INTEGER) AS channels, "
+    "CAST(16 AS INTEGER) AS bits, "
+    "CAST(((1000 + (doc_id * 37) % 5000) * 1000) // (8000 * (1 + doc_id % 3)) "
+    "AS BIGINT) AS duration_ms "
+    "FROM documents ORDER BY media_id"
+)
+
+
 _BM25_QUERY_TERMS = ["spark", "window", "merge"]
 
 
@@ -1763,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_directives": _q_robots_directives,
         "char_entropy": _q_char_entropy,
         "perplexity_score": _q_perplexity_score,
+        "audio_metadata": _q_audio_metadata,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -2029,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", n=3
         ),
         "char_entropy": analysis.char_entropy_sql("documents"),
+        "audio_metadata": _AUDIO_METADATA_SQL,
         "perplexity_score": analysis.perplexity_score_sql(
             "documents", min_count=5
         ),

@@ -278,3 +278,119 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, bytes_col).mapInArrow(fn, out_schema)
+
+
+def parse_wav_header(data: bytes):
+    """(sample_rate, channels, bits, duration_ms) from a real RIFF/WAVE
+    header — pure Python over the public WAV spec, no audio libraries.
+
+    Chunk-scans from offset 12: the 'fmt ' chunk carries channels
+    (u16 LE @+2), sample rate (u32 LE @+4) and bits/sample (u16 LE
+    @+14); the 'data' chunk's declared size gives the duration as
+    data_bytes * 1000 // byte_rate (exact integer math — portable to
+    the SQL twin). Unknown/truncated payloads => all-None."""
+    none = (None, None, None, None)
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return none
+        pos = 12
+        rate = channels = bits = data_size = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(data):
+                channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+                rate = int.from_bytes(data[pos + 12 : pos + 16], "little")
+                bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+            elif cid == b"data":
+                data_size = size  # declared size: header-only synths ok
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate and channels and bits:
+            dur = None
+            if data_size is not None:
+                dur = data_size * 1000 // (rate * channels * (bits // 8))
+            return rate, channels, bits, dur
+    except (IndexError, ValueError, ZeroDivisionError):
+        pass
+    return none
+
+
+AUDIO_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def probe_audio_headers(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """(media_id, sample_rate, channels, bits, duration_ms) via the
+    real WAV parser, Arrow-batched mapInArrow — same bounded-header
+    posture as probe_media_headers."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(id_col)
+            blobs = batch.column(bytes_col)
+            rs, cs, bs, ds = [], [], [], []
+            for b in blobs:
+                data = b.as_py() if b.is_valid else b""
+                r, c, bi, d = parse_wav_header(data or b"")
+                rs.append(r)
+                cs.append(c)
+                bs.append(bi)
+                ds.append(d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(rs, type=pa.int32()),
+                    pa.array(cs, type=pa.int32()),
+                    pa.array(bs, type=pa.int32()),
+                    pa.array(ds, type=pa.int64()),
+                ],
+                names=["media_id", "sample_rate", "channels", "bits",
+                       "duration_ms"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col)
+    ).mapInArrow(fn, AUDIO_PROBE_SCHEMA)
+
+
+def synth_wav_expr(rate_col, channels_col, n_samples_col):
+    """Deterministic spec-conformant 16-bit-PCM WAV HEADER bytes as a
+    binary column (pure JVM hex concat + unhex — no UDF): the 'data'
+    chunk declares n_samples*channels*2 bytes without carrying them —
+    these exist to verify :func:`probe_audio_headers` against an
+    arithmetic SQL oracle."""
+    rate = rate_col.cast("long")
+    ch = channels_col.cast("long")
+    nsamp = n_samples_col.cast("long")
+    byte_rate = rate * ch * 2
+    block = ch * 2
+    dsize = nsamp * ch * 2
+
+    def le(c, nbytes):
+        parts = [
+            F.lpad(
+                F.hex(F.shiftright(c, 8 * i).bitwiseAND(F.lit(255))), 2, "0"
+            )
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),            # 'RIFF'
+            le(dsize + F.lit(36), 4),     # riff size
+            F.lit("57415645"),            # 'WAVE'
+            F.lit("666D7420"), le(F.lit(16), 4),   # 'fmt ', size 16
+            F.lit("0100"),                # PCM
+            le(ch, 2), le(rate, 4), le(byte_rate, 4),
+            le(block, 2), le(F.lit(16), 2),        # block align, bits
+            F.lit("64617461"), le(dsize, 4),       # 'data', size
+        )
+    )

@@ -48,3 +48,46 @@ def test_frame_sampling_shapes(spark, media):
     r0 = frames.filter(F.col("media_id") == 63).orderBy("frame_idx").collect()
     assert [r.frame_idx for r in r0] == list(range(len(r0)))
     assert all(len(r.frame_bytes) <= 64 for r in r0)
+
+
+class TestWavHeaders:
+    def test_parse_real_header_with_trailing_chunks(self):
+        from orc_spark.textops import multimodal as m
+
+        # fmt + an extraneous LIST chunk before data (chunk scan must
+        # skip unknown chunks and honor word alignment)
+        hdr = (
+            b"RIFF" + (1000).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (44100).to_bytes(4, "little") + (88200).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # odd+pad
+            + b"data" + (88200).to_bytes(4, "little")
+        )
+        assert m.parse_wav_header(hdr) == (44100, 1, 16, 1000)
+
+    def test_parse_rejects_garbage(self):
+        from orc_spark.textops import multimodal as m
+
+        assert m.parse_wav_header(b"") == (None, None, None, None)
+        assert m.parse_wav_header(b"RIFFxxxxNOPE") == (None, None, None, None)
+        assert m.parse_wav_header(b"\x89PNG\r\n\x1a\n") == (None, None, None, None)
+
+    def test_synth_probe_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from orc_spark.textops import multimodal as m
+
+        df = spark.createDataFrame(
+            [(1, 8000, 1, 4000), (2, 44100, 2, 44100)],
+            ["id", "rate", "ch", "ns"],
+        )
+        wavs = df.select(
+            "id",
+            m.synth_wav_expr(F.col("rate"), F.col("ch"), F.col("ns")).alias("audio"),
+        )
+        out = {r.media_id: r for r in m.probe_audio_headers(wavs, "id", "audio").collect()}
+        assert out[1].sample_rate == 8000 and out[1].duration_ms == 500
+        assert out[2].sample_rate == 44100 and out[2].channels == 2
+        assert out[2].duration_ms == 1000
