@@ -1701,6 +1701,26 @@ def _q_perplexity_score(spark, sf_dir):
     )
 
 
+def _q_temperature_weights(spark, sf_dir):
+    """XLM/mT5 temperature sampling: q_i ∝ p_i^alpha over domain token
+    shares; one map-side-combined groupBy, #domains-row normalize."""
+    from orc_spark.textops import analysis
+
+    return analysis.temperature_weights(
+        _load(spark, sf_dir, "documents"), alpha=0.3
+    )
+
+
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end admission decision: dedup > mojibake > gopher gate
+    precedence, fused into the single content-hash shuffle."""
+    from orc_spark.textops import analysis
+
+    return analysis.curation_pipeline(
+        _load(spark, sf_dir, "documents"), min_words=20
+    )
+
+
 def _q_audio_metadata(spark, sf_dir):
     """Real RIFF/WAVE header parsing (multimodal audio column): pages
     seeded with spec-conformant 16-bit-PCM headers built from doc_id
@@ -1794,6 +1814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "perplexity_score": _q_perplexity_score,
         "audio_metadata": _q_audio_metadata,
+        "temperature_weights": _q_temperature_weights,
+        "curation_pipeline": _q_curation_pipeline,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -2061,6 +2083,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "char_entropy": analysis.char_entropy_sql("documents"),
         "audio_metadata": _AUDIO_METADATA_SQL,
+        "temperature_weights": analysis.temperature_weights_sql(
+            "documents", alpha=0.3
+        ),
+        "curation_pipeline": analysis.curation_pipeline_sql(
+            "documents", min_words=20
+        ),
         "perplexity_score": analysis.perplexity_score_sql(
             "documents", min_count=5
         ),

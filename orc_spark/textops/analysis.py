@@ -1746,3 +1746,131 @@ SELECT id, COUNT(*) AS n_bigrams,
   ROUND(exp(-AVG(ln(p))), 6) AS pseudo_ppl
 FROM j GROUP BY id ORDER BY id
 """
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled domain sampling (the public XLM/mT5
+    multilingual-balancing rule): sampling probability q_i ∝ p_i^alpha
+    where p_i is the domain's token share. alpha=1 keeps the natural
+    mix, alpha→0 flattens to uniform; the per-document resample weight
+    is q_i/p_i.
+
+    Same plan shape as domain_mix: ONE map-side-combined groupBy over
+    the corpus; the power/normalize pass runs over #domains rows."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("tokens"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("tokens") / F.sum("tokens").over(wall)
+    q = F.pow(p, F.lit(alpha)) / F.sum(F.pow(p, F.lit(alpha))).over(wall)
+    return agg.select(
+        "source",
+        "tokens",
+        F.round(p, 6).alias("p_natural"),
+        F.round(q, 6).alias("q_sampled"),
+        F.round(q / p, 6).alias("resample_weight"),
+    ).orderBy("source")
+
+
+def temperature_weights_sql(
+    table: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`temperature_weights` (same token count,
+    same pow/normalize op order)."""
+    return (
+        rf"WITH a AS (SELECT {source_col} AS source, "
+        rf"CAST(SUM(CASE WHEN TRIM(COALESCE({text_col},'')) = '' THEN 0 ELSE "
+        rf"len(string_split_regex(TRIM({text_col}), '\s+')) END) AS BIGINT) AS tokens "
+        rf"FROM {table} GROUP BY 1), "
+        r"p AS (SELECT source, tokens, "
+        r"tokens * 1.0 / SUM(tokens) OVER () AS p FROM a), "
+        rf"w AS (SELECT source, tokens, p, "
+        rf"pow(p, {alpha}) / SUM(pow(p, {alpha})) OVER () AS q FROM p) "
+        r"SELECT source, tokens, ROUND(p, 6) AS p_natural, "
+        r"ROUND(q, 6) AS q_sampled, ROUND(q / p, 6) AS resample_weight "
+        r"FROM w ORDER BY source"
+    )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+) -> DataFrame:
+    """The end-to-end admission decision a curation pipeline makes per
+    document, composed from this module's gates in fixed precedence:
+
+    1. ``dup``      — not the exact-content keeper (lowest id per sha
+                      keeps; later copies reject);
+    2. ``mojibake`` — encoding anomalies (U+FFFD / raw C0 controls);
+    3. ``gopher``   — the Gopher rule conjunction;
+    4. ``ok``       — admitted.
+
+    One content-hash shuffle (the dedup window); every other gate is
+    map-side, so the composition costs the same single shuffle as
+    exact dedup alone — gates FUSE, they don't multiply passes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)).orderBy(
+        F.col(id_col)
+    )
+    g = gopher_rules(df, text_col, id_col, min_words=min_words).select(
+        F.col("id"), F.col("keep").alias("_gopher_ok")
+    )
+    m = mojibake_score(df, text_col, id_col).select(
+        F.col("doc_id").alias("id"), (~F.col("is_suspect")).alias("_moji_ok")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.row_number().over(w) == 1).alias("_dedup_ok"),
+    )
+    out = base.join(m, "id").join(g, "id")
+    reason = (
+        F.when(~F.col("_dedup_ok"), F.lit("dup"))
+        .when(~F.col("_moji_ok"), F.lit("mojibake"))
+        .when(~F.col("_gopher_ok"), F.lit("gopher"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        "id",
+        (reason == "ok").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+def curation_pipeline_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+) -> str:
+    """DuckDB twin of :func:`curation_pipeline`, composing the same
+    gates' twins with the same precedence."""
+    gopher = gopher_rules_sql(table, text_col, id_col, min_words=min_words)
+    moji = mojibake_score_sql(table)
+    return (
+        rf"WITH d AS (SELECT {id_col} AS id, "
+        rf"row_number() OVER (PARTITION BY sha256(COALESCE({text_col},'')) "
+        rf"ORDER BY {id_col}) = 1 AS dedup_ok FROM {table}), "
+        rf"g AS ({gopher}), m AS ({moji}), "
+        r"j AS (SELECT d.id, d.dedup_ok, NOT m.is_suspect AS moji_ok, "
+        r"g.keep AS gopher_ok FROM d "
+        r"JOIN m ON m.doc_id = d.id JOIN g ON g.id = d.id) "
+        r"SELECT id, "
+        r"CASE WHEN NOT dedup_ok THEN 'dup' WHEN NOT moji_ok THEN 'mojibake' "
+        r"WHEN NOT gopher_ok THEN 'gopher' ELSE 'ok' END = 'ok' AS keep, "
+        r"CASE WHEN NOT dedup_ok THEN 'dup' WHEN NOT moji_ok THEN 'mojibake' "
+        r"WHEN NOT gopher_ok THEN 'gopher' ELSE 'ok' END AS reject_reason "
+        r"FROM j ORDER BY id"
+    )

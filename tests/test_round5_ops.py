@@ -604,3 +604,43 @@ class TestPerplexityScore:
         # the doc with unseen-bigram junk must score higher perplexity
         assert out[9].pseudo_ppl > out[1].pseudo_ppl
         assert out[1].n_bigrams > 0
+
+
+class TestTemperatureWeights:
+    def test_alpha_flattens_toward_uniform(self, spark):
+        docs = [(i, "w " * 100, "big") for i in range(90)]
+        docs += [(100 + i, "w " * 100, "small") for i in range(10)]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+        out = {r.source: r for r in
+               analysis.temperature_weights(df, alpha=0.3).collect()}
+        # sampled share must sit between natural share and uniform
+        assert out["small"].p_natural < out["small"].q_sampled < 0.5
+        assert 0.5 < out["big"].q_sampled < out["big"].p_natural
+        # resample weights upsample the minority, downsample the bulk
+        assert out["small"].resample_weight > 1 > out["big"].resample_weight
+
+    def test_alpha_one_is_natural_mix(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "x"), (2, "a b", "y")], ["doc_id", "text", "source"]
+        )
+        for r in analysis.temperature_weights(df, alpha=1.0).collect():
+            assert r.p_natural == r.q_sampled
+
+
+class TestCurationPipeline:
+    def test_gate_precedence(self, spark):
+        good = " ".join("the quick brown fox and that dog have fun with it"
+                        .split() * 8)
+        rows = [
+            (1, good),              # keeper, passes all gates
+            (2, good),              # exact dup of 1 -> 'dup'
+            (3, good + " \x00\x01"),  # control chars -> 'mojibake'
+            (4, "too short"),       # fails gopher
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.id: r for r in
+               analysis.curation_pipeline(df, min_words=20).collect()}
+        assert out[1].keep is True and out[1].reject_reason == "ok"
+        assert out[2].reject_reason == "dup"
+        assert out[3].reject_reason == "mojibake"
+        assert out[4].reject_reason == "gopher"
