@@ -152,3 +152,49 @@ def test_metadata_aggregate_on_nested_column(spark, struct_run):
     s = res["meta.status"]
     assert s.min_str == exact[2] and s.max_str == exact[3]
     assert t.n_rows == exact[4]
+
+
+def test_nested_stats_follow_resume_epochs(spark, tmp_path):
+    """A faulted struct-column stripe re-encodes whole at the next
+    epoch; its nested stats rows must follow that epoch, and the
+    predicated decode over the resumed run stays exact."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        ).alias("meta"),
+    )
+    out = str(tmp_path / "run")
+
+    def cfg(**kw):
+        base = dict(
+            out_dir=out, run_id="nsr", key="o_orderkey",
+            columns=["o_orderkey", "meta"], n_partitions=4,
+        )
+        base.update(kw)
+        return pipeline.EncodeJobConfig(**base)
+
+    r1 = pipeline.run_encode_job(
+        spark, df, cfg(fault_spec={"columns": ["meta"], "partitions": [1]})
+    )
+    assert r1.partitions_failed == 1
+    r2 = pipeline.run_encode_job(spark, df, cfg())  # resume, epoch 1
+    assert r2.partitions_failed == 0
+    lin = lineage.read_lineage(spark, out)
+    stats_rows = lin.filter("codec = 'stats'")
+    # failed pass emitted no nested rows for the faulted stripe; the
+    # resume epoch carries them for the re-encoded partition
+    e1 = stats_rows.filter("partition_id = 1 AND epoch = 1")
+    assert e1.count() > 0
+    # and a nested predicate over the resumed run is still exact
+    dec = pipeline.decode_job(
+        spark, out, "nsr", df.schema, ["o_orderkey", "meta"],
+        predicate=[("meta.status", "==", "O")],
+    )
+    got = sorted(r.o_orderkey for r in dec.collect())
+    want = sorted(
+        r.o_orderkey for r in orders.filter("o_orderstatus = 'O'").collect()
+    )
+    assert got == want
