@@ -450,6 +450,16 @@ def _list_child_codec(child: pa.Array) -> str:
     return "raw"
 
 
+def _child_state(state: dict | None, key: str) -> dict | None:
+    """Per-child sub-state for nested frames: fsst tables and adaptive
+    zlib-skip counters must not leak between siblings (a table trained
+    on one field's distribution would silently degrade another's).
+    LIST keeps the parent state directly — one child, no siblings."""
+    if state is None:
+        return None
+    return state.setdefault("\x00children", {}).setdefault(key, {})
+
+
 def _map_parts(dense: pa.Array):
     """(keys, items, lengths) for a MapArray — via the offsets buffer,
     because MapArray.keys/.items are NOT slice-aware (they return the
@@ -614,9 +624,16 @@ def encode_frame(
         # parent nulls into the children — the ORC semantics (child
         # values under a null parent are not data); decode re-attaches
         # the parent PRESENT stream from the frame head.
+        # each field gets its own sub-state slot: a shared slot would
+        # let one child's trained fsst table / zlib-skip counter leak
+        # onto a sibling with a different distribution
         blobs = [
-            encode_frame(child, _list_child_codec(child), state=state)
-            for child in arr.flatten()
+            encode_frame(
+                child,
+                _list_child_codec(child),
+                state=_child_state(state, field.name),
+            )
+            for field, child in zip(arr.type, arr.flatten())
         ]
         payload = struct.pack("<H", len(blobs)) + b"".join(
             struct.pack("<I", len(b)) + b for b in blobs
@@ -636,8 +653,12 @@ def encode_frame(
         if isinstance(dense, pa.ChunkedArray):
             dense = dense.combine_chunks()
         keys, items, lengths = _map_parts(dense)
-        kb = encode_frame(keys, _list_child_codec(keys), state=state)
-        vb = encode_frame(items, _list_child_codec(items), state=state)
+        kb = encode_frame(
+            keys, _list_child_codec(keys), state=_child_state(state, "\x00keys")
+        )
+        vb = encode_frame(
+            items, _list_child_codec(items), state=_child_state(state, "\x00items")
+        )
         lb = encode_ints_auto(lengths)
         payload = (
             struct.pack("<II", len(lb), len(kb)) + lb + kb + vb

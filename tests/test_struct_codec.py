@@ -98,3 +98,23 @@ def test_field_nullability_and_names_roundtrip():
     out = fr.decode_frame(fr.encode_frame(arr, "struct"))
     assert out.type == t
     assert out.equals(arr)
+
+
+def test_sibling_fields_do_not_share_fsst_state():
+    """A symbol table trained on one field must not be reused for a
+    sibling with a different distribution — sub-state isolation."""
+    import pyarrow as pa
+
+    a = ["the quick brown fox jumps over the lazy dog " * 4] * 300
+    b = ["0123456789abcdef" * 12] * 300
+    arr = pa.StructArray.from_arrays(
+        [pa.array(a), pa.array(b)], names=["eng", "hexy"]
+    )
+    state: dict = {}
+    blob = fr.encode_frame(arr, "struct", state=state)
+    assert fr.decode_frame(blob).equals(arr)
+    kids = state.get("\x00children", {})
+    # both children trained their OWN table (big enough corpora)
+    assert "fsst_table" in kids.get("eng", {})
+    assert "fsst_table" in kids.get("hexy", {})
+    assert kids["eng"]["fsst_table"] != kids["hexy"]["fsst_table"]
