@@ -1701,6 +1701,38 @@ def _q_perplexity_score(spark, sf_dir):
     )
 
 
+def _q_text_density(spark, sf_dir):
+    """Text-density boilerplate signal over pages built by
+    wrap_html_expr (the invertible constructor); the twin rebuilds the
+    same page string and computes identical byte counts."""
+    from orc_spark.textops import extraction
+
+    df = _load(spark, sf_dir, "documents")
+    pages = df.select(
+        "doc_id",
+        "text",
+        extraction.wrap_html_expr(
+            F.col("source"), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("html"),
+    )
+    return extraction.text_density(pages)
+
+
+_TEXT_DENSITY_SQL = (
+    "WITH esc AS (SELECT doc_id, COALESCE(text,'') AS t, "
+    "replace(replace(replace(source,'&','&amp;'),'<','&lt;'),'>','&gt;') AS es, "
+    "replace(replace(replace(COALESCE(text,''),'&','&amp;'),'<','&lt;'),"
+    "'>','&gt;') AS et FROM documents), "
+    "p AS (SELECT doc_id, octet_length(ENCODE(t)) AS text_bytes, "
+    "octet_length(ENCODE('<html><head><title>' || es || "
+    "'</title></head><body><p>' || et || '</p></body></html>')) AS html_bytes "
+    "FROM esc) "
+    "SELECT doc_id AS id, text_bytes, html_bytes, "
+    "ROUND(text_bytes * 1.0 / GREATEST(html_bytes, 1), 6) AS density "
+    "FROM p ORDER BY id"
+)
+
+
 def _q_temperature_weights(spark, sf_dir):
     """XLM/mT5 temperature sampling: q_i ∝ p_i^alpha over domain token
     shares; one map-side-combined groupBy, #domains-row normalize."""
@@ -1816,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata": _q_audio_metadata,
         "temperature_weights": _q_temperature_weights,
         "curation_pipeline": _q_curation_pipeline,
+        "text_density": _q_text_density,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -2086,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_weights": analysis.temperature_weights_sql(
             "documents", alpha=0.3
         ),
+        "text_density": _TEXT_DENSITY_SQL,
         "curation_pipeline": analysis.curation_pipeline_sql(
             "documents", min_words=20
         ),

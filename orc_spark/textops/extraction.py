@@ -407,3 +407,26 @@ def robots_directives(
         F.coalesce(robots.contains("nofollow"), F.lit(False)).alias("nofollow"),
         _unescape_expr(canonical).alias("canonical"),
     )
+
+
+def text_density(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text-density boilerplate signal (the jusText/boilerpipe-family
+    heuristic): extracted-text bytes over raw page bytes — chrome-heavy
+    pages (nav, ads, markup soup) score low, article-like pages high.
+
+    Pure JVM byte arithmetic over columns the scan already reads:
+    zero shuffle, zero Python; fuses into any pass that touches the
+    page."""
+    tb = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    hb = F.greatest(F.octet_length(F.col(html_col)), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("id"),
+        tb.alias("text_bytes"),
+        F.octet_length(F.col(html_col)).alias("html_bytes"),
+        F.round(tb / hb, 6).alias("density"),
+    )
