@@ -1701,6 +1701,15 @@ def _q_perplexity_score(spark, sf_dir):
     )
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroid table): posexplode +
+    map-side-combined per-dimension average; the label-keyed reshuffle
+    carries #labels × dim rows only."""
+    from orc_spark.textops import similarity
+
+    return similarity.label_centroids(_load(spark, sf_dir, "embeddings"))
+
+
 def _q_text_density(spark, sf_dir):
     """Text-density boilerplate signal over pages built by
     wrap_html_expr (the invertible constructor); the twin rebuilds the
@@ -1849,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": _q_temperature_weights,
         "curation_pipeline": _q_curation_pipeline,
         "text_density": _q_text_density,
+        "label_centroids": _q_label_centroids,
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
@@ -2120,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", alpha=0.3
         ),
         "text_density": _TEXT_DENSITY_SQL,
+        "label_centroids": similarity.label_centroids_sql("embeddings"),
         "curation_pipeline": analysis.curation_pipeline_sql(
             "documents", min_words=20
         ),

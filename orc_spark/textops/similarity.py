@@ -350,3 +350,55 @@ def quantize_int8_sql(
         "CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale "
         "FROM s"
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding (class centroids — the prototype table
+    a nearest-centroid classifier / cluster-quality report reads).
+
+    Plan: posexplode to (label, pos, val) → ONE map-side-combining
+    groupBy(label, pos) average → re-assemble each centroid with a
+    sort_array(collect_list(struct(pos, avg))) whose size is exactly
+    the embedding dimension — per-label state is dim floats, so the
+    second (label-keyed) shuffle carries #labels × dim rows total.
+    Float64 accumulation for cross-engine stability."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = e.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_centroids_sql(
+    table: str, vec_col: str = "embedding", label_col: str = "label"
+) -> str:
+    """DuckDB twin of :func:`label_centroids` (same per-dimension
+    average, list re-assembled in position order)."""
+    return (
+        rf"WITH e AS (SELECT {label_col} AS label, "
+        rf"generate_subscripts({vec_col}, 1) AS pos, "
+        rf"CAST(unnest({vec_col}) AS DOUBLE) AS val FROM {table}), "
+        r"d AS (SELECT label, pos, AVG(val) AS m, COUNT(*) AS n "
+        r"FROM e GROUP BY label, pos) "
+        r"SELECT label, list(ROUND(m, 6) ORDER BY pos) AS centroid, "
+        r"CAST(MAX(n) AS BIGINT) AS n_vectors "
+        r"FROM d GROUP BY label ORDER BY label"
+    )

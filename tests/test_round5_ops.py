@@ -644,3 +644,20 @@ class TestCurationPipeline:
         assert out[2].reject_reason == "dup"
         assert out[3].reject_reason == "mojibake"
         assert out[4].reject_reason == "gopher"
+
+
+class TestLabelCentroids:
+    def test_known_means(self, spark):
+        from orc_spark.textops import similarity
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [3.0, 2.0], 0),
+                (3, [10.0, 10.0], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.label: r for r in similarity.label_centroids(df).collect()}
+        assert out[0].centroid == [2.0, 1.0] and out[0].n_vectors == 2
+        assert out[1].centroid == [10.0, 10.0] and out[1].n_vectors == 1
