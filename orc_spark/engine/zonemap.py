@@ -127,6 +127,16 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             mm = pc.min_max(arr)
             out["min_str"] = mm["min"].as_py()
             out["max_str"] = mm["max"].as_py()
+        elif pa.types.is_decimal128(t):
+            # decimals prune through the num family with ONE-ULP
+            # widened double bounds: a nearest-rounding cast could pull
+            # min UP / max DOWN past true values and wrongly prune —
+            # nextafter re-widens, keeping the zone map conservative
+            mm = pc.min_max(arr)
+            lo = float(mm["min"].as_py())
+            hi = float(mm["max"].as_py())
+            out["min_num"] = float(np.nextafter(lo, -np.inf))
+            out["max_num"] = float(np.nextafter(hi, np.inf))
     except pa.ArrowNotImplementedError:
         pass
     return out

@@ -789,3 +789,48 @@ def test_cli_where_null_and_ne_parse():
     assert _parse_where("lang IS NOT NULL") == ("lang", "not_null", None)
     assert _parse_where("lang!=en") == ("lang", "!=", "en")
     assert _parse_where("event_id != 5") == ("event_id", "!=", 5)
+
+
+def test_decimal_zone_stats_and_prune(spark):
+    """Decimal columns prune through one-ulp-widened double bounds
+    (conservative by construction), and the predicated decode over a
+    decimal-clustered layout stays exact."""
+    import pyarrow as pa
+
+    from orc_spark.engine import pipeline, zonemap
+
+    from decimal import Decimal
+
+    s = zonemap.stripe_zone_stats(
+        pa.array(
+            [Decimal("1.25"), Decimal("7.50")], type=pa.decimal128(12, 2)
+        )
+    )
+    assert s["min_num"] is not None and s["min_num"] <= 1.25
+    assert s["max_num"] >= 7.50
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey", "CAST(l_extendedprice AS DECIMAL(12,2)) AS price"
+        )
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_zm_dec_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"zmdec-{uuid.uuid4().hex[:8]}",
+        key="l_orderkey", columns=["l_orderkey", "price"],
+        n_partitions=4, cluster_by="price", stripe_rows=400,
+    )
+    pipeline.run_encode_job(spark, li, cfg)
+    pred = [("price", ">", 50000.0)]
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, li.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    from pyspark.sql import functions as F
+
+    want = li.filter(F.col("price") > 50000.0)
+    assert _rows(got) == _rows(want)
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    total = stripes.count()
+    kept = zonemap.prune_stripes(stripes, pred).count()
+    assert kept < total, (kept, total)
