@@ -19,6 +19,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -55,6 +56,11 @@ STRIPE_SCHEMA = StructType(
         StructField("min_str", StringType(), True),
         StructField("max_str", StringType(), True),
         StructField("null_count", LongType(), True),
+        # False when the recorded bounds are conservatively WIDENED
+        # rather than exact (decimal128 -> one-ulp-padded doubles):
+        # pruning may use them, metadata-only aggregates must NOT.
+        # Null (incl. pre-upgrade rows, which never widened) = exact.
+        StructField("stat_exact", BooleanType(), True),
         # per-stripe bloom bitset for equality pruning (ORC bloom
         # filter index semantics); null = unsupported type / failed
         StructField("bloom", BinaryType(), True),
@@ -85,6 +91,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("min_str", pa.string()),
         ("max_str", pa.string()),
         ("null_count", pa.int64()),
+        ("stat_exact", pa.bool_()),
         ("bloom", pa.binary()),
         ("data", pa.binary()),
     ]
@@ -270,7 +277,7 @@ def encode_stage(
                     status, category, checksum = "failed", classify_failure(exc), ""
                     zstats = dict.fromkeys(
                         ("min_int", "max_int", "min_num", "max_num",
-                         "min_str", "max_str", "null_count")
+                         "min_str", "max_str", "null_count", "stat_exact")
                     )
                     bloom = None
                 ms = (time.perf_counter() - t0) * 1000.0

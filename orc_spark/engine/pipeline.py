@@ -591,6 +591,13 @@ def metadata_aggregate(
             F.sum(
                 F.when(F.col("null_count").isNull(), 1).otherwise(0)
             ).alias("n_countless"),
+            # stat_exact=False marks WIDENED bounds (decimal128's
+            # one-ulp-padded doubles): safe to prune with, wrong to
+            # report as the column's min/max. Null (pre-upgrade rows,
+            # which never widened) counts as exact.
+            F.sum(
+                F.when(F.col("stat_exact") == F.lit(False), 1).otherwise(0)
+            ).alias("n_inexact"),
         )
         .collect()
     )
@@ -611,6 +618,12 @@ def metadata_aggregate(
                 f"column {c!r}: {r.n_statless} stripe(s) hold rows without "
                 "zone stats (NaN-poisoned / unsupported type) — min/max "
                 "from metadata would be wrong; decode instead"
+            )
+        if int(r.n_inexact):
+            raise ValueError(
+                f"column {c!r}: {r.n_inexact} stripe(s) carry widened "
+                "(pruning-only) bounds — decimal columns have no exact "
+                "double min/max; decode-and-aggregate instead"
             )
         out.append(
             (

@@ -95,6 +95,7 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
         "min_num": None, "max_num": None,
         "min_str": None, "max_str": None,
         "null_count": int(arr.null_count),
+        "stat_exact": True,
     }
     if len(arr) - arr.null_count == 0:
         return out
@@ -137,6 +138,9 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             hi = float(mm["max"].as_py())
             out["min_num"] = float(np.nextafter(lo, -np.inf))
             out["max_num"] = float(np.nextafter(hi, np.inf))
+            # widened bounds prune safely but are NOT the column's
+            # exact min/max — metadata-only aggregates must refuse
+            out["stat_exact"] = False
     except pa.ArrowNotImplementedError:
         pass
     return out

@@ -834,3 +834,25 @@ def test_decimal_zone_stats_and_prune(spark):
     total = stripes.count()
     kept = zonemap.prune_stripes(stripes, pred).count()
     assert kept < total, (kept, total)
+
+
+def test_decimal_metadata_aggregate_refuses_widened_bounds(spark):
+    """agg on a decimal column must be LOUD: the widened pruning
+    bounds are not the exact min/max."""
+    from orc_spark.engine import pipeline
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey", "CAST(l_extendedprice AS DECIMAL(12,2)) AS price"
+        )
+        .limit(500)
+    )
+    out, cfg = _encode(spark, li, "l_orderkey")
+    with pytest.raises(ValueError, match="widened"):
+        pipeline.metadata_aggregate(spark, out, cfg.run_id, ["price"])
+    # the int column next to it still answers exactly
+    res = pipeline.metadata_aggregate(
+        spark, out, cfg.run_id, ["l_orderkey"]
+    ).first()
+    assert res.n_rows == 500
