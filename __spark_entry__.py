@@ -507,6 +507,33 @@ def _q_null_inequality_decode(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_prefix_pruned_decode(spark, sf_dir):
+    """r5 LIKE-prefix predicate pushdown (zonemap._prefix_overlap —
+    ORC/Iceberg string-stats range pruning for `col LIKE 'abc%'`):
+    documents encoded clustered by source, decoded with a prefix
+    conjunct whose zone keep is the overlap of [min_str, max_str] with
+    [prefix, next(prefix)); the residual startswith makes the result
+    exactly the SQL LIKE."""
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_lp_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-lp-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "source"],
+        n_partitions=4,
+        cluster_by="source",
+        stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pred = [("source", "like_prefix", "src1")]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_metadata_aggregate(spark, sf_dir):
     """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
     partition-stats / parquet footer-aggregate analogue): MIN/MAX/
@@ -1896,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_prune": _q_zonemap_prune,
         "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
+        "prefix_pruned_decode": _q_prefix_pruned_decode,
         "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2222,6 +2250,10 @@ def oracle_sql() -> dict[str, str]:
         "null_inequality_decode": (
             "SELECT doc_id, lang AS lang_n FROM documents "
             "WHERE doc_id % 7 <> 0 AND lang <> 'en'"
+        ),
+        "prefix_pruned_decode": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE source LIKE 'src1%'"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

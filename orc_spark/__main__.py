@@ -107,6 +107,20 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
     m = _WHERE_RE.match(clause)
     if m:
         return m.group(1), m.group(2), _parse_value(m.group(3))
+    m = _re.match(r"^\s*([\w.]+)\s+like\s+(.+?)\s*$", clause, _re.IGNORECASE)
+    if m:
+        pat = m.group(2)
+        if len(pat) >= 2 and pat[0] == pat[-1] and pat[0] in "'\"":
+            pat = pat[1:-1]
+        # only the prefix form is zone-map-pruneable; anything else
+        # (leading %, inner wildcards, escapes) errors loudly rather
+        # than silently matching a different set
+        body = pat[:-1]
+        if not pat.endswith("%") or any(ch in body for ch in "%_\\"):
+            raise ValueError(
+                f"only prefix LIKE 'abc%' is supported, got {pat!r}"
+            )
+        return m.group(1), "like_prefix", body
     m = _re.match(r"^\s*([\w.]+)\s+in\s+(.+)$", clause, _re.IGNORECASE)
     if m:
         # split on commas OUTSIDE quotes so quoted list members may

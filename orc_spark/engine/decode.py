@@ -159,6 +159,8 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
                 m = pc.not_equal(c, _residual_scalar(value, c.type))
             elif op == "in":
                 m = pc.is_in(c, value_set=pa.array(list(value), type=c.type))
+            elif op == "like_prefix":
+                m = pc.starts_with(c, pattern=str(value))
             elif op == "between":
                 m = pc.and_kleene(
                     pc.greater_equal(c, _residual_scalar(value[0], c.type)),

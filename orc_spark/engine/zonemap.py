@@ -37,12 +37,14 @@ from pyspark.sql import functions as F
 # an iterable of values (IN-list point lookups — zone-map ranges
 # OR-combined, blooms OR-combined); 'is_null'/'not_null' ignore the
 # value and prune on the per-stripe null_count; '!=' prunes only
-# stripes PROVABLY single-valued at the literal (min == max == v).
+# stripes PROVABLY single-valued at the literal (min == max == v);
+# 'like_prefix' takes the literal prefix of a `LIKE 'abc%'` pattern
+# and prunes via the string stats' overlap with [prefix, next(prefix)).
 Conjunct = tuple  # (str, str, object)
 
 _OPS = {
     "==", "=", "!=", ">", ">=", "<", "<=", "between", "in",
-    "is_null", "not_null",
+    "is_null", "not_null", "like_prefix",
 }
 
 
@@ -252,9 +254,47 @@ def _single_valued_at(value) -> Column:
     return cond
 
 
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string GREATER than every string starting with
+    ``prefix`` — the exclusive upper bound of the prefix range
+    [prefix, upper). Increments the last incrementable code point
+    (dropping any trailing U+10FFFF ceilings); skips the surrogate
+    block (U+D7FF increments to U+E000 — surrogates never appear in
+    valid UTF-8, and both Arrow's min_max and Spark's comparisons
+    order strings by UTF-8 bytes = code points). Returns None when no
+    upper bound exists (all-ceiling prefix): callers keep that side."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return prefix[:i] + chr(nxt)
+    return None
+
+
+def _prefix_overlap(prefix: str) -> Column:
+    """Keep iff the stripe's string range may contain a value starting
+    with ``prefix`` — [min_str, max_str] intersects [prefix, upper).
+    Empty prefix matches every string (keep); absent string stats keep
+    (non-string columns carry none — the residual filter resolves the
+    conjunct row-level)."""
+    if not prefix:
+        return F.lit(True)
+    stats_present = F.col("min_str").isNotNull() & F.col("max_str").isNotNull()
+    keep = F.col("max_str") >= F.lit(prefix)
+    upper = _prefix_upper(prefix)
+    if upper is not None:
+        keep = keep & (F.col("min_str") < F.lit(upper))
+    return keep | ~stats_present
+
+
 def _conjunct_keep(op: str, value) -> Column:
     if op not in _OPS:
         raise ValueError(f"unsupported predicate op: {op!r}")
+    if op == "like_prefix":
+        return _prefix_overlap(str(value))
     if op == "is_null":
         # keep iff the stripe may contain a null (absent count: keep)
         return F.col("null_count").isNull() | (F.col("null_count") > 0)
@@ -677,6 +717,11 @@ def predicate_expr(predicate: list[Conjunct]) -> Column:
             cond = cond & (c != F.lit(value))
         elif op == "in":
             cond = cond & c.isin(list(value))
+        elif op == "like_prefix":
+            # startswith of the LITERAL prefix (no LIKE metacharacter
+            # re-escaping to get wrong); null input -> null -> dropped,
+            # matching SQL LIKE on nulls
+            cond = cond & c.startswith(F.lit(str(value)))
         elif op == "between":
             cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))
         elif op in ("==", "="):

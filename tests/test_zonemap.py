@@ -856,3 +856,93 @@ def test_decimal_metadata_aggregate_refuses_widened_bounds(spark):
         spark, out, cfg.run_id, ["l_orderkey"]
     ).first()
     assert res.n_rows == 500
+
+
+# ------------------------------------------------------- like_prefix
+
+def test_prefix_upper_bounds():
+    """Exclusive upper bound of the prefix range: increment, ceiling
+    carry, surrogate skip."""
+    from orc_spark.engine import zonemap
+
+    assert zonemap._prefix_upper("ab") == "ac"
+    assert zonemap._prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert zonemap._prefix_upper(chr(0x10FFFF)) is None
+    # U+D7FF increments past the surrogate block to U+E000
+    assert zonemap._prefix_upper("x" + chr(0xD7FF)) == "x" + chr(0xE000)
+
+
+def test_like_prefix_conjunct_keep_matrix(spark):
+    """Zone-level keep/prune decisions straight off a stats frame."""
+    from orc_spark.engine import zonemap
+
+    rows = [
+        # (min_str, max_str) -> expect keep for prefix 'src1'
+        ("src1", "src19", True),     # fully inside the range
+        ("src0", "src0", False),     # below [src1, src2)
+        ("src2", "src9", False),     # above
+        ("src0", "src3", True),      # straddles
+        (None, None, True),          # absent stats: conservative keep
+    ]
+    df = spark.createDataFrame(
+        [(lo, hi) for lo, hi, _ in rows], "min_str string, max_str string"
+    )
+    got = [
+        r.k for r in df.select(
+            zonemap._conjunct_keep("like_prefix", "src1").alias("k")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in rows]
+    # empty prefix matches everything
+    assert all(
+        r.k for r in df.select(
+            zonemap._conjunct_keep("like_prefix", "").alias("k")
+        ).collect()
+    )
+
+
+def test_like_prefix_decode_matches_filter_and_prunes(spark):
+    """Predicated decode with LIKE-prefix equals plain startswith
+    filter, and clustered layout actually prunes stripes."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source")
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_zm_lp_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"zmlp-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "source"],
+        n_partitions=2, cluster_by="source", stripe_rows=8,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pred = [("source", "like_prefix", "src1")]
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = docs.filter(F.col("source").startswith("src1"))
+    assert _rows(got) == _rows(want)
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    total = stripes.filter(F.col("status") == "completed").count()
+    kept = zonemap.prune_stripes(stripes, pred).count()
+    assert kept < total, (kept, total)
+
+
+def test_like_prefix_cli_parse():
+    from orc_spark.__main__ import _parse_where
+
+    assert _parse_where("url like 'https://a%'") == (
+        "url", "like_prefix", "https://a"
+    )
+    assert _parse_where("source like src1%") == (
+        "source", "like_prefix", "src1"
+    )
+    import pytest as _pytest
+
+    for bad in ("url like '%x'", "url like 'a_b%'", "url like 'a%b%'",
+                "url like 'abc'"):
+        with _pytest.raises(ValueError):
+            _parse_where(bad)
