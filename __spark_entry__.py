@@ -20,6 +20,7 @@ Queries map SURVEY.md §2.2's operator inventory to verifiable results:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import tempfile
 import uuid
@@ -782,6 +783,84 @@ def _q_checkpoint_resume(spark, sf_dir):
         ],
         "first_encoded int, resumed_skipped int, resumed_encoded int, "
         "idempotent_encoded int, decoded_rows bigint, decoded_fingerprint bigint",
+    )
+
+
+def _q_time_travel_decode(spark, sf_dir):
+    """r5 time travel (pipeline.decode_job(as_of_epoch=k) — Iceberg
+    snapshot-read semantics over the resume lineage): wave 0 wholly
+    fails partitions {1,3}, resume completes them at epoch 1. The
+    as-of-0 snapshot must equal exactly the epoch-0-surviving
+    partitions (verified IN-QUERY against the recomputed partition
+    map — a drift raises, which the driver records as an error), and
+    the full decode must reproduce the table. Returned columns are the
+    portable pieces: pinned resume counts + the md5 fingerprint of the
+    FULL decode, which the oracle recomputes from the source table.
+    The as-of-0 row membership itself is xxhash64-partition-dependent
+    (not SQL-recomputable), so it gates via the in-query check."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import lineage as lineage_mod
+    from orc_spark.engine import pipeline, skew
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_tt_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="tt", key="doc_id", columns=cols,
+        n_partitions=4,
+        fault_spec={"columns": cols, "partitions": [1, 3]},
+    )
+    r1 = pipeline.run_encode_job(spark, docs, cfg)
+    r2 = pipeline.run_encode_job(
+        spark, docs, dataclasses.replace(cfg, fault_spec=None)
+    )
+    asof0 = pipeline.decode_job(
+        spark, out, "tt", docs.schema, as_of_epoch=0
+    )
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    survivors = docs.withColumn("_pid", pid).filter(
+        ~F2.col("_pid").isin([1, 3])
+    ).drop("_pid")
+    chk = pipeline.verify_roundtrip(survivors, asof0, "doc_id")
+    if chk["missing_from_decoded"] or chk["extra_in_decoded"]:
+        raise AssertionError(f"as-of-0 snapshot drifted: {chk}")
+    full = pipeline.decode_job(spark, out, "tt", docs.schema)
+    fp = full.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(
+            F2.conv(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws(
+                            ":",
+                            F2.col("doc_id").cast("string"),
+                            F2.col("lang"),
+                            F2.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    max_epoch = (
+        lineage_mod.read_lineage(spark, out)
+        .agg(F2.max("epoch").alias("e")).first().e
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(r1.partitions_failed),
+                int(r2.partitions_encoded),
+                int(max_epoch),
+                int(fp.n),
+                int(fp.fp),
+            )
+        ],
+        "failed_wave0 int, resumed int, max_epoch int, "
+        "decoded_rows bigint, decoded_fingerprint bigint",
     )
 
 
@@ -1936,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_selection": _q_codec_selection,
         "partition_skew": _q_partition_skew,
         "checkpoint_resume": _q_checkpoint_resume,
+        "time_travel_decode": _q_time_travel_decode,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -2057,6 +2137,16 @@ def oracle_sql() -> dict[str, str]:
         "metrics_report": _metrics_report_sql(),
         "partition_skew": _partition_skew_sql(),
         "checkpoint_resume": _RESUME_FP_SQL,
+        # pinned resume constants + full-decode fingerprint; the
+        # as-of-0 membership gates in-query (xxhash64-partition-
+        # dependent, not SQL-recomputable — see _q_time_travel_decode)
+        "time_travel_decode": (
+            "SELECT 2 AS failed_wave0, 2 AS resumed, 1 AS max_epoch, "
+            "COUNT(*) AS decoded_rows, "
+            "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+            "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
+            "AS BIGINT) AS decoded_fingerprint FROM documents"
+        ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,
         "streaming_dedup": analysis.EXACT_DEDUP_SQL.format(table="documents"),

@@ -177,6 +177,7 @@ def cmd_decode(args) -> int:
         columns=columns, predicate=predicate or None,
         allow_missing_columns=args.allow_missing_columns,
         verify_checksums=args.verify_checksums,
+        as_of_epoch=args.as_of_epoch,
     )
     if predicate:
         dec = dec.filter(zonemap.predicate_expr(predicate))
@@ -374,6 +375,12 @@ def main(argv: list[str] | None = None) -> int:
         "--verify-checksums", action="store_true",
         help="recompute each stripe's value checksum against the "
         "ledgered one; corrupted blobs fail the read loudly",
+    )
+    dec.add_argument(
+        "--as-of-epoch", type=int, default=None,
+        help="time travel: decode the table as it stood after encode "
+        "wave K (later resume epochs invisible; partitions not yet "
+        "complete at K are absent)",
     )
     dec.set_defaults(fn=cmd_decode)
 

@@ -464,10 +464,25 @@ def decode_job(
     predicate: list[tuple] | None = None,
     allow_missing_columns: bool = False,
     verify_checksums: bool = False,
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
     file each); falls back to an explicit repartition otherwise.
+
+    ``as_of_epoch`` — time travel: decode the table as it stood after
+    encode wave ``k`` (Iceberg snapshot-read semantics over the resume
+    lineage; ≙ the reference's state history,
+    /root/reference/internal/state/history.go). Stripes from later
+    resume epochs are invisible; each partition decodes from its
+    newest epoch ≤ k whose requested columns are complete. Partitions
+    with NO complete epoch ≤ k were still failed at that point in
+    history and are absent from the result — the table as a reader
+    would have seen it then. Exception, mirroring the plain decode of
+    a faulted never-resumed table: when the capped view has only epoch
+    0, the completeness short-circuit keeps partially-completed groups
+    and decode fails LOUDLY on them rather than silently dropping the
+    partition (the engine's exact-or-loud rule).
 
     ``predicate`` — zonemap conjuncts ((col, op, value), ...): stripe
     groups whose min/max provably cannot satisfy it are pruned from
@@ -484,6 +499,11 @@ def decode_job(
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     want = set(columns or [f.name for f in result_schema.fields])
     all_stripes = read_stripes(spark, out_dir, run_id)
+    if as_of_epoch is not None:
+        # the cap flows through BOTH epoch-selection paths (the fused
+        # metadata job and _epoch_keep_filter project from this DF),
+        # so "newest complete epoch" naturally means "≤ k"
+        all_stripes = all_stripes.filter(F.col("epoch") <= int(as_of_epoch))
     fill: list[str] = []
     if allow_missing_columns:
         present = {

@@ -234,3 +234,50 @@ def test_doctor_diagnoses_and_advises(spark, docs, tmp_path, capsys):
     assert any("swap" in n for n in diag3.get("storage_notes", [])), diag3
     assert retention.recover_swap(sdir) is False  # live dir wins
     assert "storage_notes" not in doctor.diagnose_run(spark, out, "fl")
+
+
+def test_decode_as_of_epoch_time_travel(spark, docs, tmp_path):
+    """Iceberg-snapshot-style time travel over the resume lineage:
+    as_of_epoch=0 shows the table as it stood after wave 0 (the two
+    wholly-failed partitions absent), as_of_epoch>=1 (and no cap) show
+    the fully-resumed table."""
+    from orc_spark.engine import skew
+
+    out = str(tmp_path / "run")
+    all_cols = [f.name for f in docs.schema.fields]
+    r1 = pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": all_cols, "partitions": [1, 3]}),
+    )
+    assert r1.partitions_failed == 2
+    pipeline.run_encode_job(spark, docs, _cfg(out))  # resume, epoch 1
+
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    survivors = docs.withColumn("_pid", pid).filter(
+        ~F.col("_pid").isin([1, 3])
+    ).drop("_pid")
+
+    asof0 = pipeline.decode_job(
+        spark, out, "fl", docs.schema, as_of_epoch=0
+    )
+    chk = pipeline.verify_roundtrip(survivors, asof0, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    for k in (1, 7, None):
+        full = pipeline.decode_job(
+            spark, out, "fl", docs.schema, as_of_epoch=k
+        )
+        chk = pipeline.verify_roundtrip(docs, full, "doc_id")
+        assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    # predicated time travel rides the same fused metadata path
+    from orc_spark.engine import zonemap
+
+    pred = [("doc_id", ">=", 100)]
+    got = pipeline.decode_job(
+        spark, out, "fl", docs.schema, predicate=pred, as_of_epoch=0
+    ).filter(zonemap.predicate_expr(pred))
+    want = survivors.filter(F.col("doc_id") >= 100)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in want.select("doc_id").collect()
+    )
