@@ -48,6 +48,7 @@ def _roundtrip(
     columns: list[str],
     overrides: dict[str, list[str]] | None = None,
     n_partitions: int = 8,
+    compression: str | None = "zlib",
 ) -> DataFrame:
     """Encode selected columns through the engine, decode, return."""
     from orc_spark.engine import pipeline
@@ -61,6 +62,7 @@ def _roundtrip(
         columns=columns,
         n_partitions=n_partitions,
         overrides=overrides,
+        compression=compression,
     )
     pipeline.run_encode_job(spark, df, cfg)
     return pipeline.decode_job(spark, out, cfg.run_id, df.schema, columns)
@@ -94,6 +96,16 @@ def _q_roundtrip_dict_lang(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id", ["doc_id", "lang", "source"],
         overrides={"lang": ["dict", "raw"], "source": ["dict", "raw"]},
+    )
+
+
+def _q_roundtrip_lzma_cold(spark, sf_dir):
+    """r5 cold-storage tier: the lzma block compressor (frame flag
+    bit 3) layered over the lightweight codecs — denser than deflate,
+    chosen per table. Bit-identical round trip is the gate."""
+    return _roundtrip(
+        spark, sf_dir, "documents", "doc_id",
+        ["doc_id", "text", "lang"], compression="lzma",
     )
 
 
@@ -1986,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
         "roundtrip_dict_lang": _q_roundtrip_dict_lang,
+        "roundtrip_lzma_cold": _q_roundtrip_lzma_cold,
         "roundtrip_rle_ints": _q_roundtrip_rle_ints,
         "roundtrip_for_ts": _q_roundtrip_for_ts,
         "roundtrip_raw_float": _q_roundtrip_raw_float,
@@ -2298,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_id = (SELECT MAX(event_id) // 2 FROM events)"
         ),
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
+        "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",
         "roundtrip_rle_ints": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",
         "roundtrip_raw_float": "SELECT event_id, value FROM events",

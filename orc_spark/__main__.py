@@ -341,8 +341,9 @@ def main(argv: list[str] | None = None) -> int:
         "(exclusive with --cluster-by)",
     )
     enc.add_argument(
-        "--compression", choices=["zlib", "none"], default="zlib",
-        help="block compressor layered over the lightweight codecs",
+        "--compression", choices=["zlib", "lzma", "none"], default="zlib",
+        help="block compressor layered over the lightweight codecs "
+        "(lzma: denser + slower, the cold-storage tier)",
     )
     enc.add_argument("--compression-level", type=int, default=1)
     enc.add_argument(
@@ -395,7 +396,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--new-run-id", default=None)
     cp.add_argument("--partitions", type=int, default=None)
     cp.add_argument("--stripe-rows", type=int, default=65536)
-    cp.add_argument("--compression", choices=["zlib", "none"], default="zlib")
+    cp.add_argument(
+        "--compression", choices=["zlib", "lzma", "none"], default="zlib"
+    )
     cp.add_argument("--cluster-by", default=None)
     cp.set_defaults(fn=cmd_compact)
 

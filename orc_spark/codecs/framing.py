@@ -6,7 +6,7 @@ single binary blob:
     magic(2)=b"OS" | ver(1) | codec_id(1) | dtype(1) | flags(1)
     | n_rows(<q) | params_len(<H) | params(utf8 json)
     | [flags&1: nullmap_len(<I) | nullmap]   # arrow-style LSB validity
-    | payload                                # flags&2: zlib-deflated
+    | payload                     # flags&2: zlib / flags&4: lzma
 
 Codec kernels (bitpack / rle / fsst / dict) see only dense non-null
 values; this layer strips and reinserts nulls, preserving the
@@ -17,6 +17,9 @@ over the lightweight-encoded payload — the ORC spec's CompressionKind
 layered over column encodings (semantics, not byte layout). The bit is
 only set when deflate actually shrinks the payload, so `raw`+bit2 is
 the unconditional floor and old blobs (bit clear) decode unchanged.
+flags bit 3 marks stdlib-lzma instead (the cold-storage tier: denser,
+slower) — per-frame flags mean a table can mix compressors and still
+decode with no out-of-band config.
 
 Mirrors the role of ORC's stripe footer (public ORC v1 spec: per-column
 encoding id + parameters), not its byte layout.
@@ -26,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import lzma
 import struct
 import zlib
 
@@ -677,9 +681,20 @@ def encode_frame(
         state["zlib_probe"] = probe
         want_compress = probe % _COMPRESS_REPROBE == 0
     if want_compress:
-        if compression != "zlib":
+        if compression == "zlib":
+            deflated = zlib.compress(payload, compression_level)
+            won_flag = 2
+        elif compression == "lzma":
+            # cold-tier option: ~always denser than deflate, several
+            # times slower — pick per table, not per stripe. preset
+            # clamped to lzma's 0-9 range; flag bit 3 marks the frame
+            # so mixed-compressor runs decode unambiguously.
+            deflated = lzma.compress(
+                payload, preset=max(0, min(9, compression_level))
+            )
+            won_flag = 4
+        else:
             raise ValueError(f"unknown compression {compression!r}")
-        deflated = zlib.compress(payload, compression_level)
         if len(deflated) < len(payload):
             if state is not None:
                 # adaptive: a column whose frames keep gaining <5%
@@ -691,7 +706,7 @@ def encode_frame(
                 else:
                     state["zlib_skip"] = 0
             payload = deflated
-            flags |= 2
+            flags |= won_flag
         elif state is not None:
             state["zlib_skip"] = state.get("zlib_skip", 0) + 1
     pjson = json.dumps(params, separators=(",", ":")).encode() if params else b""
@@ -733,6 +748,8 @@ def decode_frame(blob: bytes) -> pa.Array:
     payload = blob[off:]
     if flags & 2:
         payload = zlib.decompress(payload)
+    elif flags & 4:
+        payload = lzma.decompress(payload)
     codec = CODEC_NAMES[codec_id]
 
     if dt in _INT_DTS:

@@ -214,3 +214,53 @@ def test_zlib_skip_counts_once_per_stripe_and_rearms():
     assert rearmed and st.get("zlib_skip", 0) == 0
     # once re-armed, the very next compressible frame deflates again
     assert encode_frame(compressible, "raw", state=st, compression="zlib")[5] & 2
+
+
+# ----------------------------------------------------------- lzma tier
+
+@pytest.mark.parametrize(
+    "arr,codec",
+    [
+        (pa.array(list(range(4000)) + [None] * 5), "rle_auto"),
+        (pa.array(["paragraph %d of web text" % (i % 97) for i in range(3000)]), "fsst"),
+        (pa.array(["en", "fr", "de", None] * 800), "dict"),
+        (pa.array([b"\x00\xffhtml" * 40] * 500, type=pa.binary()), "raw"),
+    ],
+)
+def test_lzma_layer_roundtrips_and_flags(arr, codec):
+    blob = encode_frame(arr, codec, compression="lzma")
+    out = decode_frame(blob)
+    if out.type != arr.type:
+        out = out.cast(arr.type)
+    assert out.equals(arr)
+    assert column_checksum(out) == column_checksum(arr)
+    assert blob[5] & 4 and not (blob[5] & 2)  # lzma flag, not zlib's
+    assert len(blob) < len(encode_frame(arr, codec))
+
+
+def test_lzma_denser_than_zlib_on_repetitive_text():
+    arr = pa.array(
+        ["<div class=nav>boilerplate %d</div>" % (i % 13) for i in range(5000)]
+    )
+    z = encode_frame(arr, "raw", compression="zlib")
+    x = encode_frame(arr, "raw", compression="lzma", compression_level=6)
+    assert len(x) <= len(z)
+    assert decode_frame(x).equals(arr)
+
+
+def test_mixed_compressor_frames_decode_side_by_side():
+    """Per-frame flags: one table may hold zlib, lzma, and plain
+    frames; each decodes from its own flag with no global config."""
+    arr = pa.array(["mix %d" % (i % 7) for i in range(2000)])
+    for blob in (
+        encode_frame(arr, "dict"),
+        encode_frame(arr, "dict", compression="zlib"),
+        encode_frame(arr, "dict", compression="lzma"),
+    ):
+        assert decode_frame(blob).equals(arr)
+
+
+def test_unknown_compression_is_loud():
+    arr = pa.array(list(range(1000)))
+    with pytest.raises(ValueError, match="unknown compression"):
+        encode_frame(arr, "raw", compression="zstd")
