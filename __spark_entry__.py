@@ -547,6 +547,33 @@ def _q_prefix_pruned_decode(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_text_search_decode(spark, sf_dir):
+    """r5 full-text search pushdown (zonemap BLOOM_DOMAIN_TOK):
+    documents encoded with a per-stripe TOKEN bloom over `text`
+    (distinct lowercase [a-z0-9]+ tokens), decoded with a
+    `contains_token` predicate — stripes whose bitset provably lacks
+    the token are skipped before any blob is read; the residual
+    split-membership filter makes the result exactly the SQL twin."""
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_ts_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-ts-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "text"],
+        n_partitions=4,
+        stripe_rows=64,
+        token_bloom_columns=("text",),
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pred = [("text", "contains_token", "dup")]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_metadata_aggregate(spark, sf_dir):
     """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
     partition-stats / parquet footer-aggregate analogue): MIN/MAX/
@@ -2016,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
         "prefix_pruned_decode": _q_prefix_pruned_decode,
+        "text_search_decode": _q_text_search_decode,
         "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2358,6 +2386,10 @@ def oracle_sql() -> dict[str, str]:
         "prefix_pruned_decode": (
             "SELECT doc_id, source FROM documents "
             "WHERE source LIKE 'src1%'"
+        ),
+        "text_search_decode": (
+            "SELECT doc_id, text FROM documents WHERE list_contains("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

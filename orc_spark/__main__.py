@@ -60,6 +60,11 @@ def cmd_encode(args) -> int:
         compression=None if args.compression == "none" else args.compression,
         compression_level=args.compression_level,
         stripe_rows=args.stripe_rows,
+        token_bloom_columns=tuple(
+            c.strip()
+            for c in (getattr(args, "token_bloom", None) or "").split(",")
+            if c.strip()
+        ),
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     print(
@@ -107,6 +112,14 @@ def _parse_where(clause: str) -> tuple[str, str, object]:
     m = _WHERE_RE.match(clause)
     if m:
         return m.group(1), m.group(2), _parse_value(m.group(3))
+    m = _re.match(
+        r"^\s*([\w.]+)\s+contains\s+(.+?)\s*$", clause, _re.IGNORECASE
+    )
+    if m:
+        tok = m.group(2)
+        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+            tok = tok[1:-1]
+        return m.group(1), "contains_token", tok
     m = _re.match(r"^\s*([\w.]+)\s+like\s+(.+?)\s*$", clause, _re.IGNORECASE)
     if m:
         pat = m.group(2)
@@ -346,6 +359,12 @@ def main(argv: list[str] | None = None) -> int:
         "(lzma: denser + slower, the cold-storage tier)",
     )
     enc.add_argument("--compression-level", type=int, default=1)
+    enc.add_argument(
+        "--token-bloom",
+        help="comma-separated text columns to index with per-stripe "
+        "TOKEN blooms (full-text search: decode --where "
+        "\"text contains 'word'\")",
+    )
     enc.add_argument(
         "--stripe-rows", type=int, default=None,
         help="fixed rows per stripe (bounds stripe memory, sets "

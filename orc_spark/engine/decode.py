@@ -161,6 +161,18 @@ def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:
                 m = pc.is_in(c, value_set=pa.array(list(value), type=c.type))
             elif op == "like_prefix":
                 m = pc.starts_with(c, pattern=str(value))
+            elif op == "contains_token":
+                # boundary regex ≡ membership in the [a-z0-9]+ token
+                # split (validated upstream: alphanumeric, no escaping)
+                from .zonemap import _norm_token
+
+                tok = _norm_token(value)
+                if tok is None:
+                    continue  # not a token: conservative keep
+                m = pc.match_substring_regex(
+                    pc.utf8_lower(c),
+                    pattern=f"(^|[^a-z0-9]){tok}([^a-z0-9]|$)",
+                )
             elif op == "between":
                 m = pc.and_kleene(
                     pc.greater_equal(c, _residual_scalar(value[0], c.type)),

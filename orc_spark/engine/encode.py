@@ -199,6 +199,7 @@ def encode_stage(
     compression_level: int = 1,
     stripe_rows: int | None = None,
     bloom_index: bool = True,
+    token_bloom_columns: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every planned column of every arrow batch into stripes.
 
@@ -222,6 +223,10 @@ def encode_stage(
     chains = {c: plans[c].chain for c in columns}
     fault_cols = set((fault_spec or {}).get("columns", ()))
     fault_pids = set((fault_spec or {}).get("partitions", ()))
+    # full-text token blooms are OPT-IN per column: tokenizing every
+    # stripe costs real encode CPU, so only columns a user intends to
+    # search pay it (``contains_token`` probes these bitsets)
+    token_cols = set(token_bloom_columns or ())
 
     def _rechunk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         if stripe_rows is None:
@@ -271,7 +276,13 @@ def encode_stage(
                     )
                     status, category, checksum = "completed", None, column_checksum(arr)
                     zstats = zonemap.stripe_zone_stats(arr)
-                    bloom = zonemap.stripe_bloom(arr) if bloom_index else None
+                    bloom = (
+                        zonemap.stripe_bloom(
+                            arr, token_mode=col in token_cols
+                        )
+                        if bloom_index
+                        else None
+                    )
                 except Exception as exc:  # noqa: BLE001 — ledgered, not swallowed
                     codec, blob, attempts = "error", b"", 0
                     status, category, checksum = "failed", classify_failure(exc), ""

@@ -58,6 +58,11 @@ class EncodeJobConfig:
     # equality pruning; costs a few % of encode on key-like string
     # columns — turn off for write-once-scan-always tables.
     bloom_index: bool = True
+    # Columns to index with a per-stripe TOKEN bloom (distinct
+    # lowercase [a-z0-9]+ tokens) instead of a value bloom — the
+    # full-text search index behind the `contains_token` predicate.
+    # Opt-in: tokenizing costs encode CPU only where search is wanted.
+    token_bloom_columns: tuple[str, ...] = ()
     # Fixed rows per stripe (None = one stripe per incoming Arrow
     # batch, i.e. spark.sql.execution.arrow.maxRecordsPerBatch).
     # Setting it makes stripe memory footprint and zone-map
@@ -266,6 +271,7 @@ def run_encode_job(
             compression_level=cfg.compression_level,
             stripe_rows=cfg.stripe_rows,
             bloom_index=cfg.bloom_index,
+            token_bloom_columns=cfg.token_bloom_columns,
         )
         # Atomic commit per wave: parquet commit protocol (or an
         # Iceberg snapshot when the target is a catalog table).

@@ -44,7 +44,7 @@ Conjunct = tuple  # (str, str, object)
 
 _OPS = {
     "==", "=", "!=", ">", ">=", "<", "<=", "between", "in",
-    "is_null", "not_null", "like_prefix",
+    "is_null", "not_null", "like_prefix", "contains_token",
 }
 
 
@@ -295,6 +295,19 @@ def _conjunct_keep(op: str, value) -> Column:
         raise ValueError(f"unsupported predicate op: {op!r}")
     if op == "like_prefix":
         return _prefix_overlap(str(value))
+    if op == "contains_token":
+        # validate EARLY and loudly: a non-token literal (punctuation,
+        # spaces) can never equal anything the splitter produces, and
+        # a silently-empty result would read as "no matches"
+        if _norm_token(value) is None:
+            raise ValueError(
+                f"contains_token needs a lowercase [a-z0-9]+ token, "
+                f"got {value!r}"
+            )
+        # zone stats cannot bound token membership; ALL pruning power
+        # lives in the token bloom (the probe sites), so the zone
+        # level keeps every stripe that has stats rows at all
+        return F.lit(True)
     if op == "is_null":
         # keep iff the stripe may contain a null (absent count: keep)
         return F.col("null_count").isNull() | (F.col("null_count") > 0)
@@ -350,9 +363,14 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
     for col, op, value in predicate:
         cond = _conjunct_keep(op, value)
         rows = meta.filter(F.col("column") == col).filter(cond)
-        if has_bloom and op in ("==", "=", "in"):
-            vals = list(value) if op == "in" else [value]
-            bks = [b for b in map(bloom_keep_expr, vals) if b is not None]
+        pvals = _bloom_probe_vals(op, value)
+        if has_bloom and pvals is not None:
+            vals = pvals
+            bks = [
+                b
+                for b in (bloom_keep_expr(v, op=op) for v in vals)
+                if b is not None
+            ]
             if bks and len(bks) == len(vals):
                 keep_b = bks[0]  # OR: any member may be present
                 for b in bks[1:]:
@@ -479,9 +497,12 @@ def _fused_prune_driver(
             f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
         )
         flag_cols.append(f"_k{i}")
-        if has_bloom and op in ("==", "=", "in"):
-            vals = list(value) if op == "in" else [value]
-            if vals and all(_value_hash_pairs(v) is not None for v in vals):
+        pvals = _bloom_probe_vals(op, value)
+        if has_bloom and pvals is not None:
+            vals = pvals
+            if vals and all(
+                _probe_hash_pairs(op, v) is not None for v in vals
+            ):
                 probe_vals[i] = vals
     sel = ["partition_id", "epoch", "stripe_idx", "column", *flag_cols]
     if probe_vals:
@@ -543,7 +564,7 @@ def _fused_prune_driver(
         blobs = [blooms.get((key, i)) for key in survivors]
         keep = np.zeros(len(survivors), dtype=bool)
         for v in vals:
-            pairs, domain = _value_hash_pairs(v)
+            pairs, domain = _probe_hash_pairs(predicate[i][1], v)
             keep |= bloom_membership(blobs, pairs, domain)
         survivors = [k for k, kp in zip(survivors, keep.tolist()) if kp]
     if not survivors:
@@ -628,10 +649,13 @@ def fused_prune(
             f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
         )
         flags.append(f"_k{i}")
-        if has_bloom and op in ("==", "=", "in"):
-            vals = list(value) if op == "in" else [value]
-            if vals and all(_value_hash_pairs(v) is not None for v in vals):
-                bloom_probes[f"_b{i}"] = [(f"_k{i}", c, vals)]
+        pvals = _bloom_probe_vals(op, value)
+        if has_bloom and pvals is not None:
+            vals = pvals
+            if vals and all(
+                _probe_hash_pairs(op, v) is not None for v in vals
+            ):
+                bloom_probes[f"_b{i}"] = [(f"_k{i}", c, op, vals)]
     aggs = [
         F.collect_set(
             F.when(F.col("column").isin(want), F.col("column"))
@@ -683,11 +707,11 @@ def fused_prune(
     # driver-side bloom veto: AND across conjuncts, OR across IN-list
     # members; absent/cross-domain blobs keep (bloom_membership)
     for alias, spec in bloom_probes.items():
-        _, _, vals = spec[0]
+        _, _, p_op, vals = spec[0]
         blobs = [r[alias] for r in keys]
         keep = np.zeros(len(keys), dtype=bool)
         for v in vals:
-            pairs, domain = _value_hash_pairs(v)
+            pairs, domain = _probe_hash_pairs(p_op, v)
             keep |= bloom_membership(blobs, pairs, domain)
         keys = [r for r, k in zip(keys, keep.tolist()) if k]
     base = stripes.filter(F.col("status") == "completed")
@@ -722,6 +746,16 @@ def predicate_expr(predicate: list[Conjunct]) -> Column:
             # re-escaping to get wrong); null input -> null -> dropped,
             # matching SQL LIKE on nulls
             cond = cond & c.startswith(F.lit(str(value)))
+        elif op == "contains_token":
+            tok = _norm_token(value)
+            if tok is None:
+                raise ValueError(
+                    f"contains_token needs a lowercase [a-z0-9]+ "
+                    f"token, got {value!r}"
+                )
+            cond = cond & F.array_contains(
+                F.split(F.lower(c), TOKEN_SPLIT_PATTERN), tok
+            )
         elif op == "between":
             cond = cond & c.between(F.lit(value[0]), F.lit(value[1]))
         elif op in ("==", "="):
@@ -761,6 +795,9 @@ BLOOM_MAX_BITS = 1 << 19
 _BLOOM_VERSION = b"\x03"
 BLOOM_DOMAIN_INT = b"i"  # ints/bools/timestamps(us)/dates(days)
 BLOOM_DOMAIN_STR = b"s"  # utf-8 / binary bytes
+BLOOM_DOMAIN_TOK = b"t"  # distinct lowercase [a-z0-9]+ tokens of a
+# text column — the full-text search index (contains_token predicate).
+# Same v3 blob layout; readers that don't know the tag keep (no veto).
 
 
 def _bloom_m(n_values: int) -> int:
@@ -867,17 +904,85 @@ def _string_prehash(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
 BLOOM_MAX_AVG_LEN = 128
 
 
-def stripe_bloom(arr: pa.Array) -> bytes | None:
+def _build_bloom(h1, h2, domain: bytes) -> bytes | None:
+    n = len(h1)
+    if n == 0:
+        return None
+    m = _bloom_m(n)
+    # boolean scatter + packbits beats bitwise_or.at (unbuffered ufunc)
+    # by ~10x; little bitorder matches the reader's (idx>>3, idx&7)
+    bb = np.zeros(m, dtype=bool)
+    for i in range(BLOOM_K):
+        bb[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    # version prefix: a reader probing with a DIFFERENT hash chain than
+    # the writer would produce false negatives (wrong pruning); any
+    # unrecognized version is treated as "always keep"
+    return _BLOOM_VERSION + domain + np.packbits(bb, bitorder="little").tobytes()
+
+
+# the contains_token tokenizer, shared verbatim (as a pattern) by the
+# Spark residual (split), the Arrow residual (boundary regex), the
+# DuckDB oracle twin (string_split_regex), and the encode-side bloom:
+# lowercase maximal [a-z0-9]+ runs, every other code point a separator
+TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+def _norm_token(value) -> str | None:
+    """A probe-able search token: lowercased, and a FULL [a-z0-9]+
+    run (anything else cannot equal a token the splitter produces)."""
+    import re
+
+    if not isinstance(value, str):
+        return None
+    tok = value.lower()
+    return tok if re.fullmatch("[a-z0-9]+", tok) else None
+
+
+def _token_stream(arr: pa.Array) -> pa.Array:
+    """Distinct lowercase tokens across a string stripe — the value
+    stream of the per-stripe full-text bloom."""
+    toks = pc.list_flatten(
+        pc.split_pattern_regex(
+            pc.utf8_lower(arr.drop_null()), TOKEN_SPLIT_PATTERN
+        )
+    ).unique()
+    return toks.filter(pc.not_equal(toks, ""))
+
+
+def stripe_bloom(arr: pa.Array, token_mode: bool = False) -> bytes | None:
     """Per-stripe bloom bitset for equality pruning, or None when the
     type is unsupported / the stripe is empty / the values are
-    long-form text (see BLOOM_MAX_AVG_LEN)."""
+    long-form text (see BLOOM_MAX_AVG_LEN).
+
+    ``token_mode`` (string columns only — the full-text search index):
+    hash the stripe's DISTINCT lowercase tokens instead of its values,
+    tagged BLOOM_DOMAIN_TOK so equality probes never consult it (and
+    token probes never consult value bitsets). Long-form text is the
+    point here, so the avg-len skip does not apply."""
     t = arr.type
-    if (
+    is_bytes_like = (
         pa.types.is_string(t)
         or pa.types.is_large_string(t)
         or pa.types.is_binary(t)
         or pa.types.is_large_binary(t)
-    ):
+    )
+    if token_mode:
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            return None
+        try:
+            toks = _token_stream(arr)
+            if len(toks) == 0:
+                return None
+            from ..codecs.framing import _string_parts
+
+            lengths, data = _string_parts(toks)
+            h1, h2 = _mix64(
+                _string_prehash(lengths, np.frombuffer(data, np.uint8))
+            )
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        return _build_bloom(h1, h2, BLOOM_DOMAIN_TOK)
+    if is_bytes_like:
         n_valid = len(arr) - arr.null_count
         if n_valid and arr.nbytes / n_valid > BLOOM_MAX_AVG_LEN:
             return None
@@ -889,29 +994,7 @@ def stripe_bloom(arr: pa.Array) -> bytes | None:
     if pair is None:
         return None
     h1, h2 = pair
-    n = len(h1)
-    if n == 0:
-        return None
-    m = _bloom_m(n)
-    domain = (
-        BLOOM_DOMAIN_STR
-        if (
-            pa.types.is_string(t)
-            or pa.types.is_large_string(t)
-            or pa.types.is_binary(t)
-            or pa.types.is_large_binary(t)
-        )
-        else BLOOM_DOMAIN_INT
-    )
-    # boolean scatter + packbits beats bitwise_or.at (unbuffered ufunc)
-    # by ~10x; little bitorder matches the reader's (idx>>3, idx&7)
-    bb = np.zeros(m, dtype=bool)
-    for i in range(BLOOM_K):
-        bb[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
-    # version prefix: a reader probing with a DIFFERENT hash chain than
-    # the writer would produce false negatives (wrong pruning); any
-    # unrecognized version is treated as "always keep"
-    return _BLOOM_VERSION + domain + np.packbits(bb, bitorder="little").tobytes()
+    return _build_bloom(h1, h2, BLOOM_DOMAIN_STR if is_bytes_like else BLOOM_DOMAIN_INT)
 
 
 def _value_hash_pairs(value) -> tuple[list[tuple[int, int]], bytes] | None:
@@ -942,6 +1025,37 @@ def _value_hash_pairs(value) -> tuple[list[tuple[int, int]], bytes] | None:
         [(int(a), int(b)) for a, b in zip(h1.tolist(), h2.tolist())],
         BLOOM_DOMAIN_INT,
     )
+
+
+def _probe_hash_pairs(op: str, value):
+    """(pairs, domain) for a bloom-probeable (op, literal) — equality
+    probes hash the literal in its value domain; contains_token
+    probes hash the normalized token in the token domain. None when
+    the literal cannot probe (conservative keep)."""
+    if op == "contains_token":
+        tok = _norm_token(value)
+        if tok is None:
+            return None
+        raw = tok.encode()
+        h1, h2 = _mix64(
+            _string_prehash(
+                np.array([len(raw)], dtype=np.int64),
+                np.frombuffer(raw, np.uint8),
+            )
+        )
+        return [(int(h1[0]), int(h2[0]))], BLOOM_DOMAIN_TOK
+    return _value_hash_pairs(value)
+
+
+def _bloom_probe_vals(op: str, value) -> list | None:
+    """The probe literals of a bloom-usable conjunct, else None."""
+    if op in ("==", "="):
+        return [value]
+    if op == "in":
+        return list(value)
+    if op == "contains_token":
+        return [value]
+    return None
 
 
 def bloom_membership(
@@ -1022,12 +1136,13 @@ def bloom_membership(
     return out
 
 
-def bloom_keep_expr(value) -> "Column | None":
+def bloom_keep_expr(value, op: str = "==") -> "Column | None":
     """Keep-condition over the stripes' `bloom` column for an equality
-    predicate: False only when the bitset PROVABLY excludes the value
-    (all-null / absent / cross-domain blooms always keep). Vectorized
-    pandas UDF over metadata rows only — never data blobs."""
-    hp = _value_hash_pairs(value)
+    (or contains_token) predicate: False only when the bitset PROVABLY
+    excludes the value (all-null / absent / cross-domain blooms always
+    keep). Vectorized pandas UDF over metadata rows only — never data
+    blobs."""
+    hp = _probe_hash_pairs(op, value)
     if hp is None:
         return None
     pairs, domain = hp

@@ -946,3 +946,104 @@ def test_like_prefix_cli_parse():
                 "url like 'abc'"):
         with _pytest.raises(ValueError):
             _parse_where(bad)
+
+
+# ----------------------------------------------------- contains_token
+
+def test_token_bloom_build_and_probe():
+    """Token bitset vetoes absent tokens, keeps present ones, and is
+    domain-isolated from value-equality probes."""
+    from orc_spark.engine import zonemap
+
+    arr = pa.array(
+        ["The quick brown-fox", "jumps Over", None, "lazy dog42"]
+    )
+    blob = zonemap.stripe_bloom(arr, token_mode=True)
+    assert blob is not None and blob[1:2] == zonemap.BLOOM_DOMAIN_TOK
+
+    def probe(tok):
+        pairs, domain = zonemap._probe_hash_pairs("contains_token", tok)
+        return bool(zonemap.bloom_membership([blob], pairs, domain)[0])
+
+    for present in ("quick", "fox", "over", "dog42", "the"):
+        assert probe(present), present
+    assert not probe("zebra")
+    # equality probe (string domain) never consults the token bitset
+    pairs, domain = zonemap._value_hash_pairs("zebra")
+    assert bool(zonemap.bloom_membership([blob], pairs, domain)[0])
+    # and a token probe never consults a VALUE bitset
+    vblob = zonemap.stripe_bloom(pa.array(["a", "b"]))
+    pairs, domain = zonemap._probe_hash_pairs("contains_token", "zebra")
+    assert bool(zonemap.bloom_membership([vblob], pairs, domain)[0])
+
+
+def test_norm_token():
+    from orc_spark.engine import zonemap
+
+    assert zonemap._norm_token("Quick") == "quick"
+    assert zonemap._norm_token("dog42") == "dog42"
+    for bad in ("two words", "semi;colon", "", 42, "héllo"):
+        assert zonemap._norm_token(bad) is None
+
+
+def test_contains_token_decode_matches_filter_and_prunes(spark):
+    """Seeded rare token: predicated decode equals the split-based
+    row filter, the bloom prunes non-matching stripes, and an absent
+    token prunes everything."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 50 == 7,
+                F.concat(F.col("text"), F.lit(" xylograph")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_zm_tok_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"zmtok-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "text"],
+        n_partitions=2, stripe_rows=16,
+        token_bloom_columns=("text",),
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pred = [("text", "contains_token", "Xylograph")]  # case-folded
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = docs.filter(
+        F.array_contains(F.split(F.lower("text"), "[^a-z0-9]+"), "xylograph")
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    total = stripes.filter(F.col("status") == "completed").count()
+    kept = zonemap.prune_stripes(stripes, pred).count()
+    assert kept < total, (kept, total)
+    # absent token: everything pruned, zero rows decoded
+    pred0 = [("text", "contains_token", "zzz9absent")]
+    assert zonemap.prune_stripes(stripes, pred0).count() == 0
+    assert pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred0
+    ).count() == 0
+    # malformed token errors loudly, never silently empty
+    with pytest.raises(Exception, match="contains_token"):
+        pipeline.decode_job(
+            spark, out, cfg.run_id, docs.schema,
+            predicate=[("text", "contains_token", "two words")],
+        ).count()
+
+
+def test_contains_token_cli_parse():
+    from orc_spark.__main__ import _parse_where
+
+    assert _parse_where("text contains 'dup'") == (
+        "text", "contains_token", "dup"
+    )
+    assert _parse_where("text contains dup") == (
+        "text", "contains_token", "dup"
+    )
