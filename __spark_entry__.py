@@ -574,6 +574,37 @@ def _q_text_search_decode(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_position_delete_decode(spark, sf_dir):
+    """r5 row-level deletes (pipeline.delete_rows — Iceberg v2
+    position-delete semantics, merge-on-read): two delete operations
+    append per-stripe bitmaps without rewriting any stripe; decode
+    masks the marked positions inside the decode task. The oracle is
+    the plain complement SELECT."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_pd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-pd-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4,
+        stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema,
+        [("doc_id", "between", (100, 199))],
+    )
+    pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema, [("lang", "==", "fr")]
+    )
+    return pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
+
+
 def _q_metadata_aggregate(spark, sf_dir):
     """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
     partition-stats / parquet footer-aggregate analogue): MIN/MAX/
@@ -2044,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_inequality_decode": _q_null_inequality_decode,
         "prefix_pruned_decode": _q_prefix_pruned_decode,
         "text_search_decode": _q_text_search_decode,
+        "position_delete_decode": _q_position_delete_decode,
         "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2390,6 +2422,10 @@ def oracle_sql() -> dict[str, str]:
         "text_search_decode": (
             "SELECT doc_id, text FROM documents WHERE list_contains("
             "string_split_regex(lower(text), '[^a-z0-9]+'), 'dup')"
+        ),
+        "position_delete_decode": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id NOT BETWEEN 100 AND 199 AND lang <> 'fr'"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

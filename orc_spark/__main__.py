@@ -199,6 +199,26 @@ def cmd_decode(args) -> int:
     return EXIT_OK
 
 
+def cmd_delete(args) -> int:
+    from orc_spark.engine import deletes, pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where]
+    n = pipeline.delete_rows(
+        spark, args.out, args.run_id, schema, predicate
+    )
+    print(
+        json.dumps(
+            {
+                "rows_marked": n,
+                **deletes.delete_stats(spark, args.out, args.run_id),
+            }
+        )
+    )
+    return EXIT_OK
+
+
 def cmd_compact(args) -> int:
     from orc_spark.engine import pipeline
 
@@ -403,6 +423,20 @@ def main(argv: list[str] | None = None) -> int:
         "complete at K are absent)",
     )
     dec.set_defaults(fn=cmd_decode)
+
+    dl = sub.add_parser(
+        "delete",
+        help="mark rows deleted by position WITHOUT rewriting stripes "
+        "(Iceberg v2 position-delete semantics; merge-on-read)",
+    )
+    dl.add_argument("--out", required=True)
+    dl.add_argument("--run-id", required=True)
+    dl.add_argument("--schema-from", required=True)
+    dl.add_argument(
+        "--where", action="append", required=True,
+        help="conjunct selecting the rows to delete (repeatable)",
+    )
+    dl.set_defaults(fn=cmd_delete)
 
     cp = sub.add_parser(
         "compact", help="merge a run's stripes into fewer, larger ones"

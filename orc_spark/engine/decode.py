@@ -19,6 +19,13 @@ from pyspark.sql.types import StructType
 from ..codecs import decode_frame
 
 
+#: provenance columns emitted by ``emit_positions`` — the coordinates
+#: of every decoded row: (partition, epoch, stripe, within-stripe row
+#: index BEFORE any delete mask or residual filter). The position
+#: domain delete vectors are expressed in.
+POSITION_COLS = ("_pid", "_epoch", "_sidx", "_rowpos")
+
+
 def decode_stage(
     stripes: DataFrame,
     result_schema: StructType,
@@ -27,6 +34,8 @@ def decode_stage(
     fill_missing: list[str] | None = None,
     verify_checksums: bool = False,
     residual: list | None = None,
+    apply_deletes: bool = False,
+    emit_positions: bool = False,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
@@ -55,6 +64,19 @@ def decode_stage(
     add-column read semantics. Callers (decode_job) compute the list
     from the stripe metadata.
 
+    ``apply_deletes=True`` — the stripes DF carries a ``_delete_vecs``
+    column (array<binary> of packed little-endian row bitmaps, joined
+    per stripe group by the caller): marked rows are masked out right
+    after the batch is rebuilt, BEFORE the residual filter — Iceberg
+    v2 position-delete merge-on-read semantics. Multiple vectors per
+    group (append-only delete files) are OR-combined here.
+
+    ``emit_positions=True`` appends the POSITION_COLS provenance
+    columns to every output batch (``result_schema`` must include
+    them): the row coordinates delete vectors are written against.
+    Positions are assigned before masking/filtering, so they always
+    name original stripe row indexes.
+
     ``colocated=True`` skips the blob shuffle: every encode task writes
     *all* columns of its partitions into one parquet file, so stripe
     groups never span files — as long as no file is split into
@@ -66,7 +88,11 @@ def decode_stage(
     """
     from pyspark.sql.pandas.types import to_arrow_type
 
-    cols = columns or [f.name for f in result_schema.fields]
+    cols = columns or [
+        f.name
+        for f in result_schema.fields
+        if f.name not in POSITION_COLS
+    ]
     missing = set(fill_missing or ())
     want = set(cols) - missing
     n_cols = len(want)
@@ -88,15 +114,24 @@ def decode_stage(
                     )
             return arr.cast(arrow_types[col])
 
+        import numpy as np
+
         pending: dict[tuple[int, int], dict[str, tuple[bytes, str]]] = {}
+        group_meta: dict[tuple[int, int], tuple[int, list]] = {}
         for batch in batches:
             d = batch.to_pydict()
+            vecs_col = d.get("_delete_vecs") if apply_deletes else None
             for i in range(batch.num_rows):
                 col = d["column"][i]
                 if col not in want:
                     continue
                 key = (d["partition_id"][i], d["stripe_idx"][i])
                 grp = pending.setdefault(key, {})
+                if key not in group_meta:
+                    group_meta[key] = (
+                        d["epoch"][i],
+                        (vecs_col[i] if vecs_col is not None else None),
+                    )
                 grp[col] = (d["data"][i], d["checksum"][i])
                 if len(grp) == n_cols:
                     decoded = {
@@ -111,7 +146,31 @@ def decode_stage(
                         else pa.nulls(n, type=arrow_types[c])
                         for c in cols
                     ]
-                    out = pa.RecordBatch.from_arrays(arrays, names=cols)
+                    names = list(cols)
+                    epoch, vecs = group_meta.pop(key)
+                    if emit_positions:
+                        for pname, pval in (
+                            ("_pid", np.full(n, key[0], dtype=np.int64)),
+                            ("_epoch", np.full(n, epoch, dtype=np.int64)),
+                            ("_sidx", np.full(n, key[1], dtype=np.int64)),
+                            ("_rowpos", np.arange(n, dtype=np.int64)),
+                        ):
+                            arrays.append(pa.array(pval))
+                            names.append(pname)
+                    out = pa.RecordBatch.from_arrays(arrays, names=names)
+                    if vecs:
+                        deleted = np.zeros(n, dtype=bool)
+                        for vec in vecs:
+                            if not vec:
+                                continue
+                            bits = np.unpackbits(
+                                np.frombuffer(vec, dtype=np.uint8),
+                                bitorder="little",
+                            )[:n]
+                            # OR across append-only delete files
+                            deleted[: len(bits)] |= bits.astype(bool)
+                        if deleted.any():
+                            out = out.filter(pa.array(~deleted))
                     if residual:
                         out = _apply_residual(out, residual)
                     yield out

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import decode as decode_mod
+from . import deletes as deletes_mod
 from . import encode as encode_mod
 from . import lineage as lineage_mod
 from . import selector, skew, storage, zonemap
@@ -471,6 +472,8 @@ def decode_job(
     allow_missing_columns: bool = False,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    apply_deletes: bool = True,
+    _emit_positions: bool = False,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
@@ -489,6 +492,14 @@ def decode_job(
     0, the completeness short-circuit keeps partially-completed groups
     and decode fails LOUDLY on them rather than silently dropping the
     partition (the engine's exact-or-loud rule).
+
+    ``apply_deletes`` (default True) — merge-on-read: row positions
+    marked by :func:`delete_rows` are masked inside the decode task
+    (delete vectors broadcast-joined onto the stripe metadata; Iceberg
+    v2 position-delete semantics). False reads the undeleted view.
+
+    ``_emit_positions`` (internal, delete_rows' scanner) appends the
+    decode_stage POSITION_COLS provenance columns.
 
     ``predicate`` — zonemap conjuncts ((col, op, value), ...): stripe
     groups whose min/max provably cannot satisfy it are pruned from
@@ -560,13 +571,87 @@ def decode_job(
             )
     else:
         stripes = _epoch_keep_filter(spark, all_stripes, want)
+    have_deletes = False
+    if apply_deletes:
+        dels = deletes_mod.read_delete_vectors(spark, out_dir, run_id)
+        if dels is not None:
+            # broadcast metadata join: one array<binary> per stripe
+            # group that has delete files; groups without stay null
+            stripes = stripes.join(
+                F.broadcast(deletes_mod.grouped_delete_vecs(dels)),
+                ["partition_id", "epoch", "stripe_idx"],
+                "left",
+            )
+            have_deletes = True
+    out_schema = result_schema
+    if _emit_positions:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(result_schema.fields)
+            + [
+                StructField(p, LongType(), False)
+                for p in decode_mod.POSITION_COLS
+            ]
+        )
     return decode_mod.decode_stage(
-        stripes, result_schema, columns, colocated,
+        stripes, out_schema, columns, colocated,
         fill_missing=fill or None, verify_checksums=verify_checksums,
         # row-level residual inside the decode task (conservative);
         # callers' zonemap.predicate_expr stays the exactness gate
         residual=predicate,
+        apply_deletes=have_deletes,
+        emit_positions=_emit_positions,
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    predicate: list[tuple],
+) -> int:
+    """Mark every row matching ``predicate`` as deleted WITHOUT
+    rewriting any stripe — Iceberg v2 position deletes over the stripe
+    store (merge-on-read; ≙ the reference's non-destructive state
+    edits, history kept until an explicit rewrite).
+
+    The scanner is the ordinary predicated decode (zone/bloom pruning
+    included), reading ONLY the predicate's columns plus provenance;
+    matched row coordinates are packed into per-stripe bitmaps and
+    APPENDED to ``<out_dir>/deletes``. Exactness: the scanner applies
+    ``zonemap.predicate_expr`` (the same filter decode callers use),
+    so exactly the SQL-WHERE rows are marked. Existing deletes are
+    honored during the scan, so re-running a delete marks nothing new
+    (idempotent up to duplicate vectors, which readers OR away).
+
+    Returns the number of row positions marked by THIS call.
+
+    Compaction (:func:`compact_run`) decodes the deletes-applied view
+    and re-encodes, naturally dropping the delete files' relevance —
+    vacuum the old run afterwards as usual.
+    """
+    pcols = sorted({c.partition(".")[0] for c, _, _ in predicate})
+    from pyspark.sql.types import StructType
+
+    sub_schema = StructType(
+        [f for f in result_schema.fields if f.name in pcols]
+    )
+    if len(sub_schema.fields) != len(pcols):
+        missing = set(pcols) - {f.name for f in sub_schema.fields}
+        raise ValueError(
+            f"predicate column(s) {sorted(missing)} not in result_schema"
+        )
+    dec = decode_job(
+        spark, out_dir, run_id, sub_schema,
+        columns=pcols, predicate=predicate,
+        _emit_positions=True,
+    )
+    hits = dec.filter(zonemap.predicate_expr(predicate)).select(
+        *decode_mod.POSITION_COLS
+    )
+    return deletes_mod.write_delete_vectors(spark, hits, out_dir, run_id)
 
 
 def metadata_aggregate(
@@ -590,6 +675,16 @@ def metadata_aggregate(
     `SELECT MIN(ts), MAX(ts), COUNT(*)`.
     """
     want = set(columns)
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"]:
+        # zone stats describe the ENCODED rows; live deletes make the
+        # footer answer wrong for COUNT and possibly MIN/MAX — refuse
+        # rather than guess (compact_run materializes the live view)
+        raise ValueError(
+            f"run {run_id!r} carries {dstats['n_vectors']} delete "
+            "vector(s) — metadata-only aggregates would include "
+            "deleted rows; compact the run or decode-and-aggregate"
+        )
     stripes = read_stripes(spark, out_dir, run_id)
     meta = _epoch_keep_filter(spark, stripes, want).drop("data").filter(
         F.col("column").isin(list(want))

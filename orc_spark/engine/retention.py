@@ -147,6 +147,16 @@ def prune_history(
     _rewrite_without(
         spark, lineage_mod.lineage_dir(out_dir), keep, lineage_mod.LINEAGE_SCHEMA
     )
+    from . import deletes as deletes_mod
+
+    ddir = deletes_mod.deletes_dir(out_dir)
+    recover_swap(ddir)
+    if os.path.isdir(ddir):
+        # delete vectors of an expired run point at stripes that no
+        # longer exist — drop them with the run
+        _rewrite_without(
+            spark, ddir, keep, schema=deletes_mod.DELETES_SCHEMA
+        )
     return expired
 
 

@@ -1,0 +1,150 @@
+"""Row-level position deletes (orc_spark/engine/deletes.py — Iceberg
+v2 position-delete semantics, merge-on-read). Invariants:
+
+- delete_rows marks exactly the SQL-WHERE rows; decode masks them
+  inside the decode task (no stripe rewrite);
+- delete files are append-only: concurrent/sequential deletes OR;
+- re-running a delete marks nothing new (scan honors live deletes);
+- apply_deletes=False reads the undeleted view;
+- metadata_aggregate refuses a table with live deletes (exact-or-loud);
+- compact_run materializes the live view; prune_history drops the
+  expired runs' delete files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.engine import deletes, pipeline, zonemap
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_del_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"del-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4, stripe_rows=16,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    return docs, out, cfg
+
+
+def test_delete_masks_exactly_the_where_rows(spark, table):
+    docs, out, cfg = table
+    n = pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema,
+        [("doc_id", "between", (10, 29))],
+    )
+    assert n == docs.filter(F.col("doc_id").between(10, 29)).count()
+    dec = pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
+    want = docs.filter(~F.col("doc_id").between(10, 29))
+    assert _rows(dec) == _rows(want)
+    # the undeleted view is still intact (no rewrite happened)
+    assert pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, apply_deletes=False
+    ).count() == docs.count()
+
+
+def test_deletes_accumulate_and_rerun_is_idempotent(spark, table):
+    docs, out, cfg = table
+    pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema, [("lang", "==", "fr")]
+    )
+    dec = pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
+    want = docs.filter(
+        ~F.col("doc_id").between(10, 29) & (F.col("lang") != "fr")
+    )
+    assert _rows(dec) == _rows(want)
+    # scan honors live deletes: re-delete marks zero positions
+    assert pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema,
+        [("doc_id", "between", (10, 29))],
+    ) == 0
+
+
+def test_predicated_decode_composes_with_deletes(spark, table):
+    docs, out, cfg = table
+    pred = [("n_chars", ">=", 300)]
+    got = pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = docs.filter(
+        ~F.col("doc_id").between(10, 29)
+        & (F.col("lang") != "fr")
+        & (F.col("n_chars") >= 300)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_metadata_aggregate_refuses_live_deletes(spark, table):
+    docs, out, cfg = table
+    with pytest.raises(ValueError, match="delete"):
+        pipeline.metadata_aggregate(spark, out, cfg.run_id, ["doc_id"])
+
+
+def test_compact_materializes_live_view_and_agg_recovers(spark, table):
+    docs, out, cfg = table
+    new_id = f"{cfg.run_id}-c"
+    pipeline.compact_run(
+        spark, out, cfg.run_id, docs.schema, key="doc_id",
+        new_run_id=new_id,
+    )
+    want = docs.filter(
+        ~F.col("doc_id").between(10, 29) & (F.col("lang") != "fr")
+    )
+    dec = pipeline.decode_job(spark, out, new_id, docs.schema)
+    assert _rows(dec) == _rows(want)
+    # the compacted run has no delete vectors -> metadata agg answers
+    res = {
+        r.column: r
+        for r in pipeline.metadata_aggregate(
+            spark, out, new_id, ["doc_id"]
+        ).collect()
+    }
+    assert res["doc_id"].n_rows == want.count()
+
+
+def test_prune_history_drops_expired_runs_delete_files(spark, table):
+    docs, out, cfg = table
+    from orc_spark.engine import retention
+
+    # the compacted run is newer; limit=1 expires the original run
+    expired = retention.prune_history(spark, out, limit=1)
+    assert cfg.run_id in expired
+    assert deletes.delete_stats(spark, out, cfg.run_id)["n_vectors"] == 0
+
+
+def test_delete_vector_bitmap_roundtrip(spark):
+    """Pack/OR/mask unit check through a tiny end-to-end table."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(64)], "id long, grp long"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_delu_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="u", key="id", columns=["id", "grp"],
+        n_partitions=2, stripe_rows=8,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    assert pipeline.delete_rows(
+        spark, out, "u", df.schema, [("grp", "==", 0)]
+    ) == 22
+    assert pipeline.delete_rows(
+        spark, out, "u", df.schema, [("grp", "==", 1)]
+    ) == 21
+    dec = pipeline.decode_job(spark, out, "u", df.schema)
+    assert sorted(r.grp for r in dec.collect()) == [2] * 21
