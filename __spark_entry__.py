@@ -605,6 +605,39 @@ def _q_position_delete_decode(spark, sf_dir):
     return pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
 
 
+def _q_equality_delete_decode(spark, sf_dir):
+    """r5 equality deletes (pipeline.delete_rows_eq — Iceberg v2
+    equality-delete files): O(1) value-level retraction, nothing
+    scanned at delete time; decode masks `col IN values` at read time
+    and decodes the deleted-on column INTERNALLY even though the
+    projection omits it (no resurrection through projections)."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_eq_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-eq-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4,
+        stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "lang", ["fr", "de"])
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "doc_id", [0, 1, 2])
+    from pyspark.sql.types import StructType
+
+    sub = StructType(
+        [f for f in docs.schema.fields if f.name in ("doc_id", "n_chars")]
+    )
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, sub, columns=["doc_id", "n_chars"]
+    )
+
+
 def _q_metadata_aggregate(spark, sf_dir):
     """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
     partition-stats / parquet footer-aggregate analogue): MIN/MAX/
@@ -2076,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_pruned_decode": _q_prefix_pruned_decode,
         "text_search_decode": _q_text_search_decode,
         "position_delete_decode": _q_position_delete_decode,
+        "equality_delete_decode": _q_equality_delete_decode,
         "metadata_aggregate": _q_metadata_aggregate,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2426,6 +2460,10 @@ def oracle_sql() -> dict[str, str]:
         "position_delete_decode": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id NOT BETWEEN 100 AND 199 AND lang <> 'fr'"
+        ),
+        "equality_delete_decode": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE lang NOT IN ('fr', 'de') AND doc_id NOT IN (0, 1, 2)"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

@@ -205,9 +205,20 @@ def cmd_delete(args) -> int:
     spark = _session(args.cores)
     schema = spark.read.parquet(args.schema_from).schema
     predicate = [_parse_where(w) for w in args.where]
-    n = pipeline.delete_rows(
-        spark, args.out, args.run_id, schema, predicate
-    )
+    if args.eq:
+        # O(1) value-level delete: the conjunct must be a plain
+        # equality/IN — anything else needs the position scan
+        if len(predicate) != 1 or predicate[0][1] not in ("==", "=", "in"):
+            raise SystemExit(
+                "--eq takes exactly one equality/IN --where conjunct"
+            )
+        col, op, val = predicate[0]
+        vals = list(val) if op == "in" else [val]
+        n = pipeline.delete_rows_eq(spark, args.out, args.run_id, col, vals)
+    else:
+        n = pipeline.delete_rows(
+            spark, args.out, args.run_id, schema, predicate
+        )
     print(
         json.dumps(
             {
@@ -435,6 +446,11 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument(
         "--where", action="append", required=True,
         help="conjunct selecting the rows to delete (repeatable)",
+    )
+    dl.add_argument(
+        "--eq", action="store_true",
+        help="record an O(1) EQUALITY delete (column=value masked at "
+        "read time, nothing scanned now) — one ==/IN conjunct only",
     )
     dl.set_defaults(fn=cmd_delete)
 

@@ -36,6 +36,7 @@ def decode_stage(
     residual: list | None = None,
     apply_deletes: bool = False,
     emit_positions: bool = False,
+    eq_deletes: list | None = None,
 ) -> DataFrame:
     """Rebuild the original (encoded-column subset of the) table.
 
@@ -77,6 +78,14 @@ def decode_stage(
     Positions are assigned before masking/filtering, so they always
     name original stripe row indexes.
 
+    ``eq_deletes`` — [(column, [values])] equality-delete sets: rows
+    whose column equals any listed value are masked (null never
+    equals — null rows survive, SQL semantics). Columns outside the
+    projection are decoded INTERNALLY for the mask and dropped before
+    yield, so a projection can never resurrect eq-deleted rows. A set
+    that cannot be compared to its column's type raises — silently
+    skipping a delete would return deleted data.
+
     ``colocated=True`` skips the blob shuffle: every encode task writes
     *all* columns of its partitions into one parquet file, so stripe
     groups never span files — as long as no file is split into
@@ -94,7 +103,15 @@ def decode_stage(
         if f.name not in POSITION_COLS
     ]
     missing = set(fill_missing or ())
-    want = set(cols) - missing
+    # eq-delete columns outside the projection decode internally for
+    # the mask and are dropped before yield (never resurrected rows)
+    hidden = [
+        c
+        for c, _ in (eq_deletes or [])
+        if c not in cols and c not in missing
+    ]
+    all_cols = list(cols) + hidden
+    want = set(all_cols) - missing
     n_cols = len(want)
     arrow_types = {
         f.name: to_arrow_type(f.dataType) for f in result_schema.fields
@@ -112,7 +129,10 @@ def decode_stage(
                         f"checksum mismatch decoding column {col!r}: "
                         f"stripe recorded {expect}, decoded {got}"
                     )
-            return arr.cast(arrow_types[col])
+            # hidden eq-delete columns keep their natural decode type
+            if col in arrow_types:
+                return arr.cast(arrow_types[col])
+            return arr
 
         import numpy as np
 
@@ -136,7 +156,7 @@ def decode_stage(
                 if len(grp) == n_cols:
                     decoded = {
                         c: _decode_one(c, *grp[c])
-                        for c in cols
+                        for c in all_cols
                         if c not in missing
                     }
                     n = len(next(iter(decoded.values())))
@@ -144,9 +164,9 @@ def decode_stage(
                         decoded[c]
                         if c not in missing
                         else pa.nulls(n, type=arrow_types[c])
-                        for c in cols
+                        for c in all_cols
                     ]
-                    names = list(cols)
+                    names = list(all_cols)
                     epoch, vecs = group_meta.pop(key)
                     if emit_positions:
                         for pname, pval in (
@@ -171,6 +191,12 @@ def decode_stage(
                             deleted[: len(bits)] |= bits.astype(bool)
                         if deleted.any():
                             out = out.filter(pa.array(~deleted))
+                    if eq_deletes:
+                        out = _apply_eq_deletes(out, eq_deletes)
+                    if hidden:
+                        out = out.select(
+                            [nm for nm in out.schema.names if nm not in hidden]
+                        )
                     if residual:
                         out = _apply_residual(out, residual)
                     yield out
@@ -183,6 +209,41 @@ def decode_stage(
     if not colocated:
         stripes = stripes.repartition(F.col("partition_id"), F.col("stripe_idx"))
     return stripes.mapInArrow(fn, result_schema)
+
+
+def _apply_eq_deletes(
+    batch: pa.RecordBatch, eq_deletes: list
+) -> pa.RecordBatch:
+    """Mask rows whose column equals any eq-deleted value. UNLIKE the
+    residual filter this must never skip quietly: a delete that fails
+    to apply returns deleted data — type mismatches raise."""
+    import pyarrow.compute as pc
+
+    keep = None
+    for col, vals in eq_deletes:
+        idx = batch.schema.get_field_index(col)
+        if idx < 0:
+            raise RuntimeError(
+                f"equality delete on {col!r} but the column is not in "
+                "the decoded batch — cannot apply the delete"
+            )
+        c = batch.column(idx)
+        try:
+            vset = pa.array(vals).cast(c.type)
+            m = pc.is_in(c, value_set=vset)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError) as exc:
+            raise RuntimeError(
+                f"equality delete values {vals!r} are not comparable "
+                f"to column {col!r} ({c.type}) — refusing to decode "
+                "with an unapplied delete"
+            ) from exc
+        # null never equals: null rows survive (SQL semantics)
+        k = pc.fill_null(pc.invert(m), True)
+        keep = k if keep is None else pc.and_(keep, k)
+    if keep is None:
+        return batch
+    return batch.filter(keep)
 
 
 def _apply_residual(batch: pa.RecordBatch, predicate: list) -> pa.RecordBatch:

@@ -115,20 +115,117 @@ def grouped_delete_vecs(deletes: DataFrame) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- equality deletes
+#
+# Iceberg v2's OTHER delete-file kind: "delete every row where col =
+# v", written in O(1) — no scan at delete time at ALL; the equality
+# set is masked during decode. The right tool for key-based retraction
+# (GDPR by user id, recall by url) where scanning 100 TB to find the
+# positions first would dwarf the delete itself.
+
+EQ_DELETES_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("column", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("value_json", StringType(), False),
+    ]
+)
+
+_EQ_KINDS = {bool: "bool", int: "int", float: "float", str: "str"}
+
+# decode collects the equality sets to the driver (they ship to every
+# decode task via the mapInArrow closure); a set this large should be
+# a position-delete scan or a compaction instead — refuse loudly
+EQ_COLLECT_MAX = 1 << 16
+
+
+def eq_deletes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "eq_deletes")
+
+
+def write_eq_deletes(
+    spark: SparkSession, out_dir: str, run_id: str, column: str, values
+) -> int:
+    """Append equality-delete rows: every current AND FUTURE-epoch row
+    of ``run_id`` with ``column`` equal to any of ``values`` reads as
+    deleted. O(1) — nothing is scanned. Null never equals a value, so
+    null rows are never eq-deleted (SQL equality semantics)."""
+    import json as _json
+
+    rows = []
+    for v in values:
+        kind = _EQ_KINDS.get(type(v))
+        if kind is None:
+            raise ValueError(
+                f"equality deletes support bool/int/float/str values, "
+                f"got {type(v).__name__}: {v!r} — use delete_rows "
+                "(position scan) for other types"
+            )
+        rows.append((run_id, column, kind, _json.dumps(v)))
+    if not rows:
+        return 0
+    spark.createDataFrame(rows, EQ_DELETES_SCHEMA).write.mode(
+        "append"
+    ).parquet(eq_deletes_dir(out_dir))
+    return len(rows)
+
+
+def read_eq_deletes(
+    spark: SparkSession, out_dir: str, run_id: str
+) -> list[tuple[str, list]]:
+    """[(column, [typed values...])] for the run — collected (bounded
+    by EQ_COLLECT_MAX, loud beyond it) so decode tasks can mask
+    without a join."""
+    import json as _json
+
+    d = eq_deletes_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    df = spark.read.schema(EQ_DELETES_SCHEMA).parquet(d).filter(
+        F.col("run_id") == run_id
+    )
+    rows = df.limit(EQ_COLLECT_MAX + 1).collect()
+    if len(rows) > EQ_COLLECT_MAX:
+        raise ValueError(
+            f"run {run_id!r} has more than {EQ_COLLECT_MAX} equality-"
+            "delete rows — compact the run (materializes the live "
+            "view) before decoding"
+        )
+    by_col: dict[str, list] = {}
+    for r in rows:
+        v = _json.loads(r.value_json)
+        if r.kind == "int":
+            v = int(v)
+        elif r.kind == "float":
+            v = float(v)
+        elif r.kind == "bool":
+            v = bool(v)
+        by_col.setdefault(r.column, []).append(v)
+    return sorted(by_col.items())
+
+
 def delete_stats(spark: SparkSession, out_dir: str, run_id: str) -> dict:
     """Live-delete accounting for reports/doctor: vectors, touched
     stripe groups, marked rows (upper bound — overlapping delete
     files may re-mark a row)."""
     df = read_delete_vectors(spark, out_dir, run_id)
     if df is None:
-        return {"n_vectors": 0, "n_groups": 0, "rows_marked_ub": 0}
-    agg = df.agg(
-        F.count(F.lit(1)).alias("nv"),
-        F.countDistinct("partition_id", "epoch", "stripe_idx").alias("ng"),
-        F.sum("n_deleted").alias("nr"),
-    ).first()
-    return {
-        "n_vectors": int(agg.nv),
-        "n_groups": int(agg.ng),
-        "rows_marked_ub": int(agg.nr or 0),
-    }
+        out = {"n_vectors": 0, "n_groups": 0, "rows_marked_ub": 0}
+    else:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("nv"),
+            F.countDistinct(
+                "partition_id", "epoch", "stripe_idx"
+            ).alias("ng"),
+            F.sum("n_deleted").alias("nr"),
+        ).first()
+        out = {
+            "n_vectors": int(agg.nv),
+            "n_groups": int(agg.ng),
+            "rows_marked_ub": int(agg.nr or 0),
+        }
+    out["n_eq_values"] = sum(
+        len(vs) for _, vs in read_eq_deletes(spark, out_dir, run_id)
+    )
+    return out

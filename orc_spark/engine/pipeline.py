@@ -572,7 +572,21 @@ def decode_job(
     else:
         stripes = _epoch_keep_filter(spark, all_stripes, want)
     have_deletes = False
+    eq_dels: list = []
     if apply_deletes:
+        eq_dels = deletes_mod.read_eq_deletes(spark, out_dir, run_id)
+        if eq_dels:
+            present = {
+                r.column
+                for r in all_stripes.select("column").distinct().collect()
+            }
+            bad = [c for c, _ in eq_dels if c not in present]
+            if bad:
+                raise ValueError(
+                    f"equality delete(s) on column(s) {bad} not encoded "
+                    f"in run {run_id!r} — cannot apply; decode with "
+                    "apply_deletes=False to read the raw table"
+                )
         dels = deletes_mod.read_delete_vectors(spark, out_dir, run_id)
         if dels is not None:
             # broadcast metadata join: one array<binary> per stripe
@@ -602,6 +616,7 @@ def decode_job(
         residual=predicate,
         apply_deletes=have_deletes,
         emit_positions=_emit_positions,
+        eq_deletes=eq_dels or None,
     )
 
 
@@ -654,6 +669,20 @@ def delete_rows(
     return deletes_mod.write_delete_vectors(spark, hits, out_dir, run_id)
 
 
+def delete_rows_eq(
+    spark: SparkSession, out_dir: str, run_id: str, column: str, values
+) -> int:
+    """O(1) equality delete: append value-level delete rows (Iceberg
+    v2 equality-delete files) — NOTHING is scanned now; decode masks
+    `column IN values` at read time, decoding the column internally
+    even when projected away. The right call for key-based retraction
+    at 100 TB (GDPR by id, URL recall), where a position scan first
+    would dwarf the delete. Returns the number of values recorded."""
+    return deletes_mod.write_eq_deletes(
+        spark, out_dir, run_id, column, values
+    )
+
+
 def metadata_aggregate(
     spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
 ) -> DataFrame:
@@ -676,14 +705,16 @@ def metadata_aggregate(
     """
     want = set(columns)
     dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
-    if dstats["n_vectors"]:
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
         # zone stats describe the ENCODED rows; live deletes make the
         # footer answer wrong for COUNT and possibly MIN/MAX — refuse
         # rather than guess (compact_run materializes the live view)
         raise ValueError(
-            f"run {run_id!r} carries {dstats['n_vectors']} delete "
-            "vector(s) — metadata-only aggregates would include "
-            "deleted rows; compact the run or decode-and-aggregate"
+            f"run {run_id!r} carries live deletes "
+            f"({dstats['n_vectors']} vector(s), "
+            f"{dstats['n_eq_values']} equality value(s)) — metadata-"
+            "only aggregates would include deleted rows; compact the "
+            "run or decode-and-aggregate"
         )
     stripes = read_stripes(spark, out_dir, run_id)
     meta = _epoch_keep_filter(spark, stripes, want).drop("data").filter(

@@ -157,6 +157,12 @@ def prune_history(
         _rewrite_without(
             spark, ddir, keep, schema=deletes_mod.DELETES_SCHEMA
         )
+    edir = deletes_mod.eq_deletes_dir(out_dir)
+    recover_swap(edir)
+    if os.path.isdir(edir):
+        _rewrite_without(
+            spark, edir, keep, schema=deletes_mod.EQ_DELETES_SCHEMA
+        )
     return expired
 
 

@@ -148,3 +148,81 @@ def test_delete_vector_bitmap_roundtrip(spark):
     ) == 21
     dec = pipeline.decode_job(spark, out, "u", df.schema)
     assert sorted(r.grp for r in dec.collect()) == [2] * 21
+
+
+# ---------------------------------------------------- equality deletes
+
+@pytest.fixture(scope="module")
+def eq_table(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_eqdel_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"eq-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4, stripe_rows=16,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    return docs, out, cfg
+
+
+def test_eq_delete_masks_without_scanning(spark, eq_table):
+    docs, out, cfg = eq_table
+    assert pipeline.delete_rows_eq(
+        spark, out, cfg.run_id, "lang", ["fr", "de"]
+    ) == 2
+    dec = pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
+    want = docs.filter(~F.col("lang").isin("fr", "de"))
+    assert _rows(dec) == _rows(want)
+
+
+def test_eq_delete_applies_through_projection(spark, eq_table):
+    """A projection omitting the eq-deleted column must NOT resurrect
+    rows: the column decodes internally for the mask."""
+    from pyspark.sql.types import StructType
+
+    docs, out, cfg = eq_table
+    sub = StructType(
+        [f for f in docs.schema.fields if f.name in ("doc_id", "n_chars")]
+    )
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, sub, columns=["doc_id", "n_chars"]
+    )
+    want = docs.filter(~F.col("lang").isin("fr", "de")).select(
+        "doc_id", "n_chars"
+    )
+    assert _rows(dec) == _rows(want)
+
+
+def test_eq_and_position_deletes_compose(spark, eq_table):
+    docs, out, cfg = eq_table
+    pipeline.delete_rows(
+        spark, out, cfg.run_id, docs.schema,
+        [("doc_id", "between", (0, 9))],
+    )
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "doc_id", [400])
+    dec = pipeline.decode_job(spark, out, cfg.run_id, docs.schema)
+    want = docs.filter(
+        ~F.col("lang").isin("fr", "de")
+        & ~F.col("doc_id").between(0, 9)
+        & (F.col("doc_id") != 400)
+    )
+    assert _rows(dec) == _rows(want)
+    # raw view unaffected; metadata agg refuses
+    assert pipeline.decode_job(
+        spark, out, cfg.run_id, docs.schema, apply_deletes=False
+    ).count() == docs.count()
+    with pytest.raises(ValueError, match="delete"):
+        pipeline.metadata_aggregate(spark, out, cfg.run_id, ["doc_id"])
+
+
+def test_eq_delete_rejects_unsupported_and_unencoded(spark, eq_table):
+    docs, out, cfg = eq_table
+    with pytest.raises(ValueError, match="bool/int/float/str"):
+        pipeline.delete_rows_eq(
+            spark, out, cfg.run_id, "lang", [object()]
+        )
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "nope_col", ["x"])
+    with pytest.raises(ValueError, match="not encoded"):
+        pipeline.decode_job(spark, out, cfg.run_id, docs.schema).count()
