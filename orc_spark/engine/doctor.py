@@ -141,6 +141,18 @@ def diagnose_run(spark: SparkSession, out_dir: str, run_id: str | None = None) -
             entry["advice"] = advice
         else:
             entry["advice"] = ["all stripes completed at the latest epoch"]
+        from . import deletes as deletes_mod
+
+        dstats = deletes_mod.delete_stats(spark, out_dir, rid)
+        if dstats["n_vectors"] or dstats["n_eq_values"]:
+            entry["live_deletes"] = dstats
+            entry.setdefault("advice", []).append(
+                f"live deletes ({dstats['rows_marked_ub']} position(s), "
+                f"{dstats['n_eq_values']} equality value(s)): every "
+                "decode pays the mask and metadata-only aggregates are "
+                "refused — `compact` materializes the live view and "
+                "clears them"
+            )
         by_run[rid] = entry
     out = {"found": True, "runs": by_run}
     if storage_notes:

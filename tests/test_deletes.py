@@ -226,3 +226,13 @@ def test_eq_delete_rejects_unsupported_and_unencoded(spark, eq_table):
     pipeline.delete_rows_eq(spark, out, cfg.run_id, "nope_col", ["x"])
     with pytest.raises(ValueError, match="not encoded"):
         pipeline.decode_job(spark, out, cfg.run_id, docs.schema).count()
+
+
+def test_doctor_surfaces_live_deletes(spark, eq_table):
+    from orc_spark.engine import doctor
+
+    docs, out, cfg = eq_table
+    diag = doctor.diagnose_run(spark, out, cfg.run_id)
+    entry = diag["runs"][cfg.run_id]
+    assert entry["live_deletes"]["n_eq_values"] >= 2
+    assert any("compact" in a for a in entry["advice"])
