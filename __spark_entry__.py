@@ -663,6 +663,43 @@ def _q_metadata_aggregate(spark, sf_dir):
     )
 
 
+def _q_metadata_ndv(spark, sf_dir):
+    """r5 sketch NDV (pipeline.metadata_ndv — per-stripe HyperLogLog
+    registers merged with zero data reads; Iceberg ndv column-stat
+    analogue). Self-checking oracle pattern: the sketch estimate is
+    compared to the exact distinct count IN-QUERY (sketch_ok must be
+    true within the 5% tolerance), and the returned exact counts are
+    what DuckDB recomputes — an estimator drift flips sketch_ok and
+    hash-mismatches."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline
+
+    cols = ["event_id", "event_type", "user_id"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_nv_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-nv-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=cols, n_partitions=4, stripe_rows=512,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    est = {
+        r.column: float(r.ndv_estimate)
+        for r in pipeline.metadata_ndv(spark, out, cfg.run_id, cols).collect()
+    }
+    exact = ev.agg(
+        *[F2.countDistinct(c).alias(c) for c in cols]
+    ).first()
+    rows = []
+    for c in sorted(cols):
+        e = int(getattr(exact, c))
+        ok = abs(est[c] - e) / max(e, 1) <= 0.05
+        rows.append((c, e, bool(ok)))
+    return spark.createDataFrame(
+        rows, "column string, n_distinct bigint, sketch_ok boolean"
+    )
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -2111,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_delete_decode": _q_position_delete_decode,
         "equality_delete_decode": _q_equality_delete_decode,
         "metadata_aggregate": _q_metadata_aggregate,
+        "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -2464,6 +2502,15 @@ def oracle_sql() -> dict[str, str]:
         "equality_delete_decode": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE lang NOT IN ('fr', 'de') AND doc_id NOT IN (0, 1, 2)"
+        ),
+        "metadata_ndv": (
+            'SELECT \'event_id\' AS "column", '
+            "COUNT(DISTINCT event_id) AS n_distinct, true AS sketch_ok "
+            "FROM events UNION ALL "
+            "SELECT 'event_type', COUNT(DISTINCT event_type), true "
+            "FROM events UNION ALL "
+            "SELECT 'user_id', COUNT(DISTINCT user_id), true FROM events "
+            'ORDER BY "column"'
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

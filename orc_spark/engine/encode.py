@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..codecs import column_checksum, encode_frame
+from . import ndv as ndv_mod
 from . import selector, zonemap
 
 STRIPE_SCHEMA = StructType(
@@ -64,6 +65,10 @@ STRIPE_SCHEMA = StructType(
         # per-stripe bloom bitset for equality pruning (ORC bloom
         # filter index semantics); null = unsupported type / failed
         StructField("bloom", BinaryType(), True),
+        # per-stripe HyperLogLog registers (engine/ndv.py) — NDV folds
+        # from these with zero data reads; null = unsketchable type
+        # (floats/decimals) / pre-upgrade rows
+        StructField("ndv", BinaryType(), True),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -93,6 +98,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("null_count", pa.int64()),
         ("stat_exact", pa.bool_()),
         ("bloom", pa.binary()),
+        ("ndv", pa.binary()),
         ("data", pa.binary()),
     ]
 )
@@ -309,6 +315,11 @@ def encode_stage(
                 for k, v in zstats.items():
                     rows[k].append(v)
                 rows["bloom"].append(bloom)
+                rows["ndv"].append(
+                    ndv_mod.stripe_hll(arr)
+                    if status == "completed"
+                    else None
+                )
                 rows["data"].append(blob)
                 if status == "completed":
                     # ORC nested-column statistics: one metadata-only
@@ -340,6 +351,7 @@ def encode_stage(
                         rows["bloom"].append(
                             zonemap.stripe_bloom(child) if bloom_index else None
                         )
+                        rows["ndv"].append(ndv_mod.stripe_hll(child))
                         rows["data"].append(b"")
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 

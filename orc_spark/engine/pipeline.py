@@ -669,6 +669,61 @@ def delete_rows(
     return deletes_mod.write_delete_vectors(spark, hits, out_dir, run_id)
 
 
+def metadata_ndv(
+    spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per column answered ENTIRELY from
+    the per-stripe HyperLogLog sketches — zero data bytes read (the
+    Iceberg ndv column-stat analogue). ~1.6% standard error (P=12).
+
+    Exact-or-loud discipline, adapted to an approximate answer: any
+    kept stripe WITHOUT a sketch (pre-upgrade rows, float columns)
+    raises instead of under-counting, and live deletes raise because
+    sketches describe the encoded rows. The merge is distributed
+    (two-level applyInPandas over the blob-free metadata scan): no
+    driver collect at any table size.
+
+    Returns (column, ndv_estimate double).
+    """
+    want = set(columns)
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — sketch NDV would "
+            "count deleted rows; compact the run first"
+        )
+    stripes = read_stripes(spark, out_dir, run_id)
+    meta = _epoch_keep_filter(spark, stripes, want).drop("data").filter(
+        F.col("column").isin(list(want))
+    )
+    missing_sketch = (
+        meta.filter(F.col("ndv").isNull() & (F.col("n_rows") > 0))
+        .groupBy("column")
+        .count()
+        .collect()
+    )
+    if missing_sketch:
+        bad = sorted(r.column for r in missing_sketch)
+        raise ValueError(
+            f"column(s) {bad} have unsketched stripes (float/decimal "
+            "or pre-upgrade rows) — NDV from metadata would be wrong; "
+            "decode and COUNT(DISTINCT) instead"
+        )
+    from . import ndv as ndv_mod
+
+    merged = ndv_mod.merged_ndv(meta).collect()  # one row per column
+    est = {r.column: r.ndv_sketch for r in merged}
+    rows = []
+    for c in sorted(want):
+        blob = est.get(c)
+        if blob is None:
+            raise ValueError(f"column {c!r}: no stripes in run {run_id!r}")
+        rows.append((c, float(ndv_mod.estimate(blob))))
+    return spark.createDataFrame(
+        rows, "column string, ndv_estimate double"
+    )
+
+
 def delete_rows_eq(
     spark: SparkSession, out_dir: str, run_id: str, column: str, values
 ) -> int:
