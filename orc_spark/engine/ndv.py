@@ -44,9 +44,24 @@ def _bit_length_u64(v: np.ndarray) -> np.ndarray:
 def stripe_hll(arr: pa.Array) -> bytes | None:
     """Sketch one column stripe, or None for unsketchable types
     (floats/decimals — their equality semantics make hashed NDV
-    misleading, and zonemap._hash_pairs declines them)."""
-    from .zonemap import _hash_pairs
+    misleading, and zonemap._hash_pairs declines them). Long-form
+    text/binary columns (avg > BLOOM_MAX_AVG_LEN, same policy as the
+    bloom index) also decline: hashing megabytes per stripe costs more
+    than the encode itself (measured 12×), and document-level distinct
+    counting is the dedup family's job, not a footer stat —
+    metadata_ndv raises loudly for such columns."""
+    from .zonemap import BLOOM_MAX_AVG_LEN, _hash_pairs
 
+    t = arr.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        n_valid = len(arr) - arr.null_count
+        if n_valid and arr.nbytes / n_valid > BLOOM_MAX_AVG_LEN:
+            return None
     try:
         pair = _hash_pairs(arr)
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
