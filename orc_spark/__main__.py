@@ -358,6 +358,71 @@ def cmd_agg(args) -> int:
     return EXIT_OK
 
 
+def cmd_ndv(args) -> int:
+    """Approximate COUNT(DISTINCT) per column from the per-stripe
+    HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    rows = pipeline.metadata_ndv(
+        spark, args.out, args.run_id, args.columns.split(",")
+    ).collect()
+    print(json.dumps({"columns": [r.asDict() for r in rows]}))
+    return EXIT_OK
+
+
+def cmd_history(args) -> int:
+    """Time-travel points of a run: one row per epoch with its wave's
+    partition/stripe counts and commit window (Iceberg snapshots-list
+    analogue over the lineage ledger — feeds decode --as-of-epoch)."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import deletes, lineage
+
+    spark = _session(args.cores)
+    lin = lineage.read_lineage(spark, args.out).filter(
+        F.col("run_id") == args.run_id
+    )
+    rows = (
+        lin.groupBy("epoch")
+        .agg(
+            F.countDistinct("partition_id").alias("partitions"),
+            F.sum(
+                F.when(F.col("status") == "completed", 1).otherwise(0)
+            ).alias("completed_stripes"),
+            F.sum(
+                F.when(F.col("status") == "failed", 1).otherwise(0)
+            ).alias("failed_stripes"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("epoch")
+        .collect()
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "epochs": [
+                    {
+                        "epoch": int(r.epoch),
+                        "partitions": int(r.partitions),
+                        "completed_stripes": int(r.completed_stripes),
+                        "failed_stripes": int(r.failed_stripes),
+                        "first_ts": str(r.first_ts),
+                        "last_ts": str(r.last_ts),
+                    }
+                    for r in rows
+                ],
+                "live_deletes": deletes.delete_stats(
+                    spark, args.out, args.run_id
+                ),
+            }
+        )
+    )
+    return EXIT_OK
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orc_spark")
     p.add_argument("--cores", type=int, default=None)
@@ -511,6 +576,25 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--run-id", required=True)
     ag.add_argument("--columns", required=True, help="comma-separated")
     ag.set_defaults(fn=cmd_agg)
+
+    nv = sub.add_parser(
+        "ndv",
+        help="approximate count-distinct per column from HyperLogLog "
+        "sketches (no data reads, ~1.6% error)",
+    )
+    nv.add_argument("--out", required=True)
+    nv.add_argument("--run-id", required=True)
+    nv.add_argument("--columns", required=True, help="comma-separated")
+    nv.set_defaults(fn=cmd_ndv)
+
+    hi = sub.add_parser(
+        "history",
+        help="epochs of a run with commit windows + live deletes — the "
+        "time-travel points decode --as-of-epoch accepts",
+    )
+    hi.add_argument("--out", required=True)
+    hi.add_argument("--run-id", required=True)
+    hi.set_defaults(fn=cmd_history)
 
     try:
         args = p.parse_args(argv)

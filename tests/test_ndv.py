@@ -88,3 +88,31 @@ def test_metadata_ndv_refuses_floats_and_live_deletes(spark):
     pipeline.delete_rows_eq(spark, out, "nvf", "event_id", [1])
     with pytest.raises(ValueError, match="delete"):
         pipeline.metadata_ndv(spark, out, "nvf", ["event_id"])
+
+
+def test_cli_ndv_and_history(spark, capsys):
+    import json
+
+    from orc_spark.__main__ import main
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_ndvcli_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="c", key="event_id",
+        columns=["event_id", "event_type"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    assert main(
+        ["ndv", "--out", out, "--run-id", "c",
+         "--columns", "event_id,event_type"]
+    ) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {c["column"] for c in got["columns"]} == {
+        "event_id", "event_type"
+    }
+    assert main(["history", "--out", out, "--run-id", "c"]) == 0
+    h = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert h["epochs"][0]["epoch"] == 0
+    assert h["live_deletes"]["n_vectors"] == 0
