@@ -700,6 +700,38 @@ def _q_metadata_ndv(spark, sf_dir):
     )
 
 
+def _q_multi_run_union(spark, sf_dir):
+    """r5 append workflow (pipeline.read_runs — Iceberg multi-snapshot
+    read analogue): two crawl snapshots encoded as separate runs in
+    ONE store, read back as one logical table with per-run epoch
+    selection, pruning, and deletes intact. A position delete on the
+    first snapshot proves per-run delete isolation; the union is a
+    plan-level unionByName (no shuffle)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mr_")
+    for i, part in enumerate(
+        (docs.filter(F2.col("doc_id") % 2 == 0),
+         docs.filter(F2.col("doc_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"snap{i}", key="doc_id",
+            columns=["doc_id", "lang", "n_chars"], n_partitions=4,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    pipeline.delete_rows(
+        spark, out, "snap0", docs.schema, [("lang", "==", "de")]
+    )
+    return pipeline.read_runs(
+        spark, out, ["snap0", "snap1"], docs.schema
+    )
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -2147,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_decode": _q_text_search_decode,
         "position_delete_decode": _q_position_delete_decode,
         "equality_delete_decode": _q_equality_delete_decode,
+        "multi_run_union": _q_multi_run_union,
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
@@ -2502,6 +2535,10 @@ def oracle_sql() -> dict[str, str]:
         "equality_delete_decode": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE lang NOT IN ('fr', 'de') AND doc_id NOT IN (0, 1, 2)"
+        ),
+        "multi_run_union": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE NOT (doc_id % 2 = 0 AND lang = 'de')"
         ),
         "metadata_ndv": (
             'SELECT \'event_id\' AS "column", '

@@ -669,6 +669,41 @@ def delete_rows(
     return deletes_mod.write_delete_vectors(spark, hits, out_dir, run_id)
 
 
+def read_runs(
+    spark: SparkSession,
+    out_dir: str,
+    run_ids: list[str],
+    result_schema,
+    columns: list[str] | None = None,
+    predicate: list[tuple] | None = None,
+    allow_missing_columns: bool = False,
+) -> DataFrame:
+    """One logical table from several runs of the same store — the
+    append workflow (each crawl snapshot encoded as its own run_id,
+    read together; ≙ Iceberg reading a table across appended
+    snapshots' data files). Every run keeps its own epoch selection,
+    pruning, and delete vectors; the union is a plan-level unionByName
+    (no shuffle — Spark concatenates the scans).
+
+    ``allow_missing_columns=True`` lets earlier runs predate added
+    columns (null-filled), i.e. schema evolution across snapshots.
+    """
+    if not run_ids:
+        raise ValueError("read_runs needs at least one run_id")
+    parts = [
+        decode_job(
+            spark, out_dir, rid, result_schema,
+            columns=columns, predicate=predicate,
+            allow_missing_columns=allow_missing_columns,
+        )
+        for rid in run_ids
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def metadata_ndv(
     spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
 ) -> DataFrame:

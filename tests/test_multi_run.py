@@ -1,0 +1,81 @@
+"""Multi-run union reads (pipeline.read_runs): several runs of one
+store read as one logical table — the append workflow (crawl
+snapshots), with per-run epoch selection, deletes, and schema
+evolution intact."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from orc_spark.engine import pipeline
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_read_runs_unions_snapshots_with_isolated_deletes(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_mr_")
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"snap{i}", key="doc_id",
+            columns=["doc_id", "lang", "n_chars"], n_partitions=2,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    # a delete on snapshot 0 must not leak into snapshot 1
+    pipeline.delete_rows(
+        spark, out, "snap0", docs.schema, [("lang", "==", "de")]
+    )
+    got = pipeline.read_runs(spark, out, ["snap0", "snap1"], docs.schema)
+    want = docs.filter(
+        ~((F.col("doc_id") % 2 == 0) & (F.col("lang") == "de"))
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_read_runs_schema_evolution_across_snapshots(spark):
+    """An early snapshot predating an added column null-fills it."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_mr2_")
+    old = docs.filter(F.col("doc_id") < 100).drop("n_chars")
+    cfg0 = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="old", key="doc_id",
+        columns=["doc_id", "lang"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, old, cfg0)
+    new = docs.filter(F.col("doc_id") >= 100)
+    cfg1 = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="new", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, new, cfg1)
+    got = pipeline.read_runs(
+        spark, out, ["old", "new"], docs.schema,
+        allow_missing_columns=True,
+    )
+    assert got.count() == docs.count()
+    assert got.filter(
+        F.col("n_chars").isNull() & (F.col("doc_id") < 100)
+    ).count() == 100
+    with pytest.raises(Exception):
+        # strict mode: the missing column fails the read loudly (at
+        # the action — the incomplete stripe groups are detected
+        # inside the decode task)
+        pipeline.read_runs(spark, out, ["old", "new"], docs.schema).count()
+
+    with pytest.raises(ValueError, match="at least one"):
+        pipeline.read_runs(spark, out, [], docs.schema)
