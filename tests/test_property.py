@@ -279,9 +279,71 @@ def nested_arrays(draw):
 def test_nested_frame_roundtrip(arr):
     codec = ("struct" if pa.types.is_struct(arr.type)
              else "map" if pa.types.is_map(arr.type) else "list")
-    for compression in (None, "zlib"):
+    for compression in (None, "zlib", "lzma"):
         blob = framing.encode_frame(arr, codec, compression=compression)
         out = framing.decode_frame(blob)
         assert out.type == arr.type
         assert out.to_pylist() == arr.to_pylist()
         assert framing.column_checksum(out) == framing.column_checksum(arr)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=40)),
+        min_size=1, max_size=200,
+    ),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+        min_size=1, max_size=12,
+    ),
+)
+def test_token_bloom_never_false_negative(strings, token):
+    """The token bloom may keep a stripe that lacks the token (false
+    positive — the residual resolves it) but must NEVER veto a stripe
+    that contains it."""
+    import re
+
+    from orc_spark.engine import zonemap
+
+    arr = pa.array(strings, type=pa.string())
+    blob = zonemap.stripe_bloom(arr, token_mode=True)
+    present = any(
+        s is not None and token in re.split("[^a-z0-9]+", s.lower())
+        for s in strings
+    )
+    if blob is None:
+        return  # no sketch -> probe keeps by construction
+    pairs, domain = zonemap._probe_hash_pairs("contains_token", token)
+    keep = bool(zonemap.bloom_membership([blob], pairs, domain)[0])
+    if present:
+        assert keep, (token, strings)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(min_size=0, max_size=30),
+            st.integers(-(2**40), 2**40).map(str),
+        ),
+        min_size=1, max_size=150,
+    ),
+    st.text(min_size=0, max_size=8),
+)
+def test_prefix_overlap_never_prunes_matching_stripe(strings, prefix):
+    """like_prefix zone keep: a stripe containing a match must keep."""
+    from orc_spark.engine import zonemap
+
+    non_null = [s for s in strings if s is not None]
+    if not non_null:
+        return
+    lo, hi = min(non_null), max(non_null)
+    has_match = any(s.startswith(prefix) for s in non_null)
+    upper = zonemap._prefix_upper(prefix)
+    keep = (not prefix) or (
+        hi >= prefix and (upper is None or lo < upper)
+    )
+    if has_match:
+        assert keep, (prefix, lo, hi)
