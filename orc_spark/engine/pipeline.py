@@ -646,6 +646,12 @@ def delete_rows(
     Compaction (:func:`compact_run`) decodes the deletes-applied view
     and re-encodes, naturally dropping the delete files' relevance —
     vacuum the old run afterwards as usual.
+
+    Scope note (Iceberg position-delete semantics): the scan covers
+    rows READABLE NOW. A partition still failed (unreadable) at delete
+    time materializes later at a resume epoch and is NOT covered —
+    re-run the delete after the resume (idempotent: already-marked
+    rows mark nothing new).
     """
     pcols = sorted({c.partition(".")[0] for c, _, _ in predicate})
     from pyspark.sql.types import StructType

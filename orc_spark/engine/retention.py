@@ -250,4 +250,27 @@ def vacuum_epochs(
         ltmp = lpath + ".vacuum_tmp"
         lkept.write.mode("overwrite").parquet(ltmp)
         _swap_in(lpath, ltmp)
+
+    from . import deletes as deletes_mod
+
+    dpath = deletes_mod.deletes_dir(out_dir)
+    recover_swap(dpath)
+    if os.path.isdir(dpath):
+        # delete vectors of vacuumed epochs are orphans (their stripe
+        # groups no longer exist); keeping them is harmless to reads
+        # (the broadcast join finds no group) but leaks space and
+        # confuses delete_stats — drop them with the epochs
+        dels = spark.read.schema(deletes_mod.DELETES_SCHEMA).parquet(dpath)
+        dkept = (
+            dels.join(F.broadcast(complete), ["run_id", "partition_id"], "left")
+            .filter(
+                F.col("keep_from").isNull()
+                | (F.col("epoch") >= F.col("keep_from"))
+            )
+            .drop("keep_from")
+        )
+        if dkept.count() < dels.count():
+            dtmp = dpath + ".vacuum_tmp"
+            dkept.write.mode("overwrite").parquet(dtmp)
+            _swap_in(dpath, dtmp)
     return removed

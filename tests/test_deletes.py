@@ -236,3 +236,55 @@ def test_doctor_surfaces_live_deletes(spark, eq_table):
     entry = diag["runs"][cfg.run_id]
     assert entry["live_deletes"]["n_eq_values"] >= 2
     assert any("compact" in a for a in entry["advice"])
+
+
+def test_vacuum_drops_orphaned_delete_vectors(spark):
+    """Vectors keyed to vacuumed (superseded) epochs leak space and
+    skew delete_stats — vacuum must drop them; vectors of the kept
+    epoch must survive."""
+    from dataclasses import replace
+
+    from orc_spark.engine import retention
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(128)], "id long, grp long"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_delvac_")
+    cols = ["id", "grp"]
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="v", key="id", columns=cols,
+        n_partitions=2, stripe_rows=16,
+        fault_spec={"columns": cols, "partitions": [1]},
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    # a delete lands on epoch-0 stripes of partition 0
+    pipeline.delete_rows(spark, out, "v", df.schema, [("grp", "==", 0)])
+    n0 = deletes.delete_stats(spark, out, "v")["n_vectors"]
+    assert n0 > 0
+    # resume completes partition 1 at epoch 1, then delete again:
+    # new vectors reference epoch-1 stripes
+    pipeline.run_encode_job(spark, df, replace(cfg, fault_spec=None))
+    pipeline.delete_rows(spark, out, "v", df.schema, [("grp", "==", 1)])
+    retention.vacuum_epochs(spark, out, "v")
+    # reads stay exact after the vacuum. NOTE the grp==0 delete ran
+    # while partition 1 was still FAILED: position deletes cover rows
+    # readable at delete time (Iceberg semantics — later-materialized
+    # data is not covered), so partition 1 keeps its grp==0 rows.
+    from orc_spark.engine import skew
+
+    pid = skew.partition_id_expr(2, "id", 42)
+    dec = pipeline.decode_job(spark, out, "v", df.schema)
+    want = df.withColumn("_pid", pid).filter(
+        ~((F.col("grp") == 0) & (F.col("_pid") != 1))
+        & (F.col("grp") != 1)
+    ).drop("_pid")
+    assert _rows(dec) == _rows(want)
+    # every surviving vector points at a surviving stripe group
+    dels = deletes.read_delete_vectors(spark, out, "v")
+    stripes = pipeline.read_stripes(spark, out, "v").drop("data")
+    orphans = dels.join(
+        stripes.select("partition_id", "epoch", "stripe_idx").distinct(),
+        ["partition_id", "epoch", "stripe_idx"],
+        "left_anti",
+    ).count()
+    assert orphans == 0
