@@ -1604,6 +1604,22 @@ def _q_embedding_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
+def _q_semantic_purge(spark, sf_dir):
+    """r5 SemDeDup-style semantic dedup (similarity.semantic_purge):
+    drop the greater id of every cosine-near embedding pair, keep the
+    group representative. LSH bounds the candidate join; the purge
+    rule runs on the EXACT pair set, so the DuckDB cross-join twin
+    must match id-for-id."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return (
+        similarity.semantic_purge(emb, threshold=0.4, method="lsh")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN recall self-check: deterministic (seeded k-means on a
     fixed sample order), probing 6 of 8 lists, scored in-query against
@@ -2154,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "semantic_purge": _q_semantic_purge,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
@@ -2342,6 +2359,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": dedup.simhash_pairs_sql("documents", max_hamming=3),
         "ann_lsh": _ANN_BRUTE_FORCE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "semantic_purge": similarity.semantic_purge_sql(
+            "embeddings", threshold=0.4
+        ),
         "embedding_near_dup_lsh": _EMBEDDING_NEAR_DUP_SQL,
         "ngram_jaccard_dedup": dedup.ngram_jaccard_sql(
             "documents", shingle_k=3, threshold=0.5

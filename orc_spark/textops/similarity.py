@@ -402,3 +402,47 @@ def label_centroids_sql(
         r"CAST(MAX(n) AS BIGINT) AS n_vectors "
         r"FROM d GROUP BY label ORDER BY label"
     )
+
+
+def semantic_purge(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    band_bits: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public method; implementation ours): drop every embedding that is
+    the GREATER id of some cosine-near pair, keeping each near-dup
+    group's lowest id as its representative. The pair set is exact
+    (``embedding_near_dup_pairs`` ends in an exact cosine filter —
+    LSH only bounds the candidate join; the default 2-bit bands give
+    candidate recall 1-(1-p^2)^32 ≈ 1 down to cosine 0.4, so the
+    purge rule is SQL-twin-checkable). One anti-join on id_b; at
+    corpus scale the LSH bucketing keeps the pair join bucket-local
+    and the anti-join shuffles only ids.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    pairs = embedding_near_dup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        method=method, band_bits=band_bits,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def semantic_purge_sql(
+    table: str, threshold: float = 0.4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_purge` (exact pair set)."""
+    return (
+        f"SELECT {id_col}, label FROM {table} WHERE {id_col} NOT IN ("
+        f"SELECT b.{id_col} FROM {table} a JOIN {table} b "
+        f"ON a.{id_col} < b.{id_col} "
+        f"WHERE list_cosine_similarity(CAST(a.{vec_col} AS DOUBLE[]), "
+        f"CAST(b.{vec_col} AS DOUBLE[])) >= {threshold}) "
+        f"ORDER BY {id_col}"
+    )

@@ -428,3 +428,26 @@ def test_decontaminate_flags_shingle_overlap(spark):
     assert set(got) == {1, 4}
     assert got[4] == 5  # 9 tokens → 5 shingles, all shared
     assert got[1] == 2  # "the quick brown fox jumps", "quick brown fox jumps over"
+
+
+def test_semantic_purge_lsh_equals_exact(spark):
+    """The purge rule runs on the exact pair set regardless of how
+    candidates were found — LSH and exact methods must keep the same
+    representatives at near-dup thresholds."""
+    from orc_spark.textops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kept_lsh = sorted(
+        r.vec_id
+        for r in similarity.semantic_purge(
+            emb, threshold=0.4, method="lsh"
+        ).select("vec_id").collect()
+    )
+    kept_exact = sorted(
+        r.vec_id
+        for r in similarity.semantic_purge(
+            emb, threshold=0.4, method="exact"
+        ).select("vec_id").collect()
+    )
+    assert kept_lsh == kept_exact
+    assert 0 < len(kept_exact) <= emb.count()
