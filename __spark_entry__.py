@@ -1535,6 +1535,42 @@ def _q_ngram_jaccard_dedup(spark, sf_dir):
     )
 
 
+def _q_dedup_against(spark, sf_dir):
+    """r5 cross-corpus dedup (dedup.dedup_against): a fresh crawl
+    increment (doc_id >= 250, with every 40th doc seeded as a copy of
+    a base doc) is gated against the existing corpus (doc_id < 250);
+    exact n-gram Jaccard over shared-shingle candidates drops the
+    re-admissions. Returns the kept NEW ids; the twin runs the same
+    uncapped cross index in SQL."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F2.col("doc_id") < 250)
+    fresh = docs.filter(F2.col("doc_id") >= 250)
+    seed_src = docs.select(
+        (F2.col("doc_id") + 250).alias("doc_id"),
+        F2.col("text").alias("_base_text"),
+    )
+    seeded = (
+        fresh.join(seed_src, "doc_id", "left")
+        .select(
+            "doc_id",
+            F2.when(
+                (F2.col("doc_id") % 40 == 1)
+                & F2.col("_base_text").isNotNull(),
+                F2.col("_base_text"),
+            ).otherwise(F2.col("text")).alias("text"),
+        )
+    )
+    return (
+        dedup.dedup_against(seeded, base, threshold=0.5, df_cap=None)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_near_dup_purge(spark, sf_dir):
     """Training-corpus purge list: lower-quality member of each
     near-dup pair (oracle-backed composition of Jaccard x quality)."""
@@ -2165,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
+        "dedup_against": _q_dedup_against,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
@@ -2367,6 +2404,15 @@ def oracle_sql() -> dict[str, str]:
             "documents", shingle_k=3, threshold=0.5
         ),
         "near_dup_purge": dedup.near_dup_purge_sql("documents"),
+        "dedup_against": dedup.dedup_against_sql(
+            # the same seeded increment, rebuilt in SQL
+            "(SELECT n.doc_id, CASE WHEN n.doc_id % 40 = 1 "
+            "AND b.text IS NOT NULL THEN b.text ELSE n.text END AS text "
+            "FROM documents n LEFT JOIN documents b "
+            "ON b.doc_id = n.doc_id - 250 WHERE n.doc_id >= 250) seeded_new",
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 250) base",
+            threshold=0.5,
+        ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
         "paragraph_dedup": dedup.paragraph_dedup_sql(
             "(" + _PARA_SEED_SQL + ") seeded"

@@ -932,3 +932,123 @@ SELECT w.doc_id AS doc_id, count(*) AS n_windows,
 FROM wins w LEFT JOIN dup d USING (wh)
 GROUP BY w.doc_id ORDER BY doc_id
 """
+
+
+def dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Cross-corpus dedup: drop NEW documents near-duplicate (n-gram
+    Jaccard >= threshold) of ANY document in the existing BASE corpus
+    — the incremental-append gate (a fresh crawl snapshot must not
+    re-admit what the corpus already holds, nor near-variants of it).
+
+    Same machinery as :func:`ngram_jaccard_pairs`, crossed: an
+    inverted-index join NEW x BASE on shared shingles (``df_cap``
+    bounds the BASE index — stop-shingles are filtered, never
+    truncated), exact Jaccard over the full shingle sets of each
+    candidate pair. At corpus scale the join is shingle-bucket-local;
+    the base index is built once and reusable across increments.
+
+    Returns the kept rows of ``new_df`` (all original columns).
+    """
+    n = new_df.select(
+        F.col(id_col).alias("id_n"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh_n"),
+    )
+    b = base_df.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh_b"),
+    )
+    inv_n = n.select("id_n", F.explode("sh_n").alias("s"))
+    inv_b = b.select("id_b", F.explode("sh_b").alias("s"))
+    if df_cap is not None:
+        rare = (
+            inv_b.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        inv_b = inv_b.join(rare, "s", "left_semi")
+    cand = (
+        inv_n.join(inv_b, "s")
+        .select("id_n", "id_b")
+        .dropDuplicates(["id_n", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_b"))
+    contaminated = (
+        cand.join(n, "id_n")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", inter / (F.size("sh_n") + F.size("sh_b") - inter)
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select(F.col("id_n").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(contaminated, id_col, "left_anti")
+
+
+DEDUP_AGAINST_SQL = r"""
+WITH new_toks AS (
+  SELECT {id} AS id, string_split_regex(lower({text}), '\s+') AS t FROM {new_table}
+),
+base_toks AS (
+  SELECT {id} AS id, string_split_regex(lower({text}), '\s+') AS t FROM {base_table}
+),
+new_sh AS (
+  SELECT id,
+    CASE WHEN len(t) >= {k} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> array_to_string(t[i:i + {k} - 1], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM new_toks
+),
+base_sh AS (
+  SELECT id,
+    CASE WHEN len(t) >= {k} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {k} + 1),
+                    i -> array_to_string(t[i:i + {k} - 1], ' ')))
+    ELSE [array_to_string(t, ' ')] END AS sh
+  FROM base_toks
+),
+inv_n AS (SELECT id, unnest(sh) AS s FROM new_sh),
+inv_b AS (SELECT id, unnest(sh) AS s FROM base_sh),
+cand AS (
+  SELECT DISTINCT n.id AS id_n, b.id AS id_b
+  FROM inv_n n JOIN inv_b b ON n.s = b.s
+),
+contaminated AS (
+  SELECT DISTINCT id_n AS id FROM (
+    SELECT id_n, id_b,
+           len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS inter,
+           len(a.sh) AS na, len(b.sh) AS nb
+    FROM cand JOIN new_sh a ON a.id = id_n JOIN base_sh b ON b.id = id_b
+  )
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {threshold}
+)
+SELECT nt.id AS {id} FROM new_toks nt
+WHERE nt.id NOT IN (SELECT id FROM contaminated)
+ORDER BY 1
+"""
+
+
+def dedup_against_sql(
+    new_table: str,
+    base_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`dedup_against` (uncapped base index — the
+    exact contamination set; pair with df_cap=None on the Spark side)."""
+    return DEDUP_AGAINST_SQL.format(
+        new_table=new_table, base_table=base_table, text=text_col,
+        id=id_col, k=shingle_k, threshold=threshold,
+    )

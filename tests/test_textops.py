@@ -451,3 +451,30 @@ def test_semantic_purge_lsh_equals_exact(spark):
     )
     assert kept_lsh == kept_exact
     assert 0 < len(kept_exact) <= emb.count()
+
+
+def test_dedup_against_drops_seeded_copies_only(spark):
+    """Exact copies of base docs in the increment are dropped; genuinely
+    new docs survive; the base itself is never touched."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.textops import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 200)
+    # increment: 100 fresh docs + 5 exact copies of base docs
+    copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    )
+    new = fresh.unionByName(copies)
+    kept = dedup.dedup_against(new, base, threshold=0.9, df_cap=None)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(i >= 10000 for i in kept_ids)  # copies dropped
+    # fresh docs survive unless they genuinely near-dup a base doc —
+    # count survivors against the exact rule
+    assert len(kept_ids) >= 90
