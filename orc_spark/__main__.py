@@ -191,11 +191,25 @@ def cmd_decode(args) -> int:
         allow_missing_columns=args.allow_missing_columns,
         verify_checksums=args.verify_checksums,
         as_of_epoch=args.as_of_epoch,
+        as_of_tag=args.as_of_tag,
     )
     if predicate:
         dec = dec.filter(zonemap.predicate_expr(predicate))
     dec.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return EXIT_OK
+
+
+def cmd_tag(args) -> int:
+    """Pin a snapshot tag (named ref over the epoch history — Iceberg
+    tag semantics) for decode --as-of-tag."""
+    from orc_spark.engine import lineage
+
+    spark = _session(args.cores)
+    epoch = lineage.write_tag(
+        spark, args.out, args.run_id, args.name, args.epoch
+    )
+    print(json.dumps({"run_id": args.run_id, "tag": args.name, "epoch": epoch}))
     return EXIT_OK
 
 
@@ -498,6 +512,10 @@ def main(argv: list[str] | None = None) -> int:
         "wave K (later resume epochs invisible; partitions not yet "
         "complete at K are absent)",
     )
+    dec.add_argument(
+        "--as-of-tag", default=None,
+        help="time travel by snapshot tag name (see the tag command)",
+    )
     dec.set_defaults(fn=cmd_decode)
 
     dl = sub.add_parser(
@@ -595,6 +613,17 @@ def main(argv: list[str] | None = None) -> int:
     hi.add_argument("--out", required=True)
     hi.add_argument("--run-id", required=True)
     hi.set_defaults(fn=cmd_history)
+
+    tg = sub.add_parser(
+        "tag",
+        help="pin a snapshot tag name to an epoch (default: the run's "
+        "newest) for decode --as-of-tag",
+    )
+    tg.add_argument("--out", required=True)
+    tg.add_argument("--run-id", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--epoch", type=int, default=None)
+    tg.set_defaults(fn=cmd_tag)
 
     try:
         args = p.parse_args(argv)

@@ -155,3 +155,65 @@ def next_epoch(spark: SparkSession, out_dir: str, run_id: str) -> int:
         if row is not None and row.m is not None:
             m = max(m, int(row.m))
     return m + 1
+
+
+# ------------------------------------------------------- snapshot tags
+#
+# Named refs over the epoch history (≙ Iceberg tags: a human name
+# pinned to a snapshot id) — `decode --as-of-tag nightly-2026-08-19`
+# instead of remembering epoch numbers. One JSON file per store,
+# written atomically (tmp + rename); tags are per (run_id, name).
+
+def tags_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "tags.json")
+
+
+def read_tags(out_dir: str) -> dict:
+    """{run_id: {tag_name: epoch}} — empty dict when none exist."""
+    import json
+
+    p = tags_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_tag(
+    spark: SparkSession, out_dir: str, run_id: str, name: str,
+    epoch: int | None = None,
+) -> int:
+    """Pin ``name`` to ``epoch`` of ``run_id`` (default: the run's
+    newest epoch in the lineage). Returns the pinned epoch. Re-tagging
+    a name moves it (Iceberg replace-tag semantics)."""
+    import json
+
+    if epoch is None:
+        row = (
+            read_lineage(spark, out_dir)
+            .filter(F.col("run_id") == run_id)
+            .agg(F.max("epoch").alias("e"))
+            .first()
+        )
+        if row is None or row.e is None:
+            raise ValueError(f"run {run_id!r} has no lineage to tag")
+        epoch = int(row.e)
+    tags = read_tags(out_dir)
+    tags.setdefault(run_id, {})[name] = int(epoch)
+    tmp = tags_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(tags, fh, indent=1, sort_keys=True)
+    os.replace(tmp, tags_path(out_dir))
+    return int(epoch)
+
+
+def resolve_tag(out_dir: str, run_id: str, name: str) -> int:
+    """Tag name -> epoch; unknown tags are LOUD (a typo silently
+    reading the wrong snapshot would be worse)."""
+    tags = read_tags(out_dir).get(run_id, {})
+    if name not in tags:
+        known = sorted(tags)
+        raise ValueError(
+            f"unknown tag {name!r} for run {run_id!r} (known: {known})"
+        )
+    return int(tags[name])

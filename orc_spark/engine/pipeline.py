@@ -472,6 +472,7 @@ def decode_job(
     allow_missing_columns: bool = False,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
+    as_of_tag: str | None = None,
     apply_deletes: bool = True,
     _emit_positions: bool = False,
 ) -> DataFrame:
@@ -498,6 +499,9 @@ def decode_job(
     (delete vectors broadcast-joined onto the stripe metadata; Iceberg
     v2 position-delete semantics). False reads the undeleted view.
 
+    ``as_of_tag`` — a named snapshot ref (lineage.write_tag; ≙ Iceberg
+    tags) resolving to its pinned epoch; unknown names raise.
+
     ``_emit_positions`` (internal, delete_rows' scanner) appends the
     decode_stage POSITION_COLS provenance columns.
 
@@ -516,6 +520,10 @@ def decode_job(
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     want = set(columns or [f.name for f in result_schema.fields])
     all_stripes = read_stripes(spark, out_dir, run_id)
+    if as_of_tag is not None:
+        if as_of_epoch is not None:
+            raise ValueError("pass as_of_epoch OR as_of_tag, not both")
+        as_of_epoch = lineage_mod.resolve_tag(out_dir, run_id, as_of_tag)
     if as_of_epoch is not None:
         # the cap flows through BOTH epoch-selection paths (the fused
         # metadata job and _epoch_keep_filter project from this DF),

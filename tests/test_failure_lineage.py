@@ -281,3 +281,46 @@ def test_decode_as_of_epoch_time_travel(spark, docs, tmp_path):
     assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
         r.doc_id for r in want.select("doc_id").collect()
     )
+
+
+def test_snapshot_tags_resolve_and_time_travel(spark, docs, tmp_path):
+    """Named refs over the epoch history (Iceberg tag semantics):
+    decode --as-of-tag equals decode --as-of-epoch of the pinned
+    epoch; unknown tags and both-params are loud."""
+    from orc_spark.engine import lineage as lin
+
+    out = str(tmp_path / "run")
+    all_cols = [f.name for f in docs.schema.fields]
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": all_cols, "partitions": [1]}),
+    )
+    assert lin.write_tag(spark, out, "fl", "wave0") == 0
+    pipeline.run_encode_job(spark, docs, _cfg(out))
+    assert lin.write_tag(spark, out, "fl", "complete") == 1
+    assert lin.resolve_tag(out, "fl", "wave0") == 0
+
+    by_tag = pipeline.decode_job(
+        spark, out, "fl", docs.schema, as_of_tag="wave0"
+    )
+    by_epoch = pipeline.decode_job(
+        spark, out, "fl", docs.schema, as_of_epoch=0
+    )
+    assert sorted(r.doc_id for r in by_tag.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in by_epoch.select("doc_id").collect())
+    full = pipeline.decode_job(
+        spark, out, "fl", docs.schema, as_of_tag="complete"
+    )
+    assert full.count() == docs.count()
+
+    with pytest.raises(ValueError, match="unknown tag"):
+        pipeline.decode_job(
+            spark, out, "fl", docs.schema, as_of_tag="nope"
+        )
+    with pytest.raises(ValueError, match="not both"):
+        pipeline.decode_job(
+            spark, out, "fl", docs.schema, as_of_tag="wave0", as_of_epoch=1
+        )
+    # re-tagging moves the name (replace-tag semantics)
+    assert lin.write_tag(spark, out, "fl", "wave0", epoch=1) == 1
+    assert lin.resolve_tag(out, "fl", "wave0") == 1
