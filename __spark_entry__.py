@@ -1535,6 +1535,21 @@ def _q_ngram_jaccard_dedup(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """r5 DSIR importance weights (analysis.dsir_weights — hashed
+    n-gram log-likelihood ratio toward a target distribution; here
+    lang='en' as the target proxy). Bucket ids ride the portable md5
+    hash, so the twin reproduces every score bit-for-bit at 6dp."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F2.col("lang") == "en").alias("is_en")
+    )
+    return analysis.dsir_weights(docs, "is_en")
+
+
 def _q_dedup_against(spark, sf_dir):
     """r5 cross-corpus dedup (dedup.dedup_against): a fresh crawl
     increment (doc_id >= 250, with every 40th doc seeded as a copy of
@@ -2202,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
         "dedup_against": _q_dedup_against,
+        "dsir_weights": _q_dsir_weights,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
@@ -2404,6 +2420,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", shingle_k=3, threshold=0.5
         ),
         "near_dup_purge": dedup.near_dup_purge_sql("documents"),
+        "dsir_weights": analysis.dsir_weights_sql(
+            "documents", "lang = 'en'"
+        ),
         "dedup_against": dedup.dedup_against_sql(
             # the same seeded increment, rebuilt in SQL
             "(SELECT n.doc_id, CASE WHEN n.doc_id % 40 = 1 "

@@ -1874,3 +1874,141 @@ def curation_pipeline_sql(
         r"WHEN NOT gopher_ok THEN 'gopher' ELSE 'ok' END AS reject_reason "
         r"FROM j ORDER BY id"
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public method;
+    implementation ours): score every document by the log-likelihood
+    ratio of its hashed n-gram features under the TARGET distribution
+    (rows where ``target_col`` is true) vs the RAW distribution (the
+    whole corpus). Documents that look like the target get positive
+    scores — the selection signal for importance resampling of
+    pretraining data toward a quality/domain target.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` via the
+    engine-portable md5 bucket (same arithmetic as corpus_split), so
+    the DuckDB twin reproduces every bucket id exactly. Laplace
+    ``smoothing`` keeps unseen buckets finite. Plan shape: one explode
+    + two map-side-combined bucket aggregations (≤ n_buckets rows
+    each); the log-ratio table broadcasts to the per-doc sum — the
+    only corpus-size shuffle is the (id, bucket)-keyed doc fold.
+
+    Returns (id, n_grams, dsir_logratio rounded to 6) per document.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            ),
+        ).otherwise(F.array()),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(target_col).cast("boolean").alias("_t"),
+            F.explode(grams).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .select("id", "_t", bucket.alias("b"))
+    )
+    raw = ex.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = ex.filter(F.col("_t")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    s = float(smoothing)
+    lr = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(s))
+                    / (F.sum(F.coalesce("c_tgt", F.lit(0))).over(wall)
+                       + F.lit(s * n_buckets))
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(s))
+                    / (F.sum("c_raw").over(wall) + F.lit(s * n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("dsir_logratio"),
+        )
+        .select(F.col("id").alias(id_col), "n_grams", "dsir_logratio")
+        .orderBy(id_col)
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (identical tokenizer,
+    bucket hash, smoothing, and op order)."""
+    s = float(smoothing)
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id, ({target_expr}) AS t,
+         string_split_regex(TRIM(lower({text_col})), '\s+') AS w
+  FROM {table}
+),
+grams AS (
+  SELECT id, t, unnest(
+    list_concat(
+      w,
+      CASE WHEN len(w) >= 2 THEN
+        list_transform(generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])
+      ELSE [] END
+    )
+  ) AS gram
+  FROM toks
+),
+ex AS (
+  SELECT id, t,
+         (('0x' || substr(md5(gram), 1, 8))::BIGINT % {n_buckets}) AS b
+  FROM grams WHERE gram <> ''
+),
+raw AS (SELECT b, COUNT(*) AS c_raw FROM ex GROUP BY 1),
+tgt AS (SELECT b, COUNT(*) AS c_tgt FROM ex WHERE t GROUP BY 1),
+lr AS (
+  SELECT raw.b,
+         ln((COALESCE(c_tgt, 0) + {s}) /
+            (SUM(COALESCE(c_tgt, 0)) OVER () + {s} * {n_buckets}))
+         - ln((c_raw + {s}) / (SUM(c_raw) OVER () + {s} * {n_buckets}))
+         AS lr
+  FROM raw LEFT JOIN tgt USING (b)
+)
+SELECT ex.id AS {id_col}, COUNT(*) AS n_grams,
+       ROUND(SUM(lr.lr), 6) AS dsir_logratio
+FROM ex JOIN lr ON ex.b = lr.b
+GROUP BY 1 ORDER BY 1
+"""
