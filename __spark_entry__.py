@@ -638,6 +638,58 @@ def _q_equality_delete_decode(spark, sf_dir):
     )
 
 
+def _q_upsert_merge(spark, sf_dir):
+    """r5 MERGE INTO, merge-on-read (pipeline.upsert_rows — Iceberg v2
+    upsert: eq-delete the batch's keys from every existing run + append
+    the batch as a new run; cost O(batch), nothing rewritten). Two
+    SEQUENTIAL upserts, the second overlapping the first, prove the
+    masking reaches earlier update runs too; the oracle applies the
+    same two merges as anti-join + union in SQL."""
+    from orc_spark.engine import pipeline, retention
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_up_")
+    cols = ["doc_id", "lang", "n_chars"]
+    base = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-up0-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=cols, n_partitions=4, stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, base)
+    upd1 = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "lang", F.lit("zz")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 100 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("new").alias("lang"),
+            (F.col("n_chars") * 2).alias("n_chars"),
+        )
+    )
+    pipeline.upsert_rows(
+        spark, upd1,
+        pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"entry-up1-{uuid.uuid4().hex[:8]}",
+            key="doc_id", columns=cols, n_partitions=2, stripe_rows=64,
+        ),
+    )
+    upd2 = docs.filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id",
+        F.lit("yy").alias("lang"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    pipeline.upsert_rows(
+        spark, upd2,
+        pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"entry-up2-{uuid.uuid4().hex[:8]}",
+            key="doc_id", columns=cols, n_partitions=2, stripe_rows=64,
+        ),
+    )
+    return pipeline.read_runs(
+        spark, out, retention.list_runs(spark, out), docs.schema
+    )
+
+
 def _q_metadata_aggregate(spark, sf_dir):
     """Metadata-only aggregates (pipeline.metadata_aggregate — Iceberg
     partition-stats / parquet footer-aggregate analogue): MIN/MAX/
@@ -2249,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_decode": _q_text_search_decode,
         "position_delete_decode": _q_position_delete_decode,
         "equality_delete_decode": _q_equality_delete_decode,
+        "upsert_merge": _q_upsert_merge,
         "multi_run_union": _q_multi_run_union,
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_ndv": _q_metadata_ndv,
@@ -2620,6 +2673,25 @@ def oracle_sql() -> dict[str, str]:
         "equality_delete_decode": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE lang NOT IN ('fr', 'de') AND doc_id NOT IN (0, 1, 2)"
+        ),
+        "upsert_merge": (
+            "WITH base AS (SELECT doc_id, lang, n_chars FROM documents), "
+            "u1 AS ("
+            "  SELECT doc_id, 'zz' AS lang, n_chars FROM base "
+            "  WHERE doc_id % 10 = 3 "
+            "  UNION ALL "
+            "  SELECT doc_id + 1000000, 'new', n_chars * 2 FROM base "
+            "  WHERE doc_id % 100 = 7), "
+            "s1 AS ("
+            "  SELECT * FROM base "
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM u1) "
+            "  UNION ALL SELECT * FROM u1), "
+            "u2 AS (SELECT doc_id, 'yy' AS lang, "
+            "       CAST(-1 AS BIGINT) AS n_chars FROM base "
+            "       WHERE doc_id % 20 = 3) "
+            "SELECT doc_id, lang, n_chars FROM s1 "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM u2) "
+            "UNION ALL SELECT doc_id, lang, n_chars FROM u2"
         ),
         "multi_run_union": (
             "SELECT doc_id, lang, n_chars FROM documents "

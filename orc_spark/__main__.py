@@ -244,6 +244,25 @@ def cmd_delete(args) -> int:
     return EXIT_OK
 
 
+def cmd_upsert(args) -> int:
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    updates = spark.read.parquet(args.updates)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=args.out,
+        run_id=args.run_id,
+        key=args.key,
+        n_partitions=args.partitions
+        or pipeline.suggest_partitions(spark, updates),
+        stripe_rows=args.stripe_rows,
+        compression=None if args.compression == "none" else args.compression,
+    )
+    res = pipeline.upsert_rows(spark, updates, cfg, key=args.key)
+    print(json.dumps(res))
+    return EXIT_OK
+
+
 def cmd_compact(args) -> int:
     from orc_spark.engine import pipeline
 
@@ -536,6 +555,26 @@ def main(argv: list[str] | None = None) -> int:
         "read time, nothing scanned now) — one ==/IN conjunct only",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser(
+        "upsert",
+        help="MERGE a parquet batch into the store by key (replace "
+        "matching rows everywhere, insert new ones) without rewriting "
+        "anything — Iceberg v2 merge-on-read upsert",
+    )
+    up.add_argument("--out", required=True)
+    up.add_argument("--run-id", required=True,
+                    help="NEW run id for the appended batch")
+    up.add_argument("--updates", required=True,
+                    help="parquet path of the update batch")
+    up.add_argument("--key", required=True,
+                    help="merge key column (non-null, unique in batch)")
+    up.add_argument("--partitions", type=int, default=None)
+    up.add_argument("--stripe-rows", type=int, default=None)
+    up.add_argument(
+        "--compression", choices=["zlib", "lzma", "none"], default="zlib"
+    )
+    up.set_defaults(fn=cmd_upsert)
 
     cp = sub.add_parser(
         "compact", help="merge a run's stripes into fewer, larger ones"

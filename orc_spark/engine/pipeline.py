@@ -787,6 +787,88 @@ def delete_rows_eq(
     )
 
 
+def upsert_rows(
+    spark: SparkSession,
+    df_updates: DataFrame,
+    cfg: EncodeJobConfig,
+    key: str | None = None,
+) -> dict:
+    """MERGE INTO, merge-on-read (Iceberg v2 upsert = one commit of an
+    equality-DELETE file per existing data sequence + an appended data
+    file; ≙ the reference's idempotent state overwrite on re-dispatch,
+    state.go upsert-by-key): every row of ``df_updates`` REPLACES the
+    row with the same ``key`` anywhere in the store, or is inserted if
+    the key is new. Nothing is scanned and nothing is rewritten — cost
+    is O(update batch), not O(table):
+
+    1. the batch is encoded as a NEW run (``cfg.run_id``) via the
+       ordinary resumable pipeline (one salted exchange, stripes +
+       lineage + zone/bloom stats);
+    2. the batch's keys are appended as equality deletes to EVERY
+       pre-existing run, masking superseded versions at read time.
+
+    Readers see the merged table through :func:`read_runs` over all
+    runs. Encode-before-delete ordering makes a crash window show
+    duplicate versions (old + new), never lost rows; re-running the
+    same upsert resumes the append and re-appends the (idempotent,
+    OR-combined) delete values.
+
+    MERGE preconditions, checked loudly in one aggregate pass: source
+    keys must be non-null and unique (Iceberg raises on multiple
+    matches too), and the distinct-key set must fit the equality-
+    delete bound (deletes.EQ_COLLECT_MAX = 64k per run) — above it,
+    per-key masking is the wrong tool; compact the union instead.
+
+    Returns {"run_id", "n_keys", "n_inserted_rows", "runs_masked"}.
+    """
+    from . import retention as retention_mod
+
+    key = key or cfg.key
+    if key not in df_updates.columns:
+        raise ValueError(f"key column {key!r} not in the update batch")
+    out_dir = cfg.out_dir
+    existing = retention_mod.list_runs(spark, out_dir)
+    if cfg.run_id in existing:
+        raise ValueError(
+            f"run_id {cfg.run_id!r} already exists in {out_dir!r} — an "
+            "upsert appends a NEW run (pick a fresh id; to resume a "
+            "half-finished upsert, re-run with the SAME update batch)"
+        )
+    tot, nonnull, dk = df_updates.agg(
+        F.count(F.lit(1)), F.count(key), F.countDistinct(key)
+    ).first()
+    if tot != nonnull:
+        raise ValueError(
+            f"{tot - nonnull} update row(s) carry a NULL {key!r} — "
+            "equality deletes never match null; merge keys must be "
+            "non-null"
+        )
+    if nonnull != dk:
+        raise ValueError(
+            f"update batch has duplicate keys ({nonnull} rows, {dk} "
+            f"distinct {key!r}) — a MERGE source must match each "
+            "target row at most once"
+        )
+    cap = deletes_mod.EQ_COLLECT_MAX
+    if dk > cap:
+        raise ValueError(
+            f"update batch carries {dk} distinct keys — above the "
+            f"equality-delete bound ({cap}); per-key masking is the "
+            "wrong tool at that size: encode the batch as its own run "
+            "and compact the union instead"
+        )
+    keys = [r[0] for r in df_updates.select(key).distinct().collect()]
+    run_encode_job(spark, df_updates, cfg)
+    for rid in existing:
+        deletes_mod.write_eq_deletes(spark, out_dir, rid, key, keys)
+    return {
+        "run_id": cfg.run_id,
+        "n_keys": int(dk),
+        "n_inserted_rows": int(tot),
+        "runs_masked": existing,
+    }
+
+
 def metadata_aggregate(
     spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
 ) -> DataFrame:

@@ -288,3 +288,122 @@ def test_vacuum_drops_orphaned_delete_vectors(spark):
         "left_anti",
     ).count()
     assert orphans == 0
+
+
+# ------------------------------------------------------------- upsert
+
+
+@pytest.fixture(scope="module")
+def upsert_store(spark):
+    """Base run over a deterministic 3-column slice of documents."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_up_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="up-base", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4, stripe_rows=64,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    return docs, out
+
+
+def _upsert_cfg(out, run_id):
+    return pipeline.EncodeJobConfig(
+        out_dir=out, run_id=run_id, key="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        n_partitions=2, stripe_rows=64,
+    )
+
+
+def test_upsert_replaces_and_inserts(spark, upsert_store):
+    from orc_spark.engine import retention
+
+    docs, out = upsert_store
+    upd = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "lang", F.lit("zz")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 100 == 7).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("new").alias("lang"),
+            (F.col("n_chars") * 2).alias("n_chars"),
+        )
+    )
+    res = pipeline.upsert_rows(spark, upd, _upsert_cfg(out, "up-1"))
+    assert res["runs_masked"] == ["up-base"]
+    assert res["n_keys"] == upd.count()
+    merged = pipeline.read_runs(
+        spark, out, retention.list_runs(spark, out), docs.schema
+    )
+    want = docs.join(
+        upd.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(upd)
+    assert _rows(merged) == _rows(want)
+
+    # second, overlapping upsert: masking must reach up-1 too
+    upd2 = docs.filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id", F.lit("yy").alias("lang"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    res2 = pipeline.upsert_rows(spark, upd2, _upsert_cfg(out, "up-2"))
+    assert sorted(res2["runs_masked"]) == ["up-1", "up-base"]
+    merged2 = pipeline.read_runs(
+        spark, out, retention.list_runs(spark, out), docs.schema
+    )
+    want2 = want.join(
+        upd2.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(upd2)
+    assert _rows(merged2) == _rows(want2)
+    # versions carried in up-1 for %20==3 keys are masked, not gone:
+    unmasked = pipeline.decode_job(
+        spark, out, "up-1", docs.schema, apply_deletes=False
+    )
+    assert unmasked.filter(F.col("lang") == "zz").count() > 0
+
+
+def test_upsert_precondition_errors(spark, upsert_store):
+    docs, out = upsert_store
+    dup = docs.limit(3).unionByName(docs.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        pipeline.upsert_rows(spark, dup, _upsert_cfg(out, "up-dup"))
+    nulls = docs.limit(2).select(
+        F.lit(None).cast("long").alias("doc_id"), "lang", "n_chars"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pipeline.upsert_rows(spark, nulls, _upsert_cfg(out, "up-null"))
+    with pytest.raises(ValueError, match="already exists"):
+        pipeline.upsert_rows(
+            spark, docs.limit(1), _upsert_cfg(out, "up-base")
+        )
+    with pytest.raises(ValueError, match="not in the update batch"):
+        pipeline.upsert_rows(
+            spark, docs.select("lang"), _upsert_cfg(out, "up-nokey")
+        )
+
+
+def test_upsert_key_cap_is_loud(spark, upsert_store, monkeypatch):
+    docs, out = upsert_store
+    monkeypatch.setattr(pipeline.deletes_mod, "EQ_COLLECT_MAX", 10)
+    with pytest.raises(ValueError, match="equality-delete bound"):
+        pipeline.upsert_rows(spark, docs, _upsert_cfg(out, "up-cap"))
+
+
+def test_upsert_then_compact_clears_masks(spark, upsert_store):
+    """Compacting the union materializes the merged view as one clean
+    run: metadata aggregates work again (no live deletes)."""
+    from orc_spark.engine import retention
+
+    docs, out = upsert_store
+    runs = retention.list_runs(spark, out)
+    merged = pipeline.read_runs(spark, out, runs, docs.schema)
+    out2 = tempfile.mkdtemp(prefix="orcspark_upc_")
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=out2, run_id="up-flat", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, merged, cfg2)
+    agg = pipeline.metadata_aggregate(
+        spark, out2, "up-flat", ["doc_id"]
+    ).first()
+    assert agg.n_rows == merged.count()
