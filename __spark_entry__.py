@@ -715,6 +715,52 @@ def _q_metadata_aggregate(spark, sf_dir):
     )
 
 
+def _q_metadata_count(spark, sf_dir):
+    """r5 count pushdown (pipeline.metadata_count): exact COUNT(*)
+    WHERE p where zone-map ALL/NONE proofs (zonemap._conjunct_all, the
+    dual of keep-pruning) answer interior stripes from metadata and
+    only boundary stripes decode. Self-checking oracle pattern: the
+    clustered range predicate must draw >0 rows from metadata alone
+    (meta_ok), and every count is what DuckDB recomputes row-level —
+    an unsound ALL-proof anywhere hash-mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mc_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mc-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value", "event_type"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    cases = {
+        "range_clustered": [("event_id", ">=", 2000), ("event_id", "<", 8000)],
+        "value_gt": [("value", ">", 50.0)],
+        "type_eq": [("event_type", "==", "click")],
+        "ne_point": [("event_id", "!=", 17)],
+    }
+    rows = []
+    for label, pred in sorted(cases.items()):
+        cnt, detail = pipeline.metadata_count(
+            spark, out, cfg.run_id, events.schema, pred
+        )
+        meta_ok = (
+            detail["rows_from_metadata"] > 0
+            if label in ("range_clustered", "ne_point")
+            else True
+        )
+        rows.append((label, cnt, bool(meta_ok)))
+    return spark.createDataFrame(
+        rows, "pred string, cnt bigint, meta_ok boolean"
+    ).orderBy("pred")
+
+
 def _q_metadata_ndv(spark, sf_dir):
     """r5 sketch NDV (pipeline.metadata_ndv — per-stripe HyperLogLog
     registers merged with zero data reads; Iceberg ndv column-stat
@@ -2304,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": _q_upsert_merge,
         "multi_run_union": _q_multi_run_union,
         "metadata_aggregate": _q_metadata_aggregate,
+        "metadata_count": _q_metadata_count,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2720,6 +2767,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), NULL, NULL, "
             "MIN(value), MAX(value), NULL, NULL FROM events "
             'ORDER BY "column"'
+        ),
+        "metadata_count": (
+            "SELECT 'ne_point' AS pred, COUNT(*) AS cnt, true AS meta_ok "
+            "FROM events WHERE event_id != 17 UNION ALL "
+            "SELECT 'range_clustered', COUNT(*), true FROM events "
+            "WHERE event_id >= 2000 AND event_id < 8000 UNION ALL "
+            "SELECT 'type_eq', COUNT(*), true FROM events "
+            "WHERE event_type = 'click' UNION ALL "
+            "SELECT 'value_gt', COUNT(*), true FROM events "
+            "WHERE value > 50.0 "
+            "ORDER BY pred"
         ),
         "decode_projection": "SELECT doc_id, lang FROM documents",
         "stats_sample_documents": stats.stats_sample_sql(

@@ -391,6 +391,22 @@ def cmd_agg(args) -> int:
     return EXIT_OK
 
 
+def cmd_count(args) -> int:
+    """Exact COUNT(*) WHERE predicate via zone-map ALL/NONE proofs —
+    interior stripes answer from metadata, only boundary stripes
+    decode (pipeline.metadata_count)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where]
+    cnt, detail = pipeline.metadata_count(
+        spark, args.out, args.run_id, schema, predicate
+    )
+    print(json.dumps({"count": cnt, **detail}))
+    return EXIT_OK
+
+
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
     HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
@@ -633,6 +649,19 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--run-id", required=True)
     ag.add_argument("--columns", required=True, help="comma-separated")
     ag.set_defaults(fn=cmd_agg)
+
+    cn = sub.add_parser(
+        "count",
+        help="exact COUNT(*) WHERE predicate — metadata answers "
+        "interior stripes, only boundary stripes decode",
+    )
+    cn.add_argument("--out", required=True)
+    cn.add_argument("--run-id", required=True)
+    cn.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    cn.add_argument("--where", action="append", required=True,
+                    help="conjunct, e.g. \"event_id>=500\" (repeatable)")
+    cn.set_defaults(fn=cmd_count)
 
     nv = sub.add_parser(
         "ndv",

@@ -475,6 +475,7 @@ def decode_job(
     as_of_tag: str | None = None,
     apply_deletes: bool = True,
     _emit_positions: bool = False,
+    _only_groups: list | None = None,
 ) -> DataFrame:
     """Decode a run's stripes. Skips the blob shuffle when the file
     layout proves co-location (the common case: encode tasks write one
@@ -579,6 +580,40 @@ def decode_job(
             )
     else:
         stripes = _epoch_keep_filter(spark, all_stripes, want)
+    if _only_groups is not None:
+        # internal (metadata_count's mixed-stripe decode): restrict to
+        # an explicit (partition_id, epoch, stripe_idx) keep-set. Small
+        # sets (lists) become literal filters (partition_id isin pushes
+        # to the parquet scan, like prune_stripes); a DataFrame keep-set
+        # (too large to collect) semi-joins instead.
+        if isinstance(_only_groups, DataFrame):
+            stripes = stripes.join(
+                _only_groups.select("partition_id", "epoch", "stripe_idx"),
+                ["partition_id", "epoch", "stripe_idx"],
+                "left_semi",
+            )
+        elif len(_only_groups) <= zonemap._PUSHDOWN_MAX_GROUPS:
+            if not _only_groups:
+                stripes = stripes.filter(F.lit(False))
+            else:
+                pids = sorted({int(p) for p, _, _ in _only_groups})
+                gkeys = [f"{int(p)}:{int(e)}:{int(s)}" for p, e, s in _only_groups]
+                stripes = stripes.filter(
+                    F.col("partition_id").isin(pids)
+                    & F.concat_ws(
+                        ":", "partition_id", "epoch", "stripe_idx"
+                    ).isin(gkeys)
+                )
+        else:
+            gdf = spark.createDataFrame(
+                [(int(p), int(e), int(s)) for p, e, s in _only_groups],
+                "partition_id int, epoch bigint, stripe_idx int",
+            )
+            stripes = stripes.join(
+                F.broadcast(gdf),
+                ["partition_id", "epoch", "stripe_idx"],
+                "left_semi",
+            )
     have_deletes = False
     eq_dels: list = []
     if apply_deletes:
@@ -976,6 +1011,127 @@ def metadata_aggregate(
         "min_int bigint, max_int bigint, min_num double, max_num double, "
         "min_str string, max_str string",
     )
+
+
+def metadata_count(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    predicate: list[tuple],
+) -> tuple[int, dict]:
+    """EXACT ``COUNT(*) WHERE predicate`` that decodes only boundary
+    stripes — count pushdown over the zone maps (the ORC row-index /
+    parquet `aggregatePushdown` trick, extended to predicates).
+
+    One blob-free metadata job classifies every kept stripe group per
+    conjunct: NONE (zone range provably excludes — contributes 0), ALL
+    (zonemap._conjunct_all proves EVERY row satisfies — contributes
+    n_rows with zero data bytes), else MIXED. Only the mixed groups
+    are decoded (predicate columns only, through the ordinary fused
+    predicated decode, bloom vetoes included) and counted row-level.
+    On a clustered column the mixed set is the two boundary stripes of
+    the range — at 100 TB the count touches metadata + ~2 stripes.
+
+    Exactness: ALL-proofs are sound under widened bounds and require
+    null_count == 0 (SQL 3-value logic — one null breaks ALL); groups
+    the proofs can't reach are decoded, never guessed. Live deletes
+    raise (stats describe encoded rows), mirroring metadata_aggregate.
+
+    Returns (count, {"n_all": …, "n_mixed": …, "rows_from_metadata":
+    …}) — the detail dict evidences how much of the answer came from
+    metadata alone.
+    """
+    if not predicate:
+        raise ValueError("metadata_count needs a predicate; use "
+                         "metadata_aggregate for the unfiltered COUNT")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat counts "
+            "describe the encoded rows; compact the run first"
+        )
+    pcols = sorted({c for c, _, _ in predicate})
+    stripes = read_stripes(spark, out_dir, run_id)
+    # epoch completeness is judged on TOP-LEVEL columns (nested stats
+    # rows ride their parent's stripes); classification then reads the
+    # exact (possibly dotted) stats rows
+    want_tops = {c.partition(".")[0] for c in pcols}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(pcols)
+    )
+    present = {r.column for r in meta.select("column").distinct().collect()}
+    missing = sorted(set(pcols) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for predicate column(s) {missing} in run "
+            f"{run_id!r} — decode-and-count instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    flags = []
+    for j, (col, op, val) in enumerate(predicate):
+        hit = F.col("column") == col
+        flags.append(
+            F.max(
+                F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
+            ).alias(f"_keep{j}")
+        )
+        flags.append(
+            F.max(
+                F.when(hit, zonemap._conjunct_all(op, val).cast("int"))
+            ).alias(f"_all{j}")
+        )
+    cls = meta.groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"), *flags)
+    # keep: every conjunct may match (absent flag = conservative keep);
+    # all: every conjunct provably matches every row (absent = no)
+    keep = F.lit(True)
+    allf = F.lit(True)
+    for j in range(len(predicate)):
+        keep = keep & (F.coalesce(F.col(f"_keep{j}"), F.lit(1)) == 1)
+        allf = allf & (F.coalesce(F.col(f"_all{j}"), F.lit(0)) == 1)
+    cls = cls.select(*gkeys, "n_rows", keep.alias("_keep"), allf.alias("_all"))
+    agg = cls.agg(
+        F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("meta_rows"),
+        F.sum(F.when(F.col("_keep") & F.col("_all"), 1).otherwise(0)).alias("n_all"),
+        F.sum(F.when(F.col("_keep") & ~F.col("_all"), 1).otherwise(0)).alias("n_mixed"),
+    ).first()
+    meta_rows = int(agg.meta_rows or 0)
+    n_mixed = int(agg.n_mixed or 0)
+    detail = {
+        "n_all": int(agg.n_all or 0),
+        "n_mixed": n_mixed,
+        "rows_from_metadata": meta_rows,
+    }
+    mixed_count = 0
+    if n_mixed:
+        mixed = cls.filter(F.col("_keep") & ~F.col("_all")).select(*gkeys)
+        if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        else:  # huge boundary set: semi-join, no driver collect
+            only = mixed
+        from pyspark.sql.types import StructType
+
+        # nested conjuncts ("meta.status") decode their parent struct
+        tops = sorted({c.partition(".")[0] for c in pcols})
+        sub = StructType(
+            [f for f in result_schema.fields if f.name in tops]
+        )
+        if len(sub.fields) != len(tops):
+            lost = sorted(
+                set(tops) - {f.name for f in result_schema.fields}
+            )
+            raise ValueError(
+                f"predicate column(s) {lost} not in result_schema"
+            )
+        dec = decode_job(
+            spark, out_dir, run_id, sub, columns=tops,
+            predicate=predicate, _only_groups=only,
+        )
+        mixed_count = dec.filter(zonemap.predicate_expr(predicate)).count()
+    return meta_rows + mixed_count, detail
 
 
 def verify_roundtrip(

@@ -341,6 +341,138 @@ def _conjunct_keep(op: str, value) -> Column:
     return _range_overlap(None, value)  # '<'
 
 
+_F53 = float(1 << 53)  # doubles are exact below this; proofs above risk rounding
+
+
+def _conjunct_all(op: str, value) -> Column:
+    """Provably EVERY row of the stripe satisfies (col op value) — the
+    dual of :func:`_conjunct_keep`, powering metadata-only COUNT
+    (pipeline.metadata_count). Evaluated on one stats row; null/absent
+    stats prove nothing (False, the stripe stays mixed and is decoded).
+
+    Soundness notes:
+    - Widened (pruning-only) bounds are OUTER bounds — stored min ≤
+      true min and stored max ≥ true max — so every implication drawn
+      from them holds for the true values; no stat_exact gate needed.
+    - Temporal int literals carry two candidate encodings (epoch-us /
+      epoch-days). Keep-pruning ORs them; an ALL-proof must hold under
+      BOTH (AND) since the stats row doesn't name its unit —
+      conservative: a `<= ts` proof usually fails and the stripe is
+      decoded instead, never miscounted.
+    - Cross-family proofs (int literal via min_num, float literal via
+      min_int) compare through doubles, exact only below 2^53 —
+      guarded; beyond it the family simply can't prove.
+    - Every op except is_null additionally requires null_count == 0:
+      a null row satisfies no SQL comparison, so one null breaks ALL.
+    """
+    if op not in _OPS:
+        raise ValueError(f"unsupported predicate op: {op!r}")
+    no_nulls = F.col("null_count") == 0
+    all_nulls = F.col("null_count") == F.col("n_rows")
+    if op == "is_null":
+        return F.coalesce(all_nulls, F.lit(False))
+    if op == "not_null":
+        return F.coalesce(no_nulls, F.lit(False))
+    if op == "contains_token":
+        return F.lit(False)  # token membership is never zone-provable
+
+    def within(lo, hi, strict_lo=False, strict_hi=False) -> Column:
+        """All values in the interval (bounds None = unbounded)."""
+        ilo, nlo, slo = _as_scalar(lo) if lo is not None else (None,) * 3
+        ihi, nhi, shi = _as_scalar(hi) if hi is not None else (None,) * 3
+        lo_cmp = (lambda c, v: c > F.lit(v)) if strict_lo else (
+            lambda c, v: c >= F.lit(v)
+        )
+        hi_cmp = (lambda c, v: c < F.lit(v)) if strict_hi else (
+            lambda c, v: c <= F.lit(v)
+        )
+        if slo is not None or shi is not None:
+            cond = F.col("min_str").isNotNull() & F.col("max_str").isNotNull()
+            if slo is not None:
+                cond = cond & lo_cmp(F.col("min_str"), slo)
+            if shi is not None:
+                cond = cond & hi_cmp(F.col("max_str"), shi)
+            return cond
+        # numeric: the stripe carries int XOR num stats; a proof in
+        # whichever family is present is a proof for the column
+        flo = float(ilo[0]) if ilo else nlo
+        fhi = float(ihi[0]) if ihi else nhi
+        num_ok = (flo is None or abs(flo) < _F53) and (
+            fhi is None or abs(fhi) < _F53
+        )
+        num_proof = F.lit(False)
+        if num_ok:
+            num_proof = (
+                F.col("min_num").isNotNull() & F.col("max_num").isNotNull()
+            )
+            if flo is not None:
+                num_proof = num_proof & lo_cmp(F.col("min_num"), flo)
+            if fhi is not None:
+                num_proof = num_proof & hi_cmp(F.col("max_num"), fhi)
+        int_ok = (nlo is None or abs(nlo) < _F53) and (
+            nhi is None or abs(nhi) < _F53
+        )
+        int_proof = F.lit(False)
+        if int_ok:
+            int_proof = (
+                F.col("min_int").isNotNull() & F.col("max_int").isNotNull()
+            )
+            n_cand = max(len(ilo or ()), len(ihi or ()), 1)
+            for i in range(n_cand):  # AND: prove under every encoding
+                clo = (
+                    ilo[i] if ilo is not None and i < len(ilo) else nlo
+                )
+                chi = (
+                    ihi[i] if ihi is not None and i < len(ihi) else nhi
+                )
+                if clo is not None:
+                    int_proof = int_proof & lo_cmp(F.col("min_int"), clo)
+                if chi is not None:
+                    int_proof = int_proof & hi_cmp(F.col("max_int"), chi)
+        return int_proof | num_proof
+
+    if op in ("==", "="):
+        cond = within(value, value)
+    elif op == "between":
+        lo, hi = value
+        cond = within(lo, hi)
+    elif op == ">=":
+        cond = within(value, None)
+    elif op == ">":
+        cond = within(value, None, strict_lo=True)
+    elif op == "<=":
+        cond = within(None, value)
+    elif op == "<":
+        cond = within(None, value, strict_hi=True)
+    elif op == "in":
+        vals = list(value)
+        cond = F.lit(False)  # ALL-proof: single-valued at some member
+        for v in vals:
+            cond = cond | within(v, v)
+    elif op == "!=":
+        # no value can equal the literal: the whole range sits
+        # strictly on one side (per encoding candidate, AND-combined)
+        cond = within(None, value, strict_hi=True) | within(
+            value, None, strict_lo=True
+        )
+    elif op == "like_prefix":
+        prefix = str(value)
+        if not prefix:
+            cond = F.col("min_str").isNotNull()  # '' prefixes all
+        else:
+            cond = (
+                F.col("min_str").isNotNull()
+                & F.col("max_str").isNotNull()
+                & (F.col("min_str") >= F.lit(prefix))
+            )
+            upper = _prefix_upper(prefix)
+            if upper is not None:
+                cond = cond & (F.col("max_str") < F.lit(upper))
+    else:  # pragma: no cover — _OPS guard above
+        raise ValueError(f"unsupported predicate op: {op!r}")
+    return F.coalesce(cond & no_nulls, F.lit(False))
+
+
 def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
     """Drop stripe groups that provably cannot satisfy ``predicate``.
 

