@@ -761,6 +761,59 @@ def _q_metadata_count(spark, sf_dir):
     ).orderBy("pred")
 
 
+def _q_metadata_sum(spark, sf_dir):
+    """r5 aggregate pushdown (pipeline.metadata_sum — per-stripe sum
+    statistics, the ORC Integer/DoubleStatistics.sum / Iceberg
+    aggregate-pushdown analogue, predicate-aware via the same
+    ALL/NONE/MIXED classifier as metadata_count). Hash-checked values
+    are the EXACT integer sum + non-null count; the float sum is
+    self-checked in-query (value_sum_ok: metadata-path SUM(value)
+    within 1e-9 relative of the row-level decode SUM) because float
+    addition order differs across engines."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_msum_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-msum-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value", "event_type"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    cases = {
+        "all": None,
+        "range_clustered": [("event_id", ">=", 2000), ("event_id", "<", 8000)],
+        "type_eq": [("event_type", "==", "click")],
+    }
+    rows = []
+    for label, pred in sorted(cases.items()):
+        sid, cnt, _ = pipeline.metadata_sum(
+            spark, out, cfg.run_id, events.schema, "event_id", pred
+        )
+        vsum, vcnt, _ = pipeline.metadata_sum(
+            spark, out, cfg.run_id, events.schema, "value", pred
+        )
+        q = events
+        if pred:
+            q = q.filter(zonemap.predicate_expr(pred))
+        truth = q.agg(F2.sum("value").alias("s")).first().s
+        ok = (
+            vsum is None and truth is None
+        ) or abs(vsum - float(truth)) <= 1e-9 * max(1.0, abs(float(truth)))
+        rows.append((label, int(sid), int(cnt), bool(ok and vcnt == cnt)))
+    return spark.createDataFrame(
+        rows, "pred string, sum_id bigint, cnt bigint, value_sum_ok boolean"
+    ).orderBy("pred")
+
+
 def _q_metadata_ndv(spark, sf_dir):
     """r5 sketch NDV (pipeline.metadata_ndv — per-stripe HyperLogLog
     registers merged with zero data reads; Iceberg ndv column-stat
@@ -2351,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_run_union": _q_multi_run_union,
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_count": _q_metadata_count,
+        "metadata_sum": _q_metadata_sum,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2777,6 +2831,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'click' UNION ALL "
             "SELECT 'value_gt', COUNT(*), true FROM events "
             "WHERE value > 50.0 "
+            "ORDER BY pred"
+        ),
+        "metadata_sum": (
+            "SELECT 'all' AS pred, CAST(SUM(event_id) AS BIGINT) AS sum_id, "
+            "COUNT(event_id) AS cnt, true AS value_sum_ok FROM events "
+            "UNION ALL "
+            "SELECT 'range_clustered', CAST(SUM(event_id) AS BIGINT), "
+            "COUNT(event_id), true FROM events "
+            "WHERE event_id >= 2000 AND event_id < 8000 UNION ALL "
+            "SELECT 'type_eq', CAST(SUM(event_id) AS BIGINT), "
+            "COUNT(event_id), true FROM events WHERE event_type = 'click' "
             "ORDER BY pred"
         ),
         "decode_projection": "SELECT doc_id, lang FROM documents",

@@ -407,6 +407,25 @@ def cmd_count(args) -> int:
     return EXIT_OK
 
 
+def cmd_sum(args) -> int:
+    """Exact SUM/COUNT (AVG derivable) of one column, optionally WHERE
+    predicate — per-stripe sum statistics answer ALL-classified
+    groups, only boundary/unsummable stripes decode
+    (pipeline.metadata_sum)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    s, c, detail = pipeline.metadata_sum(
+        spark, args.out, args.run_id, schema, args.column,
+        predicate or None,
+    )
+    avg = (s / c) if (s is not None and c) else None
+    print(json.dumps({"sum": s, "count": c, "avg": avg, **detail}))
+    return EXIT_OK
+
+
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
     HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
@@ -662,6 +681,20 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--where", action="append", required=True,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     cn.set_defaults(fn=cmd_count)
+
+    sm = sub.add_parser(
+        "sum",
+        help="exact SUM/COUNT/AVG of a column (optional WHERE) — "
+        "stripe sum stats answer interior groups, boundaries decode",
+    )
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--run-id", required=True)
+    sm.add_argument("--column", required=True)
+    sm.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    sm.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"event_id>=500\" (repeatable)")
+    sm.set_defaults(fn=cmd_sum)
 
     nv = sub.add_parser(
         "ndv",

@@ -62,6 +62,13 @@ STRIPE_SCHEMA = StructType(
         # pruning may use them, metadata-only aggregates must NOT.
         # Null (incl. pre-upgrade rows, which never widened) = exact.
         StructField("stat_exact", BooleanType(), True),
+        # per-stripe SUM of non-null values (ORC IntegerStatistics.sum
+        # / DoubleStatistics.sum analogue) — powers metadata-only
+        # SUM/AVG (pipeline.metadata_sum). sum_int is exact (guarded
+        # against int64 overflow via n·max|bound|); sum_num only when
+        # finite; null = unsummable / pre-upgrade rows (decode instead)
+        StructField("sum_int", LongType(), True),
+        StructField("sum_num", DoubleType(), True),
         # per-stripe bloom bitset for equality pruning (ORC bloom
         # filter index semantics); null = unsupported type / failed
         StructField("bloom", BinaryType(), True),
@@ -97,6 +104,8 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("max_str", pa.string()),
         ("null_count", pa.int64()),
         ("stat_exact", pa.bool_()),
+        ("sum_int", pa.int64()),
+        ("sum_num", pa.float64()),
         ("bloom", pa.binary()),
         ("ndv", pa.binary()),
         ("data", pa.binary()),
@@ -294,7 +303,8 @@ def encode_stage(
                     status, category, checksum = "failed", classify_failure(exc), ""
                     zstats = dict.fromkeys(
                         ("min_int", "max_int", "min_num", "max_num",
-                         "min_str", "max_str", "null_count", "stat_exact")
+                         "min_str", "max_str", "null_count", "stat_exact",
+                         "sum_int", "sum_num")
                     )
                     bloom = None
                 ms = (time.perf_counter() - t0) * 1000.0

@@ -1013,6 +1013,40 @@ def metadata_aggregate(
     )
 
 
+def _classify_pred_groups(
+    meta: DataFrame, predicate: list[tuple], gkeys: list[str]
+) -> DataFrame:
+    """Classify every stripe group of a blob-free metadata view
+    against a conjunctive predicate: one row per group with `_keep`
+    (zone ranges may match — zonemap._conjunct_keep) and `_all`
+    (EVERY row provably matches — zonemap._conjunct_all). NONE groups
+    are `~_keep`; MIXED are `_keep & ~_all`. Shared by metadata_count
+    and metadata_sum. Absent stats coalesce conservatively: keep=yes,
+    all=no."""
+    flags = []
+    for j, (col, op, val) in enumerate(predicate):
+        hit = F.col("column") == col
+        flags.append(
+            F.max(
+                F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
+            ).alias(f"_keep{j}")
+        )
+        flags.append(
+            F.max(
+                F.when(hit, zonemap._conjunct_all(op, val).cast("int"))
+            ).alias(f"_all{j}")
+        )
+    cls = meta.groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"), *flags)
+    keep = F.lit(True)
+    allf = F.lit(True)
+    for j in range(len(predicate)):
+        keep = keep & (F.coalesce(F.col(f"_keep{j}"), F.lit(1)) == 1)
+        allf = allf & (F.coalesce(F.col(f"_all{j}"), F.lit(0)) == 1)
+    return cls.select(
+        *gkeys, "n_rows", keep.alias("_keep"), allf.alias("_all")
+    )
+
+
 def metadata_count(
     spark: SparkSession,
     out_dir: str,
@@ -1068,28 +1102,7 @@ def metadata_count(
             f"{run_id!r} — decode-and-count instead"
         )
     gkeys = ["partition_id", "epoch", "stripe_idx"]
-    flags = []
-    for j, (col, op, val) in enumerate(predicate):
-        hit = F.col("column") == col
-        flags.append(
-            F.max(
-                F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
-            ).alias(f"_keep{j}")
-        )
-        flags.append(
-            F.max(
-                F.when(hit, zonemap._conjunct_all(op, val).cast("int"))
-            ).alias(f"_all{j}")
-        )
-    cls = meta.groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"), *flags)
-    # keep: every conjunct may match (absent flag = conservative keep);
-    # all: every conjunct provably matches every row (absent = no)
-    keep = F.lit(True)
-    allf = F.lit(True)
-    for j in range(len(predicate)):
-        keep = keep & (F.coalesce(F.col(f"_keep{j}"), F.lit(1)) == 1)
-        allf = allf & (F.coalesce(F.col(f"_all{j}"), F.lit(0)) == 1)
-    cls = cls.select(*gkeys, "n_rows", keep.alias("_keep"), allf.alias("_all"))
+    cls = _classify_pred_groups(meta, predicate, gkeys)
     agg = cls.agg(
         F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("meta_rows"),
         F.sum(F.when(F.col("_keep") & F.col("_all"), 1).otherwise(0)).alias("n_all"),
@@ -1114,24 +1127,159 @@ def metadata_count(
             only = mixed
         from pyspark.sql.types import StructType
 
-        # nested conjuncts ("meta.status") decode their parent struct
+        # nested conjuncts ("meta.status") decode their parent struct;
+        # field order MUST follow `tops` — decode_job pairs schema
+        # fields with `columns` positionally
         tops = sorted({c.partition(".")[0] for c in pcols})
-        sub = StructType(
-            [f for f in result_schema.fields if f.name in tops]
-        )
-        if len(sub.fields) != len(tops):
-            lost = sorted(
-                set(tops) - {f.name for f in result_schema.fields}
-            )
+        by_name = {f.name: f for f in result_schema.fields}
+        lost = sorted(set(tops) - set(by_name))
+        if lost:
             raise ValueError(
                 f"predicate column(s) {lost} not in result_schema"
             )
+        sub = StructType([by_name[t] for t in tops])
         dec = decode_job(
             spark, out_dir, run_id, sub, columns=tops,
             predicate=predicate, _only_groups=only,
         )
         mixed_count = dec.filter(zonemap.predicate_expr(predicate)).count()
     return meta_rows + mixed_count, detail
+
+
+def metadata_sum(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    predicate: list[tuple] | None = None,
+) -> tuple[float | int | None, int, dict]:
+    """EXACT ``SUM(column), COUNT(column) WHERE predicate`` from the
+    per-stripe sum statistics (ORC Integer/DoubleStatistics.sum; the
+    Iceberg/parquet aggregate-pushdown analogue, extended to
+    predicates like metadata_count).
+
+    Stripe groups the classifier proves ALL contribute their recorded
+    sum_int/sum_num and non-null count with zero data bytes; NONE
+    contribute nothing; MIXED groups — and ALL groups whose stripes
+    never recorded a sum (NaN-poisoned floats, int64-overflow-risk
+    ranges, decimals, pre-upgrade rows) — decode the target + predicate
+    columns and aggregate row-level. Exact by construction: sums are
+    recorded exactly or not at all, and unprovable groups decode,
+    never estimate. SUM/COUNT skip nulls (SQL semantics) — the stripe
+    stats already count non-null only. Live deletes raise.
+
+    Returns (sum, count_nonnull, detail); sum is None when count is 0
+    (SQL SUM of the empty set). AVG = sum / count at the caller.
+    """
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat sums "
+            "describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {column})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    present = {r.column for r in meta.select("column").distinct().collect()}
+    missing = sorted(set(need) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for column(s) {missing} in run {run_id!r} "
+            "— decode-and-aggregate instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(meta, predicate, gkeys)
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys, "n_rows",
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    tgt = meta.filter(F.col("column") == column).select(
+        *gkeys,
+        F.col("sum_int"), F.col("sum_num"),
+        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    )
+    # left join: a group missing the target's stats row (evolved-in
+    # column) or its sum (unsummable stripe) must decode, not vanish
+    j = cls.join(tgt, gkeys, "left")
+    has_sum = F.col("sum_int").isNotNull() | F.col("sum_num").isNotNull()
+    meta_ok = F.col("_keep") & F.col("_all") & has_sum
+    agg = j.agg(
+        F.sum(F.when(meta_ok, F.col("sum_int"))).alias("s_int"),
+        F.sum(F.when(meta_ok, F.col("sum_num"))).alias("s_num"),
+        F.sum(F.when(meta_ok, F.col("_nn"))).alias("nn"),
+        F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_meta"),
+        F.sum(
+            F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)
+        ).alias("n_decode"),
+    ).first()
+    s_int = int(agg.s_int) if agg.s_int is not None else None
+    s_num = float(agg.s_num) if agg.s_num is not None else None
+    if s_int is not None and s_num is not None:
+        raise ValueError(
+            f"column {column!r} carries sums in BOTH stat families — "
+            "mixed-type stripes; decode-and-aggregate instead"
+        )
+    meta_sum = s_int if s_int is not None else s_num
+    meta_nn = int(agg.nn or 0)
+    n_decode = int(agg.n_decode or 0)
+    detail = {
+        "n_all": int(agg.n_meta or 0),
+        "n_mixed": n_decode,
+        "rows_from_metadata": meta_nn,
+    }
+    dec_sum, dec_nn = None, 0
+    if n_decode:
+        mixed = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        else:
+            only = mixed
+        from pyspark.sql.types import StructType
+
+        # field order MUST follow `tops` (decode_job pairs schema
+        # fields with `columns` positionally)
+        tops = sorted({c.partition(".")[0] for c in need})
+        by_name = {f.name: f for f in result_schema.fields}
+        lost = sorted(set(tops) - set(by_name))
+        if lost:
+            raise ValueError(f"column(s) {lost} not in result_schema")
+        sub = StructType([by_name[t] for t in tops])
+        dec = decode_job(
+            spark, out_dir, run_id, sub, columns=tops,
+            predicate=predicate or None, _only_groups=only,
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        row = dec.agg(
+            F.sum(column).alias("s"), F.count(column).alias("c")
+        ).first()
+        dec_sum = row.s
+        dec_nn = int(row.c)
+        if dec_sum is not None and not isinstance(dec_sum, (int, float)):
+            dec_sum = float(dec_sum)  # Decimal → float (decimal cols)
+    total_nn = meta_nn + dec_nn
+    if meta_sum is None:
+        total = dec_sum
+    elif dec_sum is None:
+        total = meta_sum
+    else:
+        total = meta_sum + dec_sum
+    return total, total_nn, detail
 
 
 def verify_roundtrip(

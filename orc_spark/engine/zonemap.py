@@ -98,6 +98,7 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
         "min_str": None, "max_str": None,
         "null_count": int(arr.null_count),
         "stat_exact": True,
+        "sum_int": None, "sum_num": None,
     }
     if len(arr) - arr.null_count == 0:
         return out
@@ -120,12 +121,22 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             mm = pc.min_max(view)
             out["min_int"] = int(mm["min"].as_py())
             out["max_int"] = int(mm["max"].as_py())
+            # exact per-stripe SUM (ORC IntegerStatistics.sum) for
+            # metadata-only SUM/AVG — only when n·max|bound| provably
+            # fits int64 (pc.sum would wrap silently past 2^63);
+            # declined sums decode instead, never miscount
+            bound = max(abs(out["min_int"]), abs(out["max_int"]))
+            if bound * (len(arr) - arr.null_count) < (1 << 62):
+                out["sum_int"] = int(pc.sum(view).as_py())
         elif pa.types.is_floating(t):
             if pc.any(pc.is_nan(arr)).as_py():
                 return out  # NaN-poisoned: no numeric bounds are safe
             mm = pc.min_max(arr)
             out["min_num"] = float(mm["min"].as_py())
             out["max_num"] = float(mm["max"].as_py())
+            s = pc.sum(arr).as_py()
+            if s is not None and np.isfinite(s):
+                out["sum_num"] = float(s)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             mm = pc.min_max(arr)
             out["min_str"] = mm["min"].as_py()

@@ -178,3 +178,115 @@ def test_conjunct_all_dual_of_keep_property(spark):
         for r in rows:
             if r._all:
                 assert r._keep, (col, op, val, r)
+
+
+# ----------------------------------------------------- sum pushdown
+
+def _check_sum(spark, df, out, cfg, column, predicate):
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    s, c, detail = pipeline.metadata_sum(
+        spark, out, cfg.run_id, df.schema, column, predicate
+    )
+    q = df.filter(zonemap.predicate_expr(predicate)) if predicate else df
+    r = q.agg(F.sum(column).alias("s"), F.count(column).alias("c")).first()
+    assert c == int(r.c), (column, predicate, c, r.c, detail)
+    if s is None or r.s is None:
+        assert s == r.s, (column, predicate, s, r.s)
+    elif isinstance(s, float):
+        assert abs(s - float(r.s)) <= 1e-9 * max(1.0, abs(float(r.s)))
+    else:
+        assert s == r.s, (column, predicate, s, r.s)
+    return detail
+
+
+def test_metadata_sum_exact_and_metadata_dominant(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value", "event_type")
+        .limit(4000)
+    )
+    out, cfg = _encode(
+        spark, df, ["event_id", "value", "event_type"],
+        cluster_by="event_id",
+    )
+    n = df.count()
+    # unfiltered: pure metadata, zero decodes
+    d = _check_sum(spark, df, out, cfg, "event_id", None)
+    assert d["n_mixed"] == 0 and d["rows_from_metadata"] == n
+    d = _check_sum(spark, df, out, cfg, "value", None)
+    assert d["n_mixed"] == 0
+    # clustered range: interior stripes from metadata, boundaries decode
+    pred = [("event_id", ">=", 500), ("event_id", "<", 3000)]
+    d = _check_sum(spark, df, out, cfg, "value", pred)
+    assert d["rows_from_metadata"] > 0
+    assert d["n_mixed"] <= 2 * cfg.n_partitions
+    # unclustered predicates: everything decodes, still exact
+    _check_sum(spark, df, out, cfg, "value", [("event_type", "==", "click")])
+    _check_sum(spark, df, out, cfg, "event_id", [("value", ">", 50.0)])
+    # NONE everywhere: SQL SUM of the empty set is NULL
+    from orc_spark.engine import pipeline
+
+    s, c, _ = pipeline.metadata_sum(
+        spark, out, cfg.run_id, df.schema, "value",
+        [("event_id", "<", -1)],
+    )
+    assert s is None and c == 0
+
+
+def test_metadata_sum_null_and_nan_handling(spark):
+    import math
+
+    rows = [
+        (i, None if i % 3 == 0 else float(i), math.nan if i >= 900 else 1.0)
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double, w double")
+    out, cfg = _encode(spark, df, ["id", "v", "w"])
+    # SUM skips nulls; stripe sums already count non-null only
+    d = _check_sum(spark, df, out, cfg, "v", None)
+    assert d["rows_from_metadata"] > 0
+    # NaN-poisoned stripes never record a sum -> those groups decode;
+    # the result (a NaN sum, like SQL) comes from the decode path
+    from orc_spark.engine import pipeline
+
+    s, c, d = pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "w", None)
+    assert c == 1200 and math.isnan(s)
+    assert d["n_mixed"] > 0
+
+
+def test_stripe_sum_stats_overflow_guard():
+    """Unit: the encode-side sum stat is exact or absent — values
+    whose n·max|bound| could wrap int64 record NO sum (the group then
+    decodes), small values record the exact python-int sum."""
+    import pyarrow as pa
+
+    from orc_spark.engine import zonemap
+
+    small = zonemap.stripe_zone_stats(pa.array([5, -3, None, 12]))
+    assert small["sum_int"] == 14
+    assert small["sum_num"] is None
+    huge = zonemap.stripe_zone_stats(
+        pa.array([(1 << 61) + i for i in range(8)])
+    )
+    assert huge["sum_int"] is None  # declined, never wrapped
+    fl = zonemap.stripe_zone_stats(pa.array([1.5, 2.5, None]))
+    assert fl["sum_num"] == 4.0 and fl["sum_int"] is None
+    nan = zonemap.stripe_zone_stats(pa.array([1.0, float("nan")]))
+    assert nan["sum_num"] is None  # NaN-poisoned: no stats at all
+
+
+def test_metadata_sum_refuses_live_deletes_and_missing(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id bigint, v double"
+    )
+    out, cfg = _encode(spark, df, ["id", "v"])
+    from orc_spark.engine import pipeline
+
+    with pytest.raises(ValueError, match="no stats rows"):
+        pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "nope")
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [7])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "v")
