@@ -814,6 +814,35 @@ def _q_metadata_sum(spark, sf_dir):
     ).orderBy("pred")
 
 
+def _q_metadata_group_by(spark, sf_dir):
+    """r5 GROUP BY pushdown (pipeline.metadata_group_aggregate): on an
+    event_type-clustered encode, stripes single-valued in the key
+    answer their group's COUNT/SUM from zone stats + stripe sums; only
+    the stripes where two groups meet decode. Hash-checked: group key,
+    exact COUNT(*), exact integer SUM — a purity misclassification or
+    an unsound stripe sum anywhere shifts a group's totals and
+    mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mgb_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mgb-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value", "event_type"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_type",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    return pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, events.schema, "event_type", "event_id"
+    ).orderBy("event_type")
+
+
 def _q_metadata_ndv(spark, sf_dir):
     """r5 sketch NDV (pipeline.metadata_ndv — per-stripe HyperLogLog
     registers merged with zero data reads; Iceberg ndv column-stat
@@ -2405,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
+        "metadata_group_by": _q_metadata_group_by,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2843,6 +2873,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'type_eq', CAST(SUM(event_id) AS BIGINT), "
             "COUNT(event_id), true FROM events WHERE event_type = 'click' "
             "ORDER BY pred"
+        ),
+        "metadata_group_by": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(event_id) AS BIGINT) AS sum_event_id "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "decode_projection": "SELECT doc_id, lang FROM documents",
         "stats_sample_documents": stats.stats_sample_sql(

@@ -426,6 +426,23 @@ def cmd_sum(args) -> int:
     return EXIT_OK
 
 
+def cmd_groupagg(args) -> int:
+    """Exact GROUP BY count/sum — stripes single-valued in the group
+    key answer from metadata, boundary/impure stripes decode
+    (pipeline.metadata_group_aggregate)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    rows = pipeline.metadata_group_aggregate(
+        spark, args.out, args.run_id, schema, args.group_by,
+        args.sum, predicate or None,
+    ).orderBy(args.group_by).collect()
+    print(json.dumps({"groups": [r.asDict() for r in rows]}, default=str))
+    return EXIT_OK
+
+
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
     HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
@@ -695,6 +712,21 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     sm.set_defaults(fn=cmd_sum)
+
+    ga = sub.add_parser(
+        "groupagg",
+        help="exact GROUP BY count/sum (optional WHERE) — key-pure "
+        "stripes answer from metadata, boundaries decode",
+    )
+    ga.add_argument("--out", required=True)
+    ga.add_argument("--run-id", required=True)
+    ga.add_argument("--group-by", required=True)
+    ga.add_argument("--sum", default=None, help="optional SUM column")
+    ga.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    ga.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"event_id>=500\" (repeatable)")
+    ga.set_defaults(fn=cmd_groupagg)
 
     nv = sub.add_parser(
         "ndv",

@@ -1282,6 +1282,188 @@ def metadata_sum(
     return total, total_nn, detail
 
 
+def metadata_group_aggregate(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    group_col: str,
+    agg_col: str | None = None,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """EXACT ``SELECT group_col, COUNT(*) [, SUM(agg_col)] WHERE p
+    GROUP BY group_col`` where stripes PURE in the group column (zone
+    min == max, zero nulls, exact stats) are answered from metadata —
+    the grouped completion of metadata_count/metadata_sum.
+
+    On a group-clustered layout (cluster_by=group_col) nearly every
+    stripe is single-valued in the key, so the whole GROUP BY costs a
+    metadata aggregation plus the run-boundary stripes where two
+    groups meet inside one stripe; impure / predicate-MIXED /
+    sum-less stripes decode through the restricted predicated path
+    and re-aggregate row-level — exact by construction, never
+    estimated. Group keys come back typed via the stat family
+    (string/min_str, integral & temporal/min_int, float/min_num) so
+    metadata rows and decoded rows merge in one final groupBy. Live
+    deletes raise (stats describe encoded rows).
+
+    Returns a DataFrame (group_col, cnt, [sum_<agg_col>]) — cnt is
+    COUNT(*) of the group's predicate-matching rows.
+    """
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, IntegerType, LongType,
+        ShortType, StringType, StructType, TimestampType,
+    )
+
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat group "
+            "aggregates describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {group_col} | ({agg_col} if agg_col else set()))
+    by_name = {f.name: f for f in result_schema.fields}
+    gf = by_name.get(group_col.partition(".")[0])
+    if gf is None:
+        raise ValueError(f"group column {group_col!r} not in result_schema")
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    present = {r.column for r in meta.select("column").distinct().collect()}
+    missing = sorted(set(need) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for column(s) {missing} in run {run_id!r} "
+            "— decode-and-aggregate instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(meta, predicate, gkeys)
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys, "n_rows",
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    # group-column purity + the single value, typed via its stat family
+    gtype = (
+        by_name[group_col].dataType
+        if group_col in by_name
+        else None  # nested: resolved by decode; metadata path below
+    )
+    ghit = meta.filter(F.col("column") == group_col)
+    if isinstance(gtype, StringType):
+        pure = F.col("min_str").isNotNull() & (
+            F.col("min_str") == F.col("max_str")
+        )
+        gval = F.col("min_str")
+    elif isinstance(
+        gtype, (ByteType, ShortType, IntegerType, LongType, BooleanType,
+                TimestampType, DateType)
+    ):
+        pure = F.col("min_int").isNotNull() & (
+            F.col("min_int") == F.col("max_int")
+        )
+        if isinstance(gtype, TimestampType):
+            gval = F.timestamp_micros(F.col("min_int"))
+        elif isinstance(gtype, DateType):
+            gval = F.date_from_unix_date(F.col("min_int").cast("int"))
+        elif isinstance(gtype, BooleanType):
+            gval = F.col("min_int") == 1
+        else:
+            gval = F.col("min_int").cast(gtype)
+    else:
+        # float / decimal / nested group keys: purity unprovable from
+        # the widened-or-inexact families — every stripe decodes
+        pure = F.lit(False)
+        gval = F.lit(None).cast(gtype) if gtype is not None else F.lit(None)
+    gview = ghit.select(
+        *gkeys,
+        (
+            pure
+            & (F.coalesce("null_count", F.lit(1)) == 0)
+            & F.coalesce("stat_exact", F.lit(True))
+        ).alias("_pure"),
+        gval.alias("_gval"),
+    )
+    j = cls.join(gview, gkeys, "left")
+    j = j.withColumn("_pure", F.coalesce("_pure", F.lit(False)))
+    int_agg = False
+    if agg_col:
+        af = by_name.get(agg_col.partition(".")[0])
+        if af is None:
+            raise ValueError(f"agg column {agg_col!r} not in result_schema")
+        int_agg = isinstance(
+            af.dataType, (ByteType, ShortType, IntegerType, LongType)
+        )
+        tgt = meta.filter(F.col("column") == agg_col).select(
+            *gkeys, "sum_int", "sum_num",
+        )
+        j = j.join(tgt, gkeys, "left")
+        # the agg column's type picks the stat family — int sums stay
+        # exact int64 end-to-end, float sums stay double
+        has_sum = (
+            F.col("sum_int").isNotNull()
+            if int_agg
+            else F.col("sum_num").isNotNull()
+        )
+    else:
+        has_sum = F.lit(True)
+    meta_ok = F.col("_keep") & F.col("_all") & F.col("_pure") & has_sum
+    # metadata contribution: one (group, cnt[, sum]) row per pure stripe
+    maggs = [F.sum("n_rows").alias("cnt")]
+    if agg_col:
+        maggs.append(
+            F.sum(F.col("sum_int") if int_agg else F.col("sum_num"))
+            .alias("_msum")
+        )
+    meta_part = (
+        j.filter(meta_ok).groupBy("_gval").agg(*maggs)
+        .withColumnRenamed("_gval", group_col)
+    )
+    decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+    n_decode = decode_groups.count()
+    dec_part = None
+    if n_decode:
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in decode_groups.collect()
+            ]
+        else:
+            only = decode_groups
+        tops = sorted({c.partition(".")[0] for c in need})
+        lost = sorted(set(tops) - set(by_name))
+        if lost:
+            raise ValueError(f"column(s) {lost} not in result_schema")
+        sub = StructType([by_name[t] for t in tops])
+        dec = decode_job(
+            spark, out_dir, run_id, sub, columns=tops,
+            predicate=predicate or None, _only_groups=only,
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        daggs = [F.count(F.lit(1)).alias("cnt")]
+        if agg_col:
+            dsum = F.sum(
+                F.col(agg_col).cast("long" if int_agg else "double")
+            )
+            daggs.append(dsum.alias("_msum"))
+        dec_part = dec.groupBy(F.col(group_col).alias(group_col)).agg(*daggs)
+    both = meta_part if dec_part is None else meta_part.unionByName(dec_part)
+    faggs = [F.sum("cnt").alias("cnt")]
+    if agg_col:
+        faggs.append(F.sum("_msum").alias(f"sum_{agg_col}"))
+    return both.groupBy(group_col).agg(*faggs)
+
+
 def verify_roundtrip(
     original: DataFrame, decoded: DataFrame, key: str
 ) -> dict[str, int]:

@@ -26,13 +26,13 @@ def _encode(spark, df, columns, **kw):
     from orc_spark.engine import pipeline
 
     out = tempfile.mkdtemp(prefix="orcspark_mc_")
+    kw.setdefault("stripe_rows", 256)
     cfg = pipeline.EncodeJobConfig(
         out_dir=out,
         run_id=f"mc-{uuid.uuid4().hex[:8]}",
         key=columns[0],
         columns=columns,
         n_partitions=4,
-        stripe_rows=256,
         **kw,
     )
     pipeline.run_encode_job(spark, df, cfg)
@@ -290,3 +290,124 @@ def test_metadata_sum_refuses_live_deletes_and_missing(spark):
     pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [7])
     with pytest.raises(ValueError, match="live deletes"):
         pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "v")
+
+
+# ------------------------------------------------ group-by pushdown
+
+def _check_group(spark, df, out, cfg, group_col, agg_col, predicate):
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    res = pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, df.schema, group_col, agg_col, predicate
+    )
+    key = lambda t: (t[0] is not None, str(t[0]))  # noqa: E731 — NULL group first
+    got = sorted((tuple(r) for r in res.collect()), key=key)
+    q = df.filter(zonemap.predicate_expr(predicate)) if predicate else df
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if agg_col:
+        aggs.append(F.sum(agg_col).alias(f"sum_{agg_col}"))
+    truth = sorted(
+        (tuple(r) for r in q.groupBy(group_col).agg(*aggs).collect()), key=key
+    )
+    assert len(got) == len(truth), (group_col, agg_col, predicate, got, truth)
+    for g, t in zip(got, truth):
+        assert g[0] == t[0] and g[1] == t[1], (g, t)
+        if agg_col:
+            if isinstance(g[2], float):
+                assert abs(g[2] - float(t[2])) <= 1e-9 * max(
+                    1.0, abs(float(t[2]))
+                ), (g, t)
+            else:
+                assert g[2] == t[2], (g, t)
+
+
+def test_metadata_group_aggregate_exact(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value", "event_type")
+    )
+    out, cfg = _encode(
+        spark, df, ["event_id", "value", "event_type"],
+        cluster_by="event_type",
+    )
+    _check_group(spark, df, out, cfg, "event_type", None, None)
+    _check_group(spark, df, out, cfg, "event_type", "event_id", None)
+    _check_group(spark, df, out, cfg, "event_type", "value", None)
+    _check_group(
+        spark, df, out, cfg, "event_type", "event_id",
+        [("event_id", "<", 500)],
+    )
+    # high-cardinality unclustered group key: everything decodes,
+    # result still exact
+    _check_group(
+        spark, df, out, cfg, "event_id", "value",
+        [("event_id", "<", 40)],
+    )
+
+
+def test_metadata_group_aggregate_is_metadata_dominant(spark, monkeypatch):
+    """On a group-clustered layout the decode set is only the stripes
+    where two groups meet — spy on decode_job's restriction to prove
+    most stripe groups were answered from metadata."""
+    from orc_spark.engine import pipeline
+
+    rows = [(i, float(i % 97), f"g{(i * 7919) % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "event_id bigint, value double, event_type string")
+    out, cfg = _encode(
+        spark, df, ["event_id", "value", "event_type"],
+        cluster_by="event_type", stripe_rows=128,
+    )
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = og if isinstance(og, int) else (
+            len(og) if isinstance(og, list) else -1
+        )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    _check_group(spark, df, out, cfg, "event_type", "event_id", None)
+    n_types = df.select("event_type").distinct().count()
+    # boundary stripes only: at most (groups-1) per partition
+    assert seen.get("n", 0) <= (n_types - 1) * cfg.n_partitions
+    assert seen.get("n", 0) < total_groups / 2
+
+
+def test_metadata_group_aggregate_nulls_in_group_key(spark):
+    rows = [
+        (i, None if i % 7 == 0 else f"g{i % 3}", float(i))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out, cfg = _encode(spark, df, ["id", "g", "v"], cluster_by="g")
+    # NULL is a group in SQL GROUP BY; null-bearing stripes are impure
+    # so they decode — the NULL group must come back exactly
+    _check_group(spark, df, out, cfg, "g", "v", None)
+    _check_group(spark, df, out, cfg, "g", "id", [("id", ">=", 300)])
+
+
+def test_metadata_group_aggregate_refusals(spark):
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"g{i%2}", float(i)) for i in range(400)],
+        "id bigint, g string, v double",
+    )
+    out, cfg = _encode(spark, df, ["id", "g", "v"])
+    with pytest.raises(ValueError, match="not in result_schema"):
+        pipeline.metadata_group_aggregate(
+            spark, out, cfg.run_id, df.schema, "nope"
+        )
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [3])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_group_aggregate(
+            spark, out, cfg.run_id, df.schema, "g"
+        )
