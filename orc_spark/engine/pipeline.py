@@ -578,6 +578,12 @@ def decode_job(
             stripes = zonemap.prune_stripes(
                 _epoch_keep_filter(spark, all_stripes, want), predicate
             )
+    elif _only_groups is not None and as_of_epoch is None:
+        # the caller's keep-set carries exact (partition, EPOCH,
+        # stripe) keys computed over epoch-filtered metadata — the
+        # epoch keep-map action here would be pure redundant fixed
+        # cost (metadata_count/sum/group's restricted decodes)
+        stripes = all_stripes.filter(F.col("status") == "completed")
     else:
         stripes = _epoch_keep_filter(spark, all_stripes, want)
     if _only_groups is not None:
@@ -1013,17 +1019,45 @@ def metadata_aggregate(
     )
 
 
+def _temporal_pins(result_schema, predicate: list[tuple]) -> dict:
+    """col -> "us"/"days" for timestamp/date predicate columns — lets
+    _conjunct_all prove under the single true int encoding instead of
+    conservatively AND-ing both candidates (zonemap._conjunct_all's
+    pin). Nested (dotted) columns stay unpinned (conservative)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    by_name = {f.name: f.dataType for f in result_schema.fields}
+    pins = {}
+    for col, _, _ in predicate:
+        t = by_name.get(col)
+        if isinstance(t, TimestampType):
+            pins[col] = "us"
+        elif isinstance(t, DateType):
+            pins[col] = "days"
+    return pins
+
+
 def _classify_pred_groups(
-    meta: DataFrame, predicate: list[tuple], gkeys: list[str]
+    meta: DataFrame, predicate: list[tuple], gkeys: list[str],
+    pins: dict | None = None,
 ) -> DataFrame:
     """Classify every stripe group of a blob-free metadata view
     against a conjunctive predicate: one row per group with `_keep`
     (zone ranges may match — zonemap._conjunct_keep) and `_all`
     (EVERY row provably matches — zonemap._conjunct_all). NONE groups
-    are `~_keep`; MIXED are `_keep & ~_all`. Shared by metadata_count
-    and metadata_sum. Absent stats coalesce conservatively: keep=yes,
-    all=no."""
+    are `~_keep`; MIXED are `_keep & ~_all`. Shared by metadata_count,
+    metadata_sum and metadata_group_aggregate. Absent stats coalesce
+    conservatively: keep=yes, all=no. Also emits `_has{j}` (1 when the
+    j-th conjunct's column had a stats row in the group) so callers
+    fold the loud missing-column check into their existing aggregate
+    action instead of a separate metadata collect."""
     flags = []
+    for j, (col, _, _) in enumerate(predicate):
+        flags.append(
+            F.max(
+                F.when(F.col("column") == col, F.lit(1))
+            ).alias(f"_has{j}")
+        )
     for j, (col, op, val) in enumerate(predicate):
         hit = F.col("column") == col
         flags.append(
@@ -1033,7 +1067,12 @@ def _classify_pred_groups(
         )
         flags.append(
             F.max(
-                F.when(hit, zonemap._conjunct_all(op, val).cast("int"))
+                F.when(
+                    hit,
+                    zonemap._conjunct_all(
+                        op, val, pin=(pins or {}).get(col)
+                    ).cast("int"),
+                )
             ).alias(f"_all{j}")
         )
     cls = meta.groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"), *flags)
@@ -1043,8 +1082,155 @@ def _classify_pred_groups(
         keep = keep & (F.coalesce(F.col(f"_keep{j}"), F.lit(1)) == 1)
         allf = allf & (F.coalesce(F.col(f"_all{j}"), F.lit(0)) == 1)
     return cls.select(
-        *gkeys, "n_rows", keep.alias("_keep"), allf.alias("_all")
+        *gkeys, "n_rows", keep.alias("_keep"), allf.alias("_all"),
+        *[F.col(f"_has{j}") for j in range(len(predicate))],
     )
+
+
+def _presence_aggs(predicate: list[tuple]):
+    """Global aggregate columns over a _classify_pred_groups result:
+    `_p{j}` is non-null iff conjunct j's column had a stats row in ANY
+    group — the lazy twin of the loud missing-column check."""
+    return [
+        F.max(F.col(f"_has{j}")).alias(f"_p{j}")
+        for j in range(len(predicate))
+    ]
+
+
+def _raise_missing(agg_row, predicate: list[tuple], run_id: str) -> None:
+    missing = sorted(
+        {
+            predicate[j][0]
+            for j in range(len(predicate))
+            if getattr(agg_row, f"_p{j}") is None
+        }
+    )
+    if missing:
+        raise ValueError(
+            f"no stats rows for predicate column(s) {missing} in run "
+            f"{run_id!r} — decode-and-aggregate instead"
+        )
+
+
+def _bloom_relevant(predicate: list[tuple]) -> bool:
+    """Whether the in-decode fused prune can add anything beyond the
+    caller's own ALL/NONE classification: only equality-shaped
+    conjuncts consult bloom bitsets; for pure range/null predicates
+    the restricted decode skips its (redundant) metadata job."""
+    return any(op in ("==", "=", "in", "contains_token") for _, op, _ in predicate)
+
+
+def _classify_driver(
+    spark: SparkSession,
+    out_dir: str,
+    stripes: DataFrame,
+    need: list[str],
+    want_tops: set[str],
+    predicate: list[tuple],
+    pins: dict,
+    target: str | None = None,
+):
+    """Driver-side fast path for the ALL/NONE/MIXED classifier — the
+    metadata_count/metadata_sum analogue of zonemap._fused_prune_driver:
+    ONE single-stage Spark job (scan -> per-row conjunct flags ->
+    collect, no exchange) and the group/epoch logic as a dict walk on
+    the driver. Budget-gated on the parquet footers
+    (zonemap._driver_plan_budget_ok); returns None past the budget and
+    the distributed aggregation takes over — at 100 TB that gate
+    always routes distributed.
+
+    Semantics mirror the distributed path 1:1 by construction: the
+    per-row flags are the SAME Spark expressions (_conjunct_keep /
+    _conjunct_all with the caller's pins), group flags are max-over-
+    rows, epoch completeness counts distinct want_tops columns per
+    (partition, epoch) with the same epoch-0 short-circuit as
+    _epoch_keep_filter.
+
+    Returns (groups, present, tgt_present): groups maps
+    (partition_id, epoch, stripe_idx) -> dict(n_rows, keep, all_,
+    sum_int, sum_num, nn); present[j] says conjunct j's column had a
+    stats row anywhere.
+    """
+    sdir = lineage_mod.stripes_dir(out_dir)
+    if storage.is_iceberg(sdir) or not zonemap._driver_plan_budget_ok(sdir):
+        return None
+    scan_cols = sorted(set(need) | set(want_tops))
+    proj = (
+        stripes.drop("data")
+        .filter(F.col("status") == "completed")
+        .filter(F.col("column").isin(scan_cols))
+    )
+    n = len(predicate)
+    for j, (col, op, val) in enumerate(predicate):
+        hit = F.col("column") == col
+        proj = proj.withColumn(
+            f"_k{j}", F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
+        ).withColumn(
+            f"_a{j}",
+            F.when(
+                hit,
+                zonemap._conjunct_all(op, val, pin=pins.get(col)).cast("int"),
+            ),
+        )
+    sel = [
+        "partition_id", "epoch", "stripe_idx", "column", "n_rows",
+        "null_count", "sum_int", "sum_num",
+        *[f"_k{j}" for j in range(n)], *[f"_a{j}" for j in range(n)],
+    ]
+    rows = proj.select(*sel).collect()  # single stage, no exchange
+    # epoch completeness on the driver (mirrors _epoch_keep_filter)
+    epoch_cols: dict[tuple[int, int], set[str]] = {}
+    gmax = 0
+    for r in rows:
+        if r.column in want_tops:
+            key = (int(r.partition_id), int(r.epoch))
+            epoch_cols.setdefault(key, set()).add(r.column)
+            gmax = max(gmax, key[1])
+    if gmax == 0:
+        kept = None  # epoch-0 short-circuit: every completed group
+    else:
+        best: dict[int, int] = {}
+        for (pid, ep), cols in epoch_cols.items():
+            if len(cols) >= len(want_tops):
+                best[pid] = max(best.get(pid, -1), ep)
+        kept = best
+    groups: dict[tuple, dict] = {}
+    present = [False] * n
+    tgt_present = False
+    pcols = [c for c, _, _ in predicate]
+    for r in rows:
+        pid, ep = int(r.partition_id), int(r.epoch)
+        if kept is not None and kept.get(pid) != ep:
+            continue
+        key = (pid, ep, int(r.stripe_idx))
+        g = groups.get(key)
+        if g is None:
+            g = groups[key] = {
+                "n_rows": 0, "k": [None] * n, "a": [None] * n,
+                "sum_int": None, "sum_num": None, "nn": None,
+            }
+        g["n_rows"] = max(g["n_rows"], int(r.n_rows))
+        for j in range(n):
+            if r.column == pcols[j]:
+                present[j] = True
+                kv, av = r[8 + j], r[8 + n + j]
+                if kv is not None and (g["k"][j] is None or kv > g["k"][j]):
+                    g["k"][j] = kv
+                if av is not None and (g["a"][j] is None or av > g["a"][j]):
+                    g["a"][j] = av
+        if target is not None and r.column == target:
+            tgt_present = True
+            g["sum_int"] = r.sum_int
+            g["sum_num"] = r.sum_num
+            g["nn"] = int(r.n_rows) - int(r.null_count or 0)
+    for g in groups.values():
+        g["keep"] = all(
+            (g["k"][j] if g["k"][j] is not None else 1) == 1 for j in range(n)
+        )
+        g["all_"] = all(
+            (g["a"][j] if g["a"][j] is not None else 0) == 1 for j in range(n)
+        )
+    return groups, present, tgt_present
 
 
 def metadata_count(
@@ -1091,40 +1277,71 @@ def metadata_count(
     # rows ride their parent's stripes); classification then reads the
     # exact (possibly dotted) stats rows
     want_tops = {c.partition(".")[0] for c in pcols}
-    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
-        F.col("column").isin(pcols)
-    )
-    present = {r.column for r in meta.select("column").distinct().collect()}
-    missing = sorted(set(pcols) - present)
-    if missing:
-        raise ValueError(
-            f"no stats rows for predicate column(s) {missing} in run "
-            f"{run_id!r} — decode-and-count instead"
-        )
+    pins = _temporal_pins(result_schema, predicate)
     gkeys = ["partition_id", "epoch", "stripe_idx"]
-    cls = _classify_pred_groups(meta, predicate, gkeys)
-    agg = cls.agg(
-        F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("meta_rows"),
-        F.sum(F.when(F.col("_keep") & F.col("_all"), 1).otherwise(0)).alias("n_all"),
-        F.sum(F.when(F.col("_keep") & ~F.col("_all"), 1).otherwise(0)).alias("n_mixed"),
-    ).first()
-    meta_rows = int(agg.meta_rows or 0)
-    n_mixed = int(agg.n_mixed or 0)
-    detail = {
-        "n_all": int(agg.n_all or 0),
-        "n_mixed": n_mixed,
-        "rows_from_metadata": meta_rows,
-    }
+    fast = _classify_driver(
+        spark, out_dir, stripes, pcols, want_tops, predicate, pins
+    )
+    if fast is not None:
+        # driver fast path: the whole classification is ONE
+        # single-stage metadata job (footer-budget-gated)
+        groups, present, _ = fast
+        missing = sorted(
+            {predicate[j][0] for j in range(len(predicate))
+             if not present[j]}
+        )
+        if missing:
+            raise ValueError(
+                f"no stats rows for predicate column(s) {missing} in "
+                f"run {run_id!r} — decode-and-aggregate instead"
+            )
+        meta_rows = sum(
+            g["n_rows"] for g in groups.values() if g["keep"] and g["all_"]
+        )
+        only = [k for k, g in groups.items() if g["keep"] and not g["all_"]]
+        n_mixed = len(only)
+        detail = {
+            "n_all": sum(
+                1 for g in groups.values() if g["keep"] and g["all_"]
+            ),
+            "n_mixed": n_mixed,
+            "rows_from_metadata": meta_rows,
+        }
+    else:
+        meta = _epoch_keep_filter(
+            spark, stripes, want_tops
+        ).drop("data").filter(F.col("column").isin(pcols))
+        cls = _classify_pred_groups(meta, predicate, gkeys, pins=pins)
+        # ONE metadata action: classification totals + the loud
+        # missing-column check ride the same aggregate
+        agg = cls.agg(
+            F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("meta_rows"),
+            F.sum(F.when(F.col("_keep") & F.col("_all"), 1).otherwise(0)).alias("n_all"),
+            F.sum(F.when(F.col("_keep") & ~F.col("_all"), 1).otherwise(0)).alias("n_mixed"),
+            *_presence_aggs(predicate),
+        ).first()
+        _raise_missing(agg, predicate, run_id)
+        meta_rows = int(agg.meta_rows or 0)
+        n_mixed = int(agg.n_mixed or 0)
+        detail = {
+            "n_all": int(agg.n_all or 0),
+            "n_mixed": n_mixed,
+            "rows_from_metadata": meta_rows,
+        }
+        only = None
     mixed_count = 0
     if n_mixed:
-        mixed = cls.filter(F.col("_keep") & ~F.col("_all")).select(*gkeys)
-        if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
-            only = [
-                (r.partition_id, r.epoch, r.stripe_idx)
-                for r in mixed.collect()
-            ]
-        else:  # huge boundary set: semi-join, no driver collect
-            only = mixed
+        if only is None:
+            mixed = cls.filter(
+                F.col("_keep") & ~F.col("_all")
+            ).select(*gkeys)
+            if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
+                only = [
+                    (r.partition_id, r.epoch, r.stripe_idx)
+                    for r in mixed.collect()
+                ]
+            else:  # huge boundary set: semi-join, no driver collect
+                only = mixed
         from pyspark.sql.types import StructType
 
         # nested conjuncts ("meta.status") decode their parent struct;
@@ -1140,7 +1357,12 @@ def metadata_count(
         sub = StructType([by_name[t] for t in tops])
         dec = decode_job(
             spark, out_dir, run_id, sub, columns=tops,
-            predicate=predicate, _only_groups=only,
+            # range-only predicates gain nothing from the in-decode
+            # fused prune (the classifier already did zone math; only
+            # equality-shaped conjuncts add bloom vetoes) — skip its
+            # redundant metadata job
+            predicate=predicate if _bloom_relevant(predicate) else None,
+            _only_groups=only,
         )
         mixed_count = dec.filter(zonemap.predicate_expr(predicate)).count()
     return meta_rows + mixed_count, detail
@@ -1183,72 +1405,113 @@ def metadata_sum(
     need = sorted(set(pcols) | {column})
     stripes = read_stripes(spark, out_dir, run_id)
     want_tops = {c.partition(".")[0] for c in need}
-    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
-        F.col("column").isin(need)
-    )
-    present = {r.column for r in meta.select("column").distinct().collect()}
-    missing = sorted(set(need) - present)
-    if missing:
-        raise ValueError(
-            f"no stats rows for column(s) {missing} in run {run_id!r} "
-            "— decode-and-aggregate instead"
-        )
+    pins = _temporal_pins(result_schema, predicate)
     gkeys = ["partition_id", "epoch", "stripe_idx"]
-    if predicate:
-        cls = _classify_pred_groups(meta, predicate, gkeys)
-    else:
-        cls = (
-            meta.groupBy(*gkeys)
-            .agg(F.max("n_rows").alias("n_rows"))
-            .select(
-                *gkeys, "n_rows",
-                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
-            )
-        )
-    tgt = meta.filter(F.col("column") == column).select(
-        *gkeys,
-        F.col("sum_int"), F.col("sum_num"),
-        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    fast = _classify_driver(
+        spark, out_dir, stripes, need, want_tops, predicate, pins,
+        target=column,
     )
-    # left join: a group missing the target's stats row (evolved-in
-    # column) or its sum (unsummable stripe) must decode, not vanish
-    j = cls.join(tgt, gkeys, "left")
-    has_sum = F.col("sum_int").isNotNull() | F.col("sum_num").isNotNull()
-    meta_ok = F.col("_keep") & F.col("_all") & has_sum
-    agg = j.agg(
-        F.sum(F.when(meta_ok, F.col("sum_int"))).alias("s_int"),
-        F.sum(F.when(meta_ok, F.col("sum_num"))).alias("s_num"),
-        F.sum(F.when(meta_ok, F.col("_nn"))).alias("nn"),
-        F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_meta"),
-        F.sum(
-            F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)
-        ).alias("n_decode"),
-    ).first()
-    s_int = int(agg.s_int) if agg.s_int is not None else None
-    s_num = float(agg.s_num) if agg.s_num is not None else None
+    if fast is not None:
+        groups, present, tgt_present = fast
+        missing = sorted(
+            {predicate[j][0] for j in range(len(predicate))
+             if not present[j]}
+        )
+        if missing or not tgt_present:
+            bad = missing or [column]
+            raise ValueError(
+                f"no stats rows for column(s) {bad} in run {run_id!r} "
+                "— decode-and-aggregate instead"
+            )
+        s_int = s_num = None
+        meta_nn = n_meta = 0
+        only = []
+        for k, g in groups.items():
+            if not g["keep"]:
+                continue
+            has_sum = g["sum_int"] is not None or g["sum_num"] is not None
+            if g["all_"] and has_sum:
+                n_meta += 1
+                meta_nn += g["nn"] or 0
+                if g["sum_int"] is not None:
+                    s_int = (s_int or 0) + int(g["sum_int"])
+                if g["sum_num"] is not None:
+                    s_num = (s_num or 0.0) + float(g["sum_num"])
+            else:
+                only.append(k)
+        n_decode = len(only)
+    else:
+        meta = _epoch_keep_filter(
+            spark, stripes, want_tops
+        ).drop("data").filter(F.col("column").isin(need))
+        if predicate:
+            cls = _classify_pred_groups(meta, predicate, gkeys, pins=pins)
+        else:
+            cls = (
+                meta.groupBy(*gkeys)
+                .agg(F.max("n_rows").alias("n_rows"))
+                .select(
+                    *gkeys, "n_rows",
+                    F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+                )
+            )
+        tgt = meta.filter(F.col("column") == column).select(
+            *gkeys,
+            F.col("sum_int"), F.col("sum_num"),
+            (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+        )
+        # left join: a group missing the target's stats row (evolved-in
+        # column) or its sum (unsummable stripe) must decode, not vanish
+        j = cls.join(tgt, gkeys, "left")
+        has_sum = F.col("sum_int").isNotNull() | F.col("sum_num").isNotNull()
+        meta_ok = F.col("_keep") & F.col("_all") & has_sum
+        # ONE metadata action: totals + the loud missing-column check for
+        # predicate columns (_presence_aggs) and the target (_tp)
+        agg = j.agg(
+            F.sum(F.when(meta_ok, F.col("sum_int"))).alias("s_int"),
+            F.sum(F.when(meta_ok, F.col("sum_num"))).alias("s_num"),
+            F.sum(F.when(meta_ok, F.col("_nn"))).alias("nn"),
+            F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_meta"),
+            F.sum(
+                F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)
+            ).alias("n_decode"),
+            F.count(F.col("_nn")).alias("_tp"),
+            *_presence_aggs(predicate),
+        ).first()
+        _raise_missing(agg, predicate, run_id)
+        if int(agg._tp or 0) == 0:
+            raise ValueError(
+                f"no stats rows for column(s) [{column!r}] in run "
+                f"{run_id!r} — decode-and-aggregate instead"
+            )
+        s_int = int(agg.s_int) if agg.s_int is not None else None
+        s_num = float(agg.s_num) if agg.s_num is not None else None
+        meta_nn = int(agg.nn or 0)
+        n_meta = int(agg.n_meta or 0)
+        n_decode = int(agg.n_decode or 0)
+        only = None
     if s_int is not None and s_num is not None:
         raise ValueError(
             f"column {column!r} carries sums in BOTH stat families — "
             "mixed-type stripes; decode-and-aggregate instead"
         )
     meta_sum = s_int if s_int is not None else s_num
-    meta_nn = int(agg.nn or 0)
-    n_decode = int(agg.n_decode or 0)
     detail = {
-        "n_all": int(agg.n_meta or 0),
+        "n_all": n_meta,
         "n_mixed": n_decode,
         "rows_from_metadata": meta_nn,
     }
     dec_sum, dec_nn = None, 0
     if n_decode:
-        mixed = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
-        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
-            only = [
-                (r.partition_id, r.epoch, r.stripe_idx)
-                for r in mixed.collect()
-            ]
-        else:
-            only = mixed
+        if only is None:
+            mixed = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+            if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+                only = [
+                    (r.partition_id, r.epoch, r.stripe_idx)
+                    for r in mixed.collect()
+                ]
+            else:
+                only = mixed
         from pyspark.sql.types import StructType
 
         # field order MUST follow `tops` (decode_job pairs schema
@@ -1261,7 +1524,12 @@ def metadata_sum(
         sub = StructType([by_name[t] for t in tops])
         dec = decode_job(
             spark, out_dir, run_id, sub, columns=tops,
-            predicate=predicate or None, _only_groups=only,
+            predicate=(
+                predicate
+                if predicate and _bloom_relevant(predicate)
+                else None
+            ),
+            _only_groups=only,
         )
         if predicate:
             dec = dec.filter(zonemap.predicate_expr(predicate))
@@ -1333,16 +1601,12 @@ def metadata_group_aggregate(
     meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
         F.col("column").isin(need)
     )
-    present = {r.column for r in meta.select("column").distinct().collect()}
-    missing = sorted(set(need) - present)
-    if missing:
-        raise ValueError(
-            f"no stats rows for column(s) {missing} in run {run_id!r} "
-            "— decode-and-aggregate instead"
-        )
     gkeys = ["partition_id", "epoch", "stripe_idx"]
     if predicate:
-        cls = _classify_pred_groups(meta, predicate, gkeys)
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
+        )
     else:
         cls = (
             meta.groupBy(*gkeys)
@@ -1429,7 +1693,16 @@ def metadata_group_aggregate(
         .withColumnRenamed("_gval", group_col)
     )
     decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
-    n_decode = decode_groups.count()
+    # ONE metadata action: the decode-set size + the loud
+    # missing-column check for predicate columns. A stat-less group
+    # or agg column merely classifies its stripes impure/sum-less —
+    # they decode and the result stays exact.
+    chk = j.agg(
+        F.sum(F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)).alias("_nd"),
+        *_presence_aggs(predicate),
+    ).first()
+    _raise_missing(chk, predicate, run_id)
+    n_decode = int(chk._nd or 0)
     dec_part = None
     if n_decode:
         if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
@@ -1446,7 +1719,12 @@ def metadata_group_aggregate(
         sub = StructType([by_name[t] for t in tops])
         dec = decode_job(
             spark, out_dir, run_id, sub, columns=tops,
-            predicate=predicate or None, _only_groups=only,
+            predicate=(
+                predicate
+                if predicate and _bloom_relevant(predicate)
+                else None
+            ),
+            _only_groups=only,
         )
         if predicate:
             dec = dec.filter(zonemap.predicate_expr(predicate))

@@ -355,7 +355,7 @@ def _conjunct_keep(op: str, value) -> Column:
 _F53 = float(1 << 53)  # doubles are exact below this; proofs above risk rounding
 
 
-def _conjunct_all(op: str, value) -> Column:
+def _conjunct_all(op: str, value, pin: str | None = None) -> Column:
     """Provably EVERY row of the stripe satisfies (col op value) — the
     dual of :func:`_conjunct_keep`, powering metadata-only COUNT
     (pipeline.metadata_count). Evaluated on one stats row; null/absent
@@ -366,10 +366,14 @@ def _conjunct_all(op: str, value) -> Column:
       true min and stored max ≥ true max — so every implication drawn
       from them holds for the true values; no stat_exact gate needed.
     - Temporal int literals carry two candidate encodings (epoch-us /
-      epoch-days). Keep-pruning ORs them; an ALL-proof must hold under
-      BOTH (AND) since the stats row doesn't name its unit —
+      epoch-days). With ``pin`` unset an ALL-proof must hold under
+      BOTH (AND) since a bare stats row doesn't name its unit —
       conservative: a `<= ts` proof usually fails and the stripe is
-      decoded instead, never miscounted.
+      decoded instead, never miscounted. Callers that KNOW the column
+      type (metadata_count/sum/group_by carry result_schema) pass
+      pin="us" (timestamp columns) or pin="days" (date columns) to
+      select the single true encoding — upper-bounded time-range
+      proofs then fire, which is the whole game for warc_ts scans.
     - Cross-family proofs (int literal via min_num, float literal via
       min_int) compare through doubles, exact only below 2^53 —
       guarded; beyond it the family simply can't prove.
@@ -387,10 +391,19 @@ def _conjunct_all(op: str, value) -> Column:
     if op == "contains_token":
         return F.lit(False)  # token membership is never zone-provable
 
+    def _pin_cands(ints):
+        """Restrict a temporal literal's candidate encodings to the
+        pinned unit (index 0 = epoch-us, 1 = epoch-days). Bare ints
+        have one candidate and are unaffected."""
+        if ints is None or len(ints) < 2 or pin is None:
+            return ints
+        return [ints[0]] if pin == "us" else [ints[1]]
+
     def within(lo, hi, strict_lo=False, strict_hi=False) -> Column:
         """All values in the interval (bounds None = unbounded)."""
         ilo, nlo, slo = _as_scalar(lo) if lo is not None else (None,) * 3
         ihi, nhi, shi = _as_scalar(hi) if hi is not None else (None,) * 3
+        ilo, ihi = _pin_cands(ilo), _pin_cands(ihi)
         lo_cmp = (lambda c, v: c > F.lit(v)) if strict_lo else (
             lambda c, v: c >= F.lit(v)
         )

@@ -411,3 +411,57 @@ def test_metadata_group_aggregate_refusals(spark):
         pipeline.metadata_group_aggregate(
             spark, out, cfg.run_id, df.schema, "g"
         )
+
+
+def test_temporal_pin_enables_ts_range_all_proofs(spark):
+    """Upper-bounded timestamp conjuncts must prove ALL on a
+    ts-clustered layout once the column type pins the int encoding
+    (zonemap._conjunct_all pin="us") — without the pin the epoch-days
+    candidate always failed `max_int < hi` and everything decoded."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i)) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    out, cfg = _encode(spark, df, ["id", "ts"], cluster_by="ts")
+    lo = base + datetime.timedelta(minutes=800)
+    hi = base + datetime.timedelta(minutes=3200)
+    d = _check(spark, df, out, cfg, [("ts", ">=", lo), ("ts", "<", hi)])
+    assert d["rows_from_metadata"] > 0, d  # the pin makes proofs fire
+    assert d["n_mixed"] <= 2 * cfg.n_partitions
+    # sum through the same pins
+    _check_sum(spark, df, out, cfg, "id", [("ts", "<", hi)])
+
+
+def test_pushdown_distributed_path_same_answers(spark, monkeypatch):
+    """The driver fast path is budget-gated; force the distributed
+    classifier (the 100 TB route) and re-check exactness + dominance
+    parity between both paths."""
+    import datetime
+
+    from orc_spark.engine import pipeline, zonemap
+
+    monkeypatch.setattr(
+        zonemap, "_driver_plan_budget_ok", lambda _p: False
+    )
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), float(i % 101))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+    out, cfg = _encode(spark, df, ["id", "ts", "v"], cluster_by="ts")
+    pred = [
+        ("ts", ">=", base + datetime.timedelta(minutes=600)),
+        ("ts", "<", base + datetime.timedelta(minutes=2400)),
+    ]
+    d = _check(spark, df, out, cfg, pred)
+    assert d["rows_from_metadata"] > 0  # pins work distributed too
+    _check_sum(spark, df, out, cfg, "v", pred)
+    _check_sum(spark, df, out, cfg, "id", None)
+    with pytest.raises(ValueError, match="no stats rows"):
+        pipeline.metadata_count(
+            spark, out, cfg.run_id, df.schema, [("nope", "==", 1)]
+        )
