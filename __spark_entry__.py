@@ -843,6 +843,34 @@ def _q_metadata_group_by(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_metadata_topk(spark, sf_dir):
+    """r5 top-k pushdown (pipeline.metadata_topk): newest-k rows by
+    timestamp on a ts-clustered encode — the zone-threshold rule
+    (groups with max < the k-guarantee bound are skipped) decodes only
+    the tail stripes. Hash-checked against DuckDB's ORDER BY ts DESC,
+    event_id LIMIT 8 with the deterministic event_id tiebreak — a
+    threshold that wrongly skips a contender stripe changes a returned
+    row and mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mtk_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mtk-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "ts", "value"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="ts",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    return pipeline.metadata_topk(
+        spark, out, cfg.run_id, events.schema, "ts", 8,
+        descending=True, tiebreak="event_id",
+    )
+
+
 def _q_metadata_ndv(spark, sf_dir):
     """r5 sketch NDV (pipeline.metadata_ndv — per-stripe HyperLogLog
     registers merged with zero data reads; Iceberg ndv column-stat
@@ -2435,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
         "metadata_group_by": _q_metadata_group_by,
+        "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
@@ -2878,6 +2907,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
             "CAST(SUM(event_id) AS BIGINT) AS sum_event_id "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "metadata_topk": (
+            "SELECT event_id, ts, value FROM events "
+            "WHERE ts IS NOT NULL "
+            "ORDER BY ts DESC, event_id LIMIT 8"
         ),
         "decode_projection": "SELECT doc_id, lang FROM documents",
         "stats_sample_documents": stats.stats_sample_sql(

@@ -443,6 +443,24 @@ def cmd_groupagg(args) -> int:
     return EXIT_OK
 
 
+def cmd_topk(args) -> int:
+    """Exact ORDER BY col LIMIT k decoding only candidate stripes —
+    zone-threshold top-k pushdown (pipeline.metadata_topk)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    rows = pipeline.metadata_topk(
+        spark, args.out, args.run_id, schema, args.order_by, args.k,
+        descending=not args.asc,
+        columns=args.columns.split(",") if args.columns else None,
+        tiebreak=args.tiebreak, predicate=predicate or None,
+    ).collect()
+    print(json.dumps({"rows": [r.asDict() for r in rows]}, default=str))
+    return EXIT_OK
+
+
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
     HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
@@ -727,6 +745,26 @@ def main(argv: list[str] | None = None) -> int:
     ga.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     ga.set_defaults(fn=cmd_groupagg)
+
+    tk = sub.add_parser(
+        "topk",
+        help="exact ORDER BY col LIMIT k — zone thresholds decode "
+        "only candidate stripes (newest-k crawl slices)",
+    )
+    tk.add_argument("--out", required=True)
+    tk.add_argument("--run-id", required=True)
+    tk.add_argument("--order-by", required=True)
+    tk.add_argument("--k", type=int, required=True)
+    tk.add_argument("--asc", action="store_true",
+                    help="ascending (default: descending)")
+    tk.add_argument("--columns", default=None, help="comma-separated")
+    tk.add_argument("--tiebreak", default=None,
+                    help="secondary ascending sort column for ties")
+    tk.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    tk.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"lang='en'\" (repeatable)")
+    tk.set_defaults(fn=cmd_topk)
 
     nv = sub.add_parser(
         "ndv",

@@ -1024,13 +1024,15 @@ def _temporal_pins(result_schema, predicate: list[tuple]) -> dict:
     _conjunct_all prove under the single true int encoding instead of
     conservatively AND-ing both candidates (zonemap._conjunct_all's
     pin). Nested (dotted) columns stay unpinned (conservative)."""
-    from pyspark.sql.types import DateType, TimestampType
+    from pyspark.sql.types import (
+        DateType, TimestampNTZType, TimestampType,
+    )
 
     by_name = {f.name: f.dataType for f in result_schema.fields}
     pins = {}
     for col, _, _ in predicate:
         t = by_name.get(col)
-        if isinstance(t, TimestampType):
+        if isinstance(t, (TimestampType, TimestampNTZType)):
             pins[col] = "us"
         elif isinstance(t, DateType):
             pins[col] = "days"
@@ -1580,7 +1582,8 @@ def metadata_group_aggregate(
     """
     from pyspark.sql.types import (
         BooleanType, ByteType, DateType, IntegerType, LongType,
-        ShortType, StringType, StructType, TimestampType,
+        ShortType, StringType, StructType, TimestampNTZType,
+        TimestampType,
     )
 
     dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
@@ -1632,6 +1635,9 @@ def metadata_group_aggregate(
         gtype, (ByteType, ShortType, IntegerType, LongType, BooleanType,
                 TimestampType, DateType)
     ):
+        # TimestampNTZType is deliberately NOT here: rebuilding an NTZ
+        # key from epoch-us goes through a session-timezone-sensitive
+        # cast — NTZ group keys classify impure and decode (exact)
         pure = F.col("min_int").isNotNull() & (
             F.col("min_int") == F.col("max_int")
         )
@@ -1740,6 +1746,166 @@ def metadata_group_aggregate(
     if agg_col:
         faggs.append(F.sum("_msum").alias(f"sum_{agg_col}"))
     return both.groupBy(group_col).agg(*faggs)
+
+
+def metadata_topk(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    columns: list[str] | None = None,
+    tiebreak: str | None = None,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """EXACT ``ORDER BY order_col [DESC] LIMIT k`` that decodes only
+    the stripes that can contain a top-k row — the ORC row-index /
+    Iceberg sort-order top-k pushdown, predicate-aware.
+
+    Selection rule (DESC; ASC mirrors with bounds swapped): sort the
+    kept stripe groups by their zone MIN descending and accumulate
+    non-null counts; the threshold T is the largest zone-min at which
+    the groups with min >= T already GUARANTEE k rows >= T. Any group
+    whose zone max < T provably holds no top-k row and is skipped;
+    every other group decodes and the final orderBy/limit runs on that
+    small candidate set. Sound under widened bounds (outer bounds
+    weaken the guarantee and widen the candidate set, never drop a
+    contender); NaN-poisoned / stat-less groups have no bounds and are
+    always candidates. On a time-clustered crawl table "newest k
+    pages" touches the last stripe per partition.
+
+    ``tiebreak`` (default: none) is appended to the final sort for a
+    deterministic order on ties — selection only concerns order_col.
+    Returns the decoded top-k DataFrame in the requested column set.
+    Live deletes raise (zone counts describe encoded rows).
+    """
+    from pyspark.sql.types import (
+        ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType, StringType, StructType, TimestampNTZType, TimestampType,
+    )
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat top-k "
+            "describes the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    by_name = {f.name: f for f in result_schema.fields}
+    of = by_name.get(order_col)
+    if of is None:
+        raise ValueError(f"order column {order_col!r} not in result_schema")
+    if isinstance(of.dataType, StringType):
+        mn, mx = "min_str", "max_str"
+    elif isinstance(of.dataType, (FloatType, DoubleType)):
+        mn, mx = "min_num", "max_num"
+    elif isinstance(
+        of.dataType,
+        (ByteType, ShortType, IntegerType, LongType, TimestampType,
+         TimestampNTZType, DateType),
+    ):
+        mn, mx = "min_int", "max_int"
+    else:
+        raise ValueError(
+            f"order column type {of.dataType} has no zone family — "
+            "decode-and-sort instead"
+        )
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {order_col})
+    want = sorted(
+        set(columns or [f.name for f in result_schema.fields])
+        | set(need) | ({tiebreak} if tiebreak else set())
+    )
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    pins = _temporal_pins(result_schema, predicate)
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data")
+    if predicate:
+        cls = _classify_pred_groups(
+            meta.filter(F.col("column").isin(need)), predicate, gkeys,
+            pins=pins,
+        ).filter(F.col("_keep"))
+    else:
+        cls = (
+            meta.filter(F.col("column").isin(need))
+            .groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"))
+        )
+    ordstats = meta.filter(F.col("column") == order_col).select(
+        *gkeys,
+        F.col(mn).alias("_lo"), F.col(mx).alias("_hi"),
+        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    )
+    # bounded collect: one row per kept stripe group (metadata scale);
+    # the same threshold is computable distributed via a running-sum
+    # window when group count outgrows the driver — kept simple here
+    # because the row count is stripes-granular, not data-granular
+    rows = (
+        cls.select(*gkeys)
+        .join(ordstats, gkeys, "left")
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame(
+            [], StructType([by_name[c] for c in want])
+        )
+    bounded = [
+        r for r in rows if r._lo is not None and r._hi is not None
+    ]
+    unbounded = [
+        (r.partition_id, r.epoch, r.stripe_idx)
+        for r in rows
+        if r._lo is None or r._hi is None
+    ]
+    cands = list(unbounded)
+    if bounded:
+        # guarantee list: DESC uses zone mins (every non-null row of
+        # the group is >= its min), ASC uses zone maxes
+        guar = sorted(
+            ((r._lo if descending else r._hi), int(r._nn or 0))
+            for r in bounded
+        )
+        if descending:
+            guar = guar[::-1]
+        total, thresh = 0, None
+        for v, nn in guar:
+            total += nn
+            if total >= k:
+                thresh = v
+                break
+        for r in bounded:
+            edge = r._hi if descending else r._lo
+            if (
+                thresh is None
+                or (edge >= thresh if descending else edge <= thresh)
+            ):
+                cands.append((r.partition_id, r.epoch, r.stripe_idx))
+    sub = StructType([by_name[c] for c in want])
+    dec = decode_job(
+        spark, out_dir, run_id, sub, columns=want,
+        predicate=(
+            predicate if predicate and _bloom_relevant(predicate) else None
+        ),
+        _only_groups=[(int(p), int(e), int(s)) for p, e, s in cands],
+    )
+    if predicate:
+        dec = dec.filter(zonemap.predicate_expr(predicate))
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    out = dec.filter(F.col(order_col).isNotNull()).orderBy(*order).limit(k)
+    final = (
+        list(columns)
+        if columns is not None
+        else [f.name for f in result_schema.fields if f.name in set(want)]
+    )
+    return out.select(*final)
 
 
 def verify_roundtrip(

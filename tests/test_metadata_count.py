@@ -465,3 +465,81 @@ def test_pushdown_distributed_path_same_answers(spark, monkeypatch):
         pipeline.metadata_count(
             spark, out, cfg.run_id, df.schema, [("nope", "==", 1)]
         )
+
+
+# ------------------------------------------------- top-k pushdown
+
+def test_metadata_topk_exact_and_prunes(spark, monkeypatch):
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), float((i * 37) % 211))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+    out, cfg = _encode(spark, df, ["id", "ts", "v"], cluster_by="ts")
+
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = len(og) if isinstance(og, list) else -1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+
+    def check(order_col, k, desc, pred, tb):
+        r = pipeline.metadata_topk(
+            spark, out, cfg.run_id, df.schema, order_col, k,
+            descending=desc, tiebreak=tb, predicate=pred,
+        )
+        got = [tuple(x) for x in r.collect()]
+        q = df.filter(zonemap.predicate_expr(pred)) if pred else df
+        o = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+        if tb:
+            o.append(F.col(tb).asc())
+        tru = [
+            tuple(x)
+            for x in q.filter(F.col(order_col).isNotNull())
+            .orderBy(*o).limit(k).collect()
+        ]
+        assert got == tru, (order_col, k, desc, pred, got[:3], tru[:3])
+
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    check("ts", 10, True, None, "id")
+    # ts-clustered: "newest 10" decodes only the tail stripes
+    assert 0 < seen["n"] <= cfg.n_partitions + 1, seen
+    assert seen["n"] < total_groups / 2
+    check("ts", 10, False, None, "id")
+    check("v", 6, True, None, "id")          # unclustered: still exact
+    check("id", 5, True, [("v", ">", 100.0)], None)
+    check("ts", 2000, True, None, "id")      # k beyond one stripe
+
+
+def test_metadata_topk_nulls_and_refusals(spark):
+    from orc_spark.engine import pipeline
+
+    rows = [(i, None if i % 4 == 0 else float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    out, cfg = _encode(spark, df, ["id", "v"])
+    r = pipeline.metadata_topk(
+        spark, out, cfg.run_id, df.schema, "v", 5, tiebreak="id"
+    )
+    got = [tuple(x) for x in r.collect()]
+    assert [g[1] for g in got] == [999.0, 998.0, 997.0, 995.0, 994.0]
+    with pytest.raises(ValueError, match="k must be positive"):
+        pipeline.metadata_topk(spark, out, cfg.run_id, df.schema, "v", 0)
+    with pytest.raises(ValueError, match="not in result_schema"):
+        pipeline.metadata_topk(spark, out, cfg.run_id, df.schema, "nope", 3)
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [1])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_topk(spark, out, cfg.run_id, df.schema, "v", 3)
