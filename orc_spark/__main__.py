@@ -461,6 +461,65 @@ def cmd_topk(args) -> int:
     return EXIT_OK
 
 
+def cmd_plan(args) -> int:
+    """EXPLAIN for the stripe store: classify every stripe group
+    against the predicate (NONE/ALL/MIXED) with zero data reads and
+    report what a predicated decode / metadata aggregate would touch —
+    the pruning dry-run a user reads before paying for the scan."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where]
+    # classification only — metadata_count would also decode; reuse
+    # its classifier pieces for the dry-run
+    stripes = pipeline.read_stripes(spark, args.out, args.run_id)
+    pcols = sorted({c for c, _, _ in predicate})
+    want_tops = {c.partition(".")[0] for c in pcols}
+    pins = pipeline._temporal_pins(schema, predicate)
+    fast = pipeline._classify_driver(
+        spark, args.out, stripes, pcols, want_tops, predicate, pins
+    )
+    if fast is not None:
+        groups, _, _ = fast
+        n_none = sum(1 for g in groups.values() if not g["keep"])
+        n_all = sum(1 for g in groups.values() if g["keep"] and g["all_"])
+        n_mixed = sum(1 for g in groups.values() if g["keep"] and not g["all_"])
+        rows_all = sum(
+            g["n_rows"] for g in groups.values() if g["keep"] and g["all_"]
+        )
+        rows_mixed = sum(
+            g["n_rows"] for g in groups.values()
+            if g["keep"] and not g["all_"]
+        )
+    else:
+        from pyspark.sql import functions as F
+
+        meta = pipeline._epoch_keep_filter(
+            spark, stripes, want_tops
+        ).drop("data").filter(F.col("column").isin(pcols))
+        cls = pipeline._classify_pred_groups(
+            meta, predicate, ["partition_id", "epoch", "stripe_idx"],
+            pins=pins,
+        )
+        r = cls.agg(
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_none"),
+            F.sum(F.when(F.col("_keep") & F.col("_all"), 1).otherwise(0)).alias("n_all"),
+            F.sum(F.when(F.col("_keep") & ~F.col("_all"), 1).otherwise(0)).alias("n_mixed"),
+            F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("rows_all"),
+            F.sum(F.when(F.col("_keep") & ~F.col("_all"), F.col("n_rows"))).alias("rows_mixed"),
+        ).first()
+        n_none, n_all, n_mixed = int(r.n_none or 0), int(r.n_all or 0), int(r.n_mixed or 0)
+        rows_all, rows_mixed = int(r.rows_all or 0), int(r.rows_mixed or 0)
+    print(json.dumps({
+        "stripe_groups": {"none": n_none, "all": n_all, "mixed": n_mixed},
+        "rows_provable_from_metadata": rows_all,
+        "rows_needing_decode_at_most": rows_mixed,
+        "planned_driver_side": fast is not None,
+    }))
+    return EXIT_OK
+
+
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
     HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
@@ -765,6 +824,19 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"lang='en'\" (repeatable)")
     tk.set_defaults(fn=cmd_topk)
+
+    pl = sub.add_parser(
+        "plan",
+        help="pruning dry-run: NONE/ALL/MIXED stripe classification "
+        "for a predicate, zero data reads",
+    )
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--run-id", required=True)
+    pl.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    pl.add_argument("--where", action="append", required=True,
+                    help="conjunct, e.g. \"ts>='2024-03-01'\" (repeatable)")
+    pl.set_defaults(fn=cmd_plan)
 
     nv = sub.add_parser(
         "ndv",

@@ -568,15 +568,21 @@ def decode_job(
         # small runs plan driver-side off the parquet footers
         # (zonemap._fused_prune_driver — a single-stage collect)
         sdir = lineage_mod.stripes_dir(out_dir)
+        # temporal keep-pins from the caller's schema: lower-bounded
+        # timestamp scans ("since date X") prune only when the stat
+        # unit is known (zonemap._pin_keep_cands)
+        pins = _temporal_pins(result_schema, predicate)
         stripes = zonemap.fused_prune(
             all_stripes,
             want,
             predicate,
             stripes_path=None if storage.is_iceberg(sdir) else sdir,
+            pins=pins,
         )
         if stripes is None:  # keep-set too large for literal pushdown
             stripes = zonemap.prune_stripes(
-                _epoch_keep_filter(spark, all_stripes, want), predicate
+                _epoch_keep_filter(spark, all_stripes, want), predicate,
+                pins=pins,
             )
     elif _only_groups is not None and as_of_epoch is None:
         # the caller's keep-set carries exact (partition, EPOCH,
@@ -1064,7 +1070,12 @@ def _classify_pred_groups(
         hit = F.col("column") == col
         flags.append(
             F.max(
-                F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
+                F.when(
+                    hit,
+                    zonemap._conjunct_keep(
+                        op, val, pin=(pins or {}).get(col)
+                    ).cast("int"),
+                )
             ).alias(f"_keep{j}")
         )
         flags.append(
@@ -1166,7 +1177,11 @@ def _classify_driver(
     for j, (col, op, val) in enumerate(predicate):
         hit = F.col("column") == col
         proj = proj.withColumn(
-            f"_k{j}", F.when(hit, zonemap._conjunct_keep(op, val).cast("int"))
+            f"_k{j}",
+            F.when(
+                hit,
+                zonemap._conjunct_keep(op, val, pin=pins.get(col)).cast("int"),
+            ),
         ).withColumn(
             f"_a{j}",
             F.when(

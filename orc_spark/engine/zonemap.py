@@ -189,12 +189,32 @@ def _as_scalar(v):
     raise TypeError(f"unsupported predicate value type: {type(v).__name__}")
 
 
-def _range_overlap(lo, hi) -> Column:
+_DAY_US = 86_400_000_000
+
+
+def _pin_keep_cands(ints, pin):
+    """Keep-side candidate pinning: a caller that knows the column
+    type (decode_job / the metadata aggregates carry result_schema)
+    selects the single true int encoding (index 0 = epoch-us,
+    1 = epoch-days), so the OR over candidates stops keeping stripes
+    the wrong-unit comparison can never veto — this is what lets a
+    lower-bounded timestamp scan ("everything since date X") prune at
+    all. Day-truncation of a fractional datetime literal only widens
+    keep-ranges (floor(lo) keeps more on the left, floor(hi) prunes
+    only rows strictly past hi) — sound for keep in both directions.
+    Bare ints have one candidate and pass through."""
+    if ints is None or len(ints) < 2 or pin is None:
+        return ints
+    return [ints[0]] if pin == "us" else [ints[1]]
+
+
+def _range_overlap(lo, hi, pin: str | None = None) -> Column:
     """Keep-condition: the stripe's [min, max] intersects [lo, hi]
     (either bound None = unbounded). Evaluated per stat family; a
     family's stats being null means it can't veto."""
     ilo, nlo, slo = _as_scalar(lo) if lo is not None else (None, None, None)
     ihi, nhi, shi = _as_scalar(hi) if hi is not None else (None, None, None)
+    ilo, ihi = _pin_keep_cands(ilo, pin), _pin_keep_cands(ihi, pin)
 
     def fam(minc: str, maxc: str, flo, fhi) -> Column:
         cond = F.col(minc).isNotNull()
@@ -241,6 +261,14 @@ def _single_valued_at(value) -> Column:
     under Spark WHERE semantics, so nulls don't block the prune;
     absent stats never prove anything (keep)."""
     ints, num, s = _as_scalar(value)
+    if ints is not None and len(ints) >= 2 and ints[0] != ints[1] * _DAY_US:
+        # fractional-time temporal literal: its epoch-DAYS candidate is
+        # TRUNCATED, so "stripe single-valued at floor(v)" does NOT
+        # mean every row equals v (a date column's midnight rows differ
+        # from a 12:30 literal and DO match !=) — proving through the
+        # truncated candidate would wrongly prune live rows. Only the
+        # exact epoch-us candidate may prove.
+        ints = [ints[0]]
 
     def fam(minc: str, maxc: str, v) -> Column:
         return (
@@ -301,7 +329,7 @@ def _prefix_overlap(prefix: str) -> Column:
     return keep | ~stats_present
 
 
-def _conjunct_keep(op: str, value) -> Column:
+def _conjunct_keep(op: str, value, pin: str | None = None) -> Column:
     if op not in _OPS:
         raise ValueError(f"unsupported predicate op: {op!r}")
     if op == "like_prefix":
@@ -330,26 +358,26 @@ def _conjunct_keep(op: str, value) -> Column:
         return ~_single_valued_at(value)
     if op == "between":
         lo, hi = value
-        return _range_overlap(lo, hi)
+        return _range_overlap(lo, hi, pin)
     if op == "in":
         vals = list(value)
         if not vals:
             return F.lit(False)  # empty IN-list matches nothing
-        keep = _range_overlap(vals[0], vals[0])
+        keep = _range_overlap(vals[0], vals[0], pin)
         for v in vals[1:]:
-            keep = keep | _range_overlap(v, v)
+            keep = keep | _range_overlap(v, v, pin)
         return keep
     if op in ("==", "="):
-        return _range_overlap(value, value)
+        return _range_overlap(value, value, pin)
     if op == ">=":
-        return _range_overlap(value, None)
+        return _range_overlap(value, None, pin)
     if op == ">":
         # strict: a stripe whose max == value still can't satisfy, but
         # only when max is exact; inclusive overlap stays conservative
-        return _range_overlap(value, None)
+        return _range_overlap(value, None, pin)
     if op == "<=":
-        return _range_overlap(None, value)
-    return _range_overlap(None, value)  # '<'
+        return _range_overlap(None, value, pin)
+    return _range_overlap(None, value, pin)  # '<'
 
 
 _F53 = float(1 << 53)  # doubles are exact below this; proofs above risk rounding
@@ -394,10 +422,17 @@ def _conjunct_all(op: str, value, pin: str | None = None) -> Column:
     def _pin_cands(ints):
         """Restrict a temporal literal's candidate encodings to the
         pinned unit (index 0 = epoch-us, 1 = epoch-days). Bare ints
-        have one candidate and are unaffected."""
+        have one candidate and are unaffected. A fractional-time
+        literal's days candidate is TRUNCATED — proving through it
+        would miscount (midnight rows at floor(v) fail `>= v` but the
+        floored proof would claim them) — so an unfaithful days pin
+        keeps BOTH candidates (the AND never proves; the group
+        decodes, exact)."""
         if ints is None or len(ints) < 2 or pin is None:
             return ints
-        return [ints[0]] if pin == "us" else [ints[1]]
+        if pin == "us":
+            return [ints[0]]
+        return [ints[1]] if ints[0] == ints[1] * _DAY_US else ints
 
     def within(lo, hi, strict_lo=False, strict_hi=False) -> Column:
         """All values in the interval (bounds None = unbounded)."""
@@ -497,7 +532,11 @@ def _conjunct_all(op: str, value, pin: str | None = None) -> Column:
     return F.coalesce(cond & no_nulls, F.lit(False))
 
 
-def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
+def prune_stripes(
+    stripes: DataFrame,
+    predicate: list[Conjunct],
+    pins: dict | None = None,
+) -> DataFrame:
     """Drop stripe groups that provably cannot satisfy ``predicate``.
 
     Metadata-only: the keep-set is computed on the blob-free columns
@@ -517,7 +556,7 @@ def prune_stripes(stripes: DataFrame, predicate: list[Conjunct]) -> DataFrame:
     meta = stripes.drop("data")
     has_bloom = "bloom" in stripes.columns  # pre-r3 tables: stats only
     for col, op, value in predicate:
-        cond = _conjunct_keep(op, value)
+        cond = _conjunct_keep(op, value, pin=(pins or {}).get(col))
         rows = meta.filter(F.col("column") == col).filter(cond)
         pvals = _bloom_probe_vals(op, value)
         if has_bloom and pvals is not None:
@@ -612,6 +651,7 @@ def _fused_prune_driver(
     want: list[str],
     predicate: list[Conjunct],
     max_groups: int,
+    pins: dict | None = None,
 ) -> DataFrame | None:
     """fused_prune's small-metadata fast path: ONE single-stage Spark
     job (scan -> row-level conjunct flags -> collect, no exchange) and
@@ -648,7 +688,7 @@ def _fused_prune_driver(
     flag_cols = []
     probe_vals: dict[int, list] = {}  # conjunct idx -> IN-list values
     for i, (c, op, value) in enumerate(predicate):
-        cond = _conjunct_keep(op, value)
+        cond = _conjunct_keep(op, value, pin=(pins or {}).get(c))
         proj = proj.withColumn(
             f"_k{i}", F.when(F.col("column") == c, cond.cast("int"))
         )
@@ -739,6 +779,7 @@ def fused_prune(
     predicate: list[Conjunct],
     max_groups: int = _PUSHDOWN_MAX_GROUPS,
     stripes_path: str | None = None,
+    pins: dict | None = None,
 ) -> DataFrame | None:
     """Epoch keep-map + zonemap/bloom keep-set in ONE bounded metadata
     job (VERDICT r3 #4: a predicated decode previously paid three
@@ -787,7 +828,7 @@ def fused_prune(
 
     want = sorted(want_cols)
     if stripes_path is not None and _driver_plan_budget_ok(stripes_path):
-        return _fused_prune_driver(stripes, want, predicate, max_groups)
+        return _fused_prune_driver(stripes, want, predicate, max_groups, pins)
     pcols = {c for c, _, _ in predicate}
     proj = (
         stripes.drop("data")
@@ -798,7 +839,7 @@ def fused_prune(
     bloom_probes: dict[str, list] = {}  # agg alias -> probe values
     has_bloom = "bloom" in stripes.columns
     for i, (c, op, value) in enumerate(predicate):
-        cond = _conjunct_keep(op, value)
+        cond = _conjunct_keep(op, value, pin=(pins or {}).get(c))
         # null when the group has no row for the conjunct's column —
         # which prunes, matching prune_stripes' intersection semantics
         proj = proj.withColumn(

@@ -543,3 +543,67 @@ def test_metadata_topk_nulls_and_refusals(spark):
     pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [1])
     with pytest.raises(ValueError, match="live deletes"):
         pipeline.metadata_topk(spark, out, cfg.run_id, df.schema, "v", 3)
+
+
+def test_ne_fractional_datetime_on_date_column_never_prunes_rows(spark):
+    """Regression: a `!=` literal with a TIME component against a DATE
+    column used to prune through the literal's TRUNCATED epoch-days
+    candidate — a stripe single-valued at that day lost all its rows,
+    though midnight dates differ from a 12:30 literal and match `!=`.
+    The days candidate may now prove only when faithful (midnight)."""
+    import datetime
+
+    from orc_spark.engine import pipeline, zonemap
+
+    d0 = datetime.date(2024, 1, 20)
+    rows = [(i, d0 if i < 500 else datetime.date(2024, 3, 1))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, d date")
+    out, cfg = _encode(spark, df, ["id", "d"], cluster_by="d")
+    pred = [("d", "!=", datetime.datetime(2024, 1, 20, 12, 30))]
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, df.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    # every row's date-as-midnight differs from the 12:30 literal
+    assert dec.count() == 1000
+    cnt, _ = pipeline.metadata_count(spark, out, cfg.run_id, df.schema, pred)
+    assert cnt == 1000
+    # the faithful (midnight) literal still prunes / proves normally
+    pred_mid = [("d", "!=", datetime.datetime(2024, 1, 20))]
+    cnt2, _ = pipeline.metadata_count(
+        spark, out, cfg.run_id, df.schema, pred_mid
+    )
+    assert cnt2 == 500
+
+
+def test_keep_pins_prune_lower_bounded_ts_scan(spark, monkeypatch):
+    """'Everything since date X' on a ts-clustered table must PRUNE:
+    the keep-side OR over temporal candidates kept every stripe for
+    lower-bounded ts predicates until pins selected the true unit."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    out, cfg = _encode(spark, df, ["id", "ts"], cluster_by="ts")
+    lo = base + datetime.timedelta(minutes=3000)
+    pred = [("ts", ">=", lo)]
+    dec = pipeline.decode_job(
+        spark, out, cfg.run_id, df.schema, predicate=pred
+    )
+    got = dec.filter(zonemap.predicate_expr(pred)).count()
+    assert got == 1000
+    # the predicated plan touched fewer stripe groups than exist:
+    # count survivors through the same prune the decode ran
+    stripes = pipeline.read_stripes(spark, out, cfg.run_id)
+    pins = pipeline._temporal_pins(df.schema, pred)
+    kept = zonemap.prune_stripes(
+        pipeline._epoch_keep_filter(spark, stripes, {"ts"}),
+        pred, pins=pins,
+    ).select("partition_id", "stripe_idx").distinct().count()
+    total = stripes.select("partition_id", "stripe_idx").distinct().count()
+    assert kept < total / 2, (kept, total)
