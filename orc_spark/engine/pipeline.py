@@ -1855,57 +1855,83 @@ def metadata_topk(
         F.col(mn).alias("_lo"), F.col(mx).alias("_hi"),
         (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
     )
-    # bounded collect: one row per kept stripe group (metadata scale);
-    # the same threshold is computable distributed via a running-sum
-    # window when group count outgrows the driver — kept simple here
-    # because the row count is stripes-granular, not data-granular
-    rows = (
-        cls.select(*gkeys)
-        .join(ordstats, gkeys, "left")
-        .collect()
-    )
-    if not rows:
-        return spark.createDataFrame(
-            [], StructType([by_name[c] for c in want])
+    j = cls.select(*gkeys).join(ordstats, gkeys, "left")
+    sdir = lineage_mod.stripes_dir(out_dir)
+    if not storage.is_iceberg(sdir) and zonemap._driver_plan_budget_ok(sdir):
+        # footer-budget fast path: one bounded collect (a row per kept
+        # stripe group) and the threshold as a python sort
+        rows = j.collect()
+        if not rows:
+            return spark.createDataFrame(
+                [], StructType([by_name[c] for c in want])
+            )
+        bounded = [
+            r for r in rows if r._lo is not None and r._hi is not None
+        ]
+        unbounded = [
+            (r.partition_id, r.epoch, r.stripe_idx)
+            for r in rows
+            if r._lo is None or r._hi is None
+        ]
+        cands = list(unbounded)
+        if bounded:
+            # guarantee list: DESC uses zone mins (every non-null row
+            # of the group is >= its min), ASC uses zone maxes
+            guar = sorted(
+                ((r._lo if descending else r._hi), int(r._nn or 0))
+                for r in bounded
+            )
+            if descending:
+                guar = guar[::-1]
+            total, thresh = 0, None
+            for v, nn in guar:
+                total += nn
+                if total >= k:
+                    thresh = v
+                    break
+            for r in bounded:
+                edge = r._hi if descending else r._lo
+                if (
+                    thresh is None
+                    or (edge >= thresh if descending else edge <= thresh)
+                ):
+                    cands.append((r.partition_id, r.epoch, r.stripe_idx))
+        only = [(int(p), int(e), int(s)) for p, e, s in cands]
+    else:
+        # distributed threshold (100 TB route — stripe-group metadata
+        # outgrows the driver): running-sum window over the guarantee
+        # bound, ONE scalar to the driver, candidates stay a DataFrame
+        # (decode_job semi-joins them)
+        from pyspark.sql import Window
+
+        gb = F.col("_lo") if descending else F.col("_hi")
+        w = Window.orderBy(gb.desc() if descending else gb.asc())
+        trow = (
+            j.filter(F.col("_lo").isNotNull() & F.col("_hi").isNotNull())
+            .withColumn("_cum", F.sum(F.coalesce("_nn", F.lit(0))).over(w))
+            .filter(F.col("_cum") >= k)
+            .agg(
+                (F.max(gb) if descending else F.min(gb)).alias("t")
+            ).first()
         )
-    bounded = [
-        r for r in rows if r._lo is not None and r._hi is not None
-    ]
-    unbounded = [
-        (r.partition_id, r.epoch, r.stripe_idx)
-        for r in rows
-        if r._lo is None or r._hi is None
-    ]
-    cands = list(unbounded)
-    if bounded:
-        # guarantee list: DESC uses zone mins (every non-null row of
-        # the group is >= its min), ASC uses zone maxes
-        guar = sorted(
-            ((r._lo if descending else r._hi), int(r._nn or 0))
-            for r in bounded
-        )
-        if descending:
-            guar = guar[::-1]
-        total, thresh = 0, None
-        for v, nn in guar:
-            total += nn
-            if total >= k:
-                thresh = v
-                break
-        for r in bounded:
-            edge = r._hi if descending else r._lo
-            if (
-                thresh is None
-                or (edge >= thresh if descending else edge <= thresh)
-            ):
-                cands.append((r.partition_id, r.epoch, r.stripe_idx))
+        thresh = trow.t if trow is not None else None
+        edge = F.col("_hi") if descending else F.col("_lo")
+        no_bounds = F.col("_lo").isNull() | F.col("_hi").isNull()
+        if thresh is None:
+            only = j.select(*gkeys)
+        else:
+            only = j.filter(
+                no_bounds
+                | (edge >= F.lit(thresh) if descending
+                   else edge <= F.lit(thresh))
+            ).select(*gkeys)
     sub = StructType([by_name[c] for c in want])
     dec = decode_job(
         spark, out_dir, run_id, sub, columns=want,
         predicate=(
             predicate if predicate and _bloom_relevant(predicate) else None
         ),
-        _only_groups=[(int(p), int(e), int(s)) for p, e, s in cands],
+        _only_groups=only,
     )
     if predicate:
         dec = dec.filter(zonemap.predicate_expr(predicate))

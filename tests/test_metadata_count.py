@@ -607,3 +607,37 @@ def test_keep_pins_prune_lower_bounded_ts_scan(spark, monkeypatch):
     ).select("partition_id", "stripe_idx").distinct().count()
     total = stripes.select("partition_id", "stripe_idx").distinct().count()
     assert kept < total / 2, (kept, total)
+
+
+def test_metadata_topk_distributed_threshold_path(spark, monkeypatch):
+    """Force the windowed distributed threshold (the 100 TB route) and
+    check it selects the same top-k as the driver fast path."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), float((i * 13) % 97))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, v double")
+    out, cfg = _encode(spark, df, ["id", "ts", "v"], cluster_by="ts")
+    monkeypatch.setattr(zonemap, "_driver_plan_budget_ok", lambda _p: False)
+    for order_col, k, desc, pred in [
+        ("ts", 7, True, None),
+        ("ts", 7, False, None),
+        ("v", 5, True, [("ts", ">=", base + datetime.timedelta(minutes=500))]),
+        ("id", 4000, True, None),  # k beyond the table
+    ]:
+        r = pipeline.metadata_topk(
+            spark, out, cfg.run_id, df.schema, order_col, k,
+            descending=desc, tiebreak="id", predicate=pred,
+        )
+        got = [tuple(x) for x in r.collect()]
+        q = df.filter(zonemap.predicate_expr(pred)) if pred else df
+        o = [F.col(order_col).desc() if desc else F.col(order_col).asc(),
+             F.col("id").asc()]
+        tru = [tuple(x) for x in q.filter(F.col(order_col).isNotNull())
+               .orderBy(*o).limit(k).collect()]
+        assert got == tru, (order_col, k, desc, got[:3], tru[:3])
