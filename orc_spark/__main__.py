@@ -481,7 +481,19 @@ def cmd_plan(args) -> int:
         spark, args.out, stripes, pcols, want_tops, predicate, pins
     )
     if fast is not None:
-        groups, _, _ = fast
+        groups, present, _ = fast
+        # same loud contract as metadata_count: a misspelled /
+        # stats-less predicate column must error, not print an
+        # all-zero classification that reads as "everything prunes"
+        missing = sorted(
+            {predicate[j][0] for j in range(len(predicate))
+             if not present[j]}
+        )
+        if missing:
+            raise SystemExit(
+                f"error: no stats rows for predicate column(s) "
+                f"{missing} in run {args.run_id!r}"
+            )
         n_none = sum(1 for g in groups.values() if not g["keep"])
         n_all = sum(1 for g in groups.values() if g["keep"] and g["all_"])
         n_mixed = sum(1 for g in groups.values() if g["keep"] and not g["all_"])
@@ -508,7 +520,12 @@ def cmd_plan(args) -> int:
             F.sum(F.when(F.col("_keep") & ~F.col("_all"), 1).otherwise(0)).alias("n_mixed"),
             F.sum(F.when(F.col("_keep") & F.col("_all"), F.col("n_rows"))).alias("rows_all"),
             F.sum(F.when(F.col("_keep") & ~F.col("_all"), F.col("n_rows"))).alias("rows_mixed"),
+            *pipeline._presence_aggs(predicate),
         ).first()
+        try:
+            pipeline._raise_missing(r, predicate, args.run_id)
+        except ValueError as e:
+            raise SystemExit(f"error: {e}") from None
         n_none, n_all, n_mixed = int(r.n_none or 0), int(r.n_all or 0), int(r.n_mixed or 0)
         rows_all, rows_mixed = int(r.rows_all or 0), int(r.rows_mixed or 0)
     print(json.dumps({

@@ -1250,6 +1250,57 @@ def _classify_driver(
     return groups, present, tgt_present
 
 
+def _restricted_decode(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    cols,
+    predicate: list[tuple] | None,
+    only,
+) -> DataFrame:
+    """Shared tail of every metadata aggregate: decode ONLY the stripe
+    groups in ``only`` (list => literal pushdown, DataFrame =>
+    semi-join; see decode_job(_only_groups)), projecting the top-level
+    parents of ``cols`` (dotted names decode their parent struct;
+    field order follows the sorted tops — decode_job pairs schema
+    fields with `columns` positionally). The in-decode fused prune is
+    engaged only when the predicate carries bloom-relevant conjuncts
+    (equality/IN/token) — for pure range predicates the caller's
+    classifier already did all the zone math."""
+    from pyspark.sql.types import StructType
+
+    tops = sorted({c.partition(".")[0] for c in cols})
+    by_name = {f.name: f for f in result_schema.fields}
+    lost = sorted(set(tops) - set(by_name))
+    if lost:
+        raise ValueError(f"column(s) {lost} not in result_schema")
+    sub = StructType([by_name[t] for t in tops])
+    return decode_job(
+        spark, out_dir, run_id, sub, columns=tops,
+        predicate=(
+            predicate if predicate and _bloom_relevant(predicate) else None
+        ),
+        _only_groups=only,
+    )
+
+
+def _nested_field_type(result_schema, dotted: str):
+    """Resolve the leaf DataType of a (possibly dotted) column path
+    against a StructType; None when the path doesn't resolve."""
+    from pyspark.sql.types import StructType
+
+    node = result_schema
+    for part in dotted.split("."):
+        if not isinstance(node, StructType):
+            return None
+        f = next((f for f in node.fields if f.name == part), None)
+        if f is None:
+            return None
+        node = f.dataType
+    return node
+
+
 def metadata_count(
     spark: SparkSession,
     out_dir: str,
@@ -1359,27 +1410,8 @@ def metadata_count(
                 ]
             else:  # huge boundary set: semi-join, no driver collect
                 only = mixed
-        from pyspark.sql.types import StructType
-
-        # nested conjuncts ("meta.status") decode their parent struct;
-        # field order MUST follow `tops` — decode_job pairs schema
-        # fields with `columns` positionally
-        tops = sorted({c.partition(".")[0] for c in pcols})
-        by_name = {f.name: f for f in result_schema.fields}
-        lost = sorted(set(tops) - set(by_name))
-        if lost:
-            raise ValueError(
-                f"predicate column(s) {lost} not in result_schema"
-            )
-        sub = StructType([by_name[t] for t in tops])
-        dec = decode_job(
-            spark, out_dir, run_id, sub, columns=tops,
-            # range-only predicates gain nothing from the in-decode
-            # fused prune (the classifier already did zone math; only
-            # equality-shaped conjuncts add bloom vetoes) — skip its
-            # redundant metadata job
-            predicate=predicate if _bloom_relevant(predicate) else None,
-            _only_groups=only,
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, pcols, predicate, only
         )
         mixed_count = dec.filter(zonemap.predicate_expr(predicate)).count()
     return meta_rows + mixed_count, detail
@@ -1485,7 +1517,14 @@ def metadata_sum(
         # ONE metadata action: totals + the loud missing-column check for
         # predicate columns (_presence_aggs) and the target (_tp)
         agg = j.agg(
-            F.sum(F.when(meta_ok, F.col("sum_int"))).alias("s_int"),
+            # decimal(38,0) accumulation: each stripe sum is bounded by
+            # the encode-side 2^62 guard, but the TOTAL over stripes is
+            # not — a plain long SUM would wrap silently past int64
+            # while the driver fast path (unbounded Python ints) stays
+            # exact. 38 digits ≈ 2^126 keeps ~2^64 stripes exact.
+            F.sum(
+                F.when(meta_ok, F.col("sum_int").cast("decimal(38,0)"))
+            ).alias("s_int"),
             F.sum(F.when(meta_ok, F.col("sum_num"))).alias("s_num"),
             F.sum(F.when(meta_ok, F.col("_nn"))).alias("nn"),
             F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_meta"),
@@ -1529,34 +1568,39 @@ def metadata_sum(
                 ]
             else:
                 only = mixed
-        from pyspark.sql.types import StructType
-
-        # field order MUST follow `tops` (decode_job pairs schema
-        # fields with `columns` positionally)
-        tops = sorted({c.partition(".")[0] for c in need})
-        by_name = {f.name: f for f in result_schema.fields}
-        lost = sorted(set(tops) - set(by_name))
-        if lost:
-            raise ValueError(f"column(s) {lost} not in result_schema")
-        sub = StructType([by_name[t] for t in tops])
-        dec = decode_job(
-            spark, out_dir, run_id, sub, columns=tops,
-            predicate=(
-                predicate
-                if predicate and _bloom_relevant(predicate)
-                else None
-            ),
-            _only_groups=only,
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need, predicate, only
         )
         if predicate:
             dec = dec.filter(zonemap.predicate_expr(predicate))
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType,
+        )
+
+        # integral leaves aggregate in decimal(38,0) so the decode
+        # residue stays exact past int64 (Spark's long SUM wraps),
+        # mirroring the decimal accumulation on the metadata side
+        leaf = _nested_field_type(result_schema, column)
+        scol = (
+            F.col(column).cast("decimal(38,0)")
+            if isinstance(leaf, (ByteType, ShortType, IntegerType, LongType))
+            else F.col(column)
+        )
         row = dec.agg(
-            F.sum(column).alias("s"), F.count(column).alias("c")
+            F.sum(scol).alias("s"), F.count(column).alias("c")
         ).first()
         dec_sum = row.s
         dec_nn = int(row.c)
         if dec_sum is not None and not isinstance(dec_sum, (int, float)):
-            dec_sum = float(dec_sum)  # Decimal → float (decimal cols)
+            # Decimal: exact int for the integral path, float for
+            # genuine decimal columns
+            dec_sum = (
+                int(dec_sum)
+                if isinstance(
+                    leaf, (ByteType, ShortType, IntegerType, LongType)
+                )
+                else float(dec_sum)
+            )
     total_nn = meta_nn + dec_nn
     if meta_sum is None:
         total = dec_sum
@@ -1597,8 +1641,7 @@ def metadata_group_aggregate(
     """
     from pyspark.sql.types import (
         BooleanType, ByteType, DateType, IntegerType, LongType,
-        ShortType, StringType, StructType, TimestampNTZType,
-        TimestampType,
+        ShortType, StringType, TimestampType,
     )
 
     dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
@@ -1634,12 +1677,12 @@ def metadata_group_aggregate(
                 F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
             )
         )
-    # group-column purity + the single value, typed via its stat family
-    gtype = (
-        by_name[group_col].dataType
-        if group_col in by_name
-        else None  # nested: resolved by decode; metadata path below
-    )
+    # group-column purity + the single value, typed via its stat
+    # family. The LEAF type drives the family even for dotted keys
+    # (nested stats rows ride the parent's stripes under the dotted
+    # name), so a struct-field group key gets the metadata path too;
+    # unresolvable paths fall through to pure=False (decode, exact).
+    gtype = _nested_field_type(result_schema, group_col)
     ghit = meta.filter(F.col("column") == group_col)
     if isinstance(gtype, StringType):
         pure = F.col("min_str").isNotNull() & (
@@ -1682,11 +1725,15 @@ def metadata_group_aggregate(
     j = j.withColumn("_pure", F.coalesce("_pure", F.lit(False)))
     int_agg = False
     if agg_col:
-        af = by_name.get(agg_col.partition(".")[0])
-        if af is None:
+        # classify by the LEAF type — a dotted agg_col's top-level
+        # field is a StructType, which would misroute an integer leaf
+        # onto the float family (sum_num is null for int leaves:
+        # pushdown dead, decode sums in double, exactness lost)
+        atype = _nested_field_type(result_schema, agg_col)
+        if atype is None:
             raise ValueError(f"agg column {agg_col!r} not in result_schema")
         int_agg = isinstance(
-            af.dataType, (ByteType, ShortType, IntegerType, LongType)
+            atype, (ByteType, ShortType, IntegerType, LongType)
         )
         tgt = meta.filter(F.col("column") == agg_col).select(
             *gkeys, "sum_int", "sum_num",
@@ -1702,16 +1749,23 @@ def metadata_group_aggregate(
     else:
         has_sum = F.lit(True)
     meta_ok = F.col("_keep") & F.col("_all") & F.col("_pure") & has_sum
-    # metadata contribution: one (group, cnt[, sum]) row per pure stripe
+    # metadata contribution: one (group, cnt[, sum]) row per pure
+    # stripe. Int sums accumulate in decimal(38,0): per-stripe sums
+    # are int64-bounded by the encode guard but the per-GROUP total is
+    # not, and a plain long SUM would wrap silently. Grouping rides an
+    # internal key name (_gkey) so dotted group columns never hit
+    # Spark's unresolvable-literal-dotted-name groupBy.
     maggs = [F.sum("n_rows").alias("cnt")]
     if agg_col:
         maggs.append(
-            F.sum(F.col("sum_int") if int_agg else F.col("sum_num"))
-            .alias("_msum")
+            F.sum(
+                F.col("sum_int").cast("decimal(38,0)")
+                if int_agg else F.col("sum_num")
+            ).alias("_msum")
         )
     meta_part = (
         j.filter(meta_ok).groupBy("_gval").agg(*maggs)
-        .withColumnRenamed("_gval", group_col)
+        .withColumnRenamed("_gval", "_gkey")
     )
     decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
     # ONE metadata action: the decode-set size + the loud
@@ -1733,34 +1787,34 @@ def metadata_group_aggregate(
             ]
         else:
             only = decode_groups
-        tops = sorted({c.partition(".")[0] for c in need})
-        lost = sorted(set(tops) - set(by_name))
-        if lost:
-            raise ValueError(f"column(s) {lost} not in result_schema")
-        sub = StructType([by_name[t] for t in tops])
-        dec = decode_job(
-            spark, out_dir, run_id, sub, columns=tops,
-            predicate=(
-                predicate
-                if predicate and _bloom_relevant(predicate)
-                else None
-            ),
-            _only_groups=only,
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need, predicate, only
         )
         if predicate:
             dec = dec.filter(zonemap.predicate_expr(predicate))
         daggs = [F.count(F.lit(1)).alias("cnt")]
         if agg_col:
             dsum = F.sum(
-                F.col(agg_col).cast("long" if int_agg else "double")
+                F.col(agg_col).cast(
+                    "decimal(38,0)" if int_agg else "double"
+                )
             )
             daggs.append(dsum.alias("_msum"))
-        dec_part = dec.groupBy(F.col(group_col).alias(group_col)).agg(*daggs)
+        dec_part = dec.groupBy(F.col(group_col).alias("_gkey")).agg(*daggs)
     both = meta_part if dec_part is None else meta_part.unionByName(dec_part)
     faggs = [F.sum("cnt").alias("cnt")]
     if agg_col:
-        faggs.append(F.sum("_msum").alias(f"sum_{agg_col}"))
-    return both.groupBy(group_col).agg(*faggs)
+        fsum = F.sum("_msum")
+        if int_agg:
+            # back to the advertised exact int64 column; a total past
+            # int64 errors under ANSI (Spark 4 default) / NULLs under
+            # non-ANSI — loud either way, never a silent wrap
+            fsum = fsum.cast("long")
+        faggs.append(fsum.alias(f"sum_{agg_col}"))
+    return (
+        both.groupBy("_gkey").agg(*faggs)
+        .withColumnRenamed("_gkey", group_col)
+    )
 
 
 def metadata_topk(
@@ -1775,9 +1829,14 @@ def metadata_topk(
     tiebreak: str | None = None,
     predicate: list[tuple] | None = None,
 ) -> DataFrame:
-    """EXACT ``ORDER BY order_col [DESC] LIMIT k`` that decodes only
-    the stripes that can contain a top-k row — the ORC row-index /
-    Iceberg sort-order top-k pushdown, predicate-aware.
+    """EXACT ``WHERE order_col IS NOT NULL ORDER BY order_col [DESC]
+    LIMIT k`` that decodes only the stripes that can contain a top-k
+    row — the ORC row-index / Iceberg sort-order top-k pushdown,
+    predicate-aware. NULL order values are excluded BY CONTRACT (the
+    zone families rank values, not nulls) — callers wanting Spark's
+    bare ORDER BY null placement (ASC NULLS FIRST / DESC NULLS LAST
+    fill) add the null rows themselves; the CLI and the oracle twin
+    state the same ``IS NOT NULL`` clause.
 
     Selection rule (DESC; ASC mirrors with bounds swapped): sort the
     kept stripe groups by their zone MIN descending and accumulate
@@ -1798,7 +1857,7 @@ def metadata_topk(
     """
     from pyspark.sql.types import (
         ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
-        ShortType, StringType, StructType, TimestampNTZType, TimestampType,
+        ShortType, StringType, TimestampNTZType, TimestampType,
     )
 
     if k <= 0:
@@ -1844,58 +1903,59 @@ def metadata_topk(
         cls = _classify_pred_groups(
             meta.filter(F.col("column").isin(need)), predicate, gkeys,
             pins=pins,
-        ).filter(F.col("_keep"))
+        ).filter(F.col("_keep")).select(*gkeys, "_all")
     else:
         cls = (
             meta.filter(F.col("column").isin(need))
             .groupBy(*gkeys).agg(F.max("n_rows").alias("n_rows"))
+            .select(*gkeys, F.lit(True).alias("_all"))
         )
     ordstats = meta.filter(F.col("column") == order_col).select(
         *gkeys,
         F.col(mn).alias("_lo"), F.col(mx).alias("_hi"),
         (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
     )
-    j = cls.select(*gkeys).join(ordstats, gkeys, "left")
+    j = cls.join(ordstats, gkeys, "left")
+    # the k-guarantee may count a group's rows ONLY when the predicate
+    # provably holds for every row (_all) — a zone/bloom-keep MIXED
+    # group might contain zero matching rows, and counting it could
+    # push the threshold past the stripes holding the true top-k
     sdir = lineage_mod.stripes_dir(out_dir)
     if not storage.is_iceberg(sdir) and zonemap._driver_plan_budget_ok(sdir):
         # footer-budget fast path: one bounded collect (a row per kept
         # stripe group) and the threshold as a python sort
         rows = j.collect()
-        if not rows:
-            return spark.createDataFrame(
-                [], StructType([by_name[c] for c in want])
-            )
-        bounded = [
-            r for r in rows if r._lo is not None and r._hi is not None
+        bounded_all = [
+            r for r in rows
+            if r._all and r._lo is not None and r._hi is not None
         ]
-        unbounded = [
-            (r.partition_id, r.epoch, r.stripe_idx)
-            for r in rows
-            if r._lo is None or r._hi is None
-        ]
-        cands = list(unbounded)
-        if bounded:
+        thresh = None
+        if bounded_all:
             # guarantee list: DESC uses zone mins (every non-null row
-            # of the group is >= its min), ASC uses zone maxes
+            # of an ALL group is a MATCH >= its min), ASC uses maxes
             guar = sorted(
                 ((r._lo if descending else r._hi), int(r._nn or 0))
-                for r in bounded
+                for r in bounded_all
             )
             if descending:
                 guar = guar[::-1]
-            total, thresh = 0, None
+            total = 0
             for v, nn in guar:
                 total += nn
                 if total >= k:
                     thresh = v
                     break
-            for r in bounded:
-                edge = r._hi if descending else r._lo
-                if (
-                    thresh is None
-                    or (edge >= thresh if descending else edge <= thresh)
-                ):
-                    cands.append((r.partition_id, r.epoch, r.stripe_idx))
+        cands = []
+        for r in rows:
+            if r._lo is None or r._hi is None:
+                cands.append((r.partition_id, r.epoch, r.stripe_idx))
+                continue
+            edge = r._hi if descending else r._lo
+            if (
+                thresh is None
+                or (edge >= thresh if descending else edge <= thresh)
+            ):
+                cands.append((r.partition_id, r.epoch, r.stripe_idx))
         only = [(int(p), int(e), int(s)) for p, e, s in cands]
     else:
         # distributed threshold (100 TB route — stripe-group metadata
@@ -1907,7 +1967,10 @@ def metadata_topk(
         gb = F.col("_lo") if descending else F.col("_hi")
         w = Window.orderBy(gb.desc() if descending else gb.asc())
         trow = (
-            j.filter(F.col("_lo").isNotNull() & F.col("_hi").isNotNull())
+            j.filter(
+                F.col("_all")
+                & F.col("_lo").isNotNull() & F.col("_hi").isNotNull()
+            )
             .withColumn("_cum", F.sum(F.coalesce("_nn", F.lit(0))).over(w))
             .filter(F.col("_cum") >= k)
             .agg(
@@ -1925,13 +1988,8 @@ def metadata_topk(
                 | (edge >= F.lit(thresh) if descending
                    else edge <= F.lit(thresh))
             ).select(*gkeys)
-    sub = StructType([by_name[c] for c in want])
-    dec = decode_job(
-        spark, out_dir, run_id, sub, columns=want,
-        predicate=(
-            predicate if predicate and _bloom_relevant(predicate) else None
-        ),
-        _only_groups=only,
+    dec = _restricted_decode(
+        spark, out_dir, run_id, result_schema, want, predicate, only
     )
     if predicate:
         dec = dec.filter(zonemap.predicate_expr(predicate))
@@ -1946,7 +2004,7 @@ def metadata_topk(
         if columns is not None
         else [f.name for f in result_schema.fields if f.name in set(want)]
     )
-    return out.select(*final)
+    return out.select(*[F.col(c).alias(c) for c in final])
 
 
 def verify_roundtrip(

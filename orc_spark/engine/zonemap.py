@@ -178,11 +178,24 @@ def _as_scalar(v):
     if isinstance(v, str):
         return None, None, v
     if isinstance(v, datetime.datetime):
-        if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        epoch = datetime.datetime(1970, 1, 1)
-        us = int((v - epoch) / datetime.timedelta(microseconds=1))
-        return [us, (v.date() - epoch.date()).days], None, None
+        # epoch-us via the EXACT rule PySpark applies to a
+        # TimestampType literal (tz-aware → UTC, naive → driver-local
+        # mktime). The residual row filter compares against
+        # predicate_expr's F.lit(v); deriving the stat-side scalar any
+        # other way (e.g. naive-as-UTC) makes the ALL/NONE proofs and
+        # the row filter disagree on the same literal whenever the
+        # driver timezone is not UTC — silently wrong metadata
+        # aggregates (review r5 #2). Verified live: F.lit epoch ==
+        # toInternal under TZ=America/New_York.
+        from pyspark.sql.types import TimestampType
+
+        us = TimestampType().toInternal(v)
+        d = (
+            v.astimezone(datetime.timezone.utc).date()
+            if v.tzinfo is not None else v.date()
+        )
+        epoch_day = (d - datetime.date(1970, 1, 1)).days
+        return [us, epoch_day], None, None
     if isinstance(v, datetime.date):
         days = (v - datetime.date(1970, 1, 1)).days
         return [days * 86_400_000_000, days], None, None

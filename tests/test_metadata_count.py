@@ -641,3 +641,192 @@ def test_metadata_topk_distributed_threshold_path(spark, monkeypatch):
         tru = [tuple(x) for x in q.filter(F.col(order_col).isNotNull())
                .orderBy(*o).limit(k).collect()]
         assert got == tru, (order_col, k, desc, got[:3], tru[:3])
+
+
+# --------------------------------------------- review-r5 regressions
+
+def test_as_scalar_matches_pyspark_literal_rule():
+    """zonemap._as_scalar must produce the SAME epoch-us a
+    predicate_expr F.lit literal carries (PySpark's
+    TimestampType.toInternal: naive → driver-local mktime, tz-aware →
+    UTC); naive-as-UTC here silently skews every metadata ALL/NONE
+    proof by the driver's UTC offset (review r5 #2 — verified live
+    under TZ=America/New_York that F.lit follows toInternal)."""
+    from pyspark.sql.types import TimestampType
+
+    from orc_spark.engine import zonemap
+
+    tt = TimestampType()
+    for dt in [
+        datetime.datetime(2024, 3, 1, 12, 0, 0),
+        datetime.datetime(2024, 7, 4, 23, 59, 59, 123456),
+        datetime.datetime(
+            2024, 3, 1, 12, 0, 0, tzinfo=datetime.timezone.utc
+        ),
+        datetime.datetime(
+            2024, 3, 1, 12, 0, 0,
+            tzinfo=datetime.timezone(datetime.timedelta(hours=-5)),
+        ),
+    ]:
+        ints, num, s = zonemap._as_scalar(dt)
+        assert num is None and s is None
+        assert ints[0] == tt.toInternal(dt), dt
+
+
+def test_metadata_topk_mixed_groups_never_satisfy_k_guarantee(
+    spark, monkeypatch
+):
+    """A zone/bloom-kept MIXED stripe group can hold ZERO matching
+    rows; counting its rows toward the k-guarantee pushes the
+    threshold past the stripes holding the true top-k (review r5 #1).
+    Layout: the high-ts stripes are all predicate-misses, the only
+    matches live at low ts — both driver and distributed paths must
+    return them."""
+    from orc_spark.engine import pipeline, zonemap
+
+    base = datetime.datetime(2024, 1, 1)
+    # rows 0..999: status mixes 'err' (matching) ONLY at i < 500;
+    # the newest half is pure 'ok' (MIXED at stripe grain because
+    # each 100-row stripe spans the boundary region unevenly)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i),
+         "err" if i < 500 and i % 7 == 0 else "ok")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, st string")
+    out, cfg = _encode(
+        spark, df, ["id", "ts", "st"], cluster_by="ts", stripe_rows=100
+    )
+    pred = [("st", "==", "err")]
+    import pyspark.sql.functions as F
+
+    tru = [
+        tuple(x)
+        for x in df.filter("st = 'err'")
+        .orderBy(F.col("ts").desc(), F.col("id").asc())
+        .limit(5).collect()
+    ]
+    for force_distributed in (False, True):
+        if force_distributed:
+            monkeypatch.setattr(
+                zonemap, "_driver_plan_budget_ok", lambda _p: False
+            )
+        got = [
+            tuple(x)
+            for x in pipeline.metadata_topk(
+                spark, out, cfg.run_id, df.schema, "ts", 5,
+                descending=True, tiebreak="id", predicate=pred,
+            ).collect()
+        ]
+        assert got == tru, (force_distributed, got, tru)
+
+
+def test_metadata_group_aggregate_nested_group_and_agg(spark):
+    """Dotted group/agg columns: the old code crashed at the final
+    groupBy (unbackticked literal dotted name) and misrouted nested
+    int leaves onto the float family (review r5 #4/#5). The leaf type
+    now drives the family and grouping rides an internal key."""
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, ("s" + str(i % 5), i * 3)) for i in range(2000)],
+        "id bigint, meta struct<status:string, cnt:bigint>",
+    )
+    out, cfg = _encode(
+        spark, df, ["id", "meta"], cluster_by="meta.status",
+        stripe_rows=200,
+    )
+    got = pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, df.schema, "meta.status", "meta.cnt"
+    )
+    assert got.schema["sum_meta.cnt"].dataType.typeName() == "long"
+    truth = (
+        df.groupBy(F.col("meta.status").alias("meta.status"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("meta.cnt").alias("sum_meta.cnt"),
+        )
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    t = sorted(tuple(r) for r in truth.collect())
+    assert g == t
+
+
+def test_metadata_sum_distributed_no_int64_wrap(spark, monkeypatch):
+    """Stripe sums are individually bounded by the encode guard, but
+    their TOTAL is not: the distributed path must accumulate in
+    decimal, matching the driver fast path's unbounded Python ints
+    (review r5 #6). 2048 values near 2^53 → stripe sums ~2^61 (guard
+    passes), total ~2^64 (a plain long SUM wraps negative)."""
+    from orc_spark.engine import pipeline
+
+    vals = [(i, (1 << 53) + i) for i in range(2048)]
+    df = spark.createDataFrame(vals, "id bigint, big bigint")
+    out, cfg = _encode(spark, df, ["id", "big"], stripe_rows=256)
+    expected = sum(v for _, v in vals)
+    assert expected > (1 << 63)  # the wrap territory
+    s_fast, c_fast, d_fast = pipeline.metadata_sum(
+        spark, out, cfg.run_id, df.schema, "big"
+    )
+    monkeypatch.setattr(
+        pipeline.zonemap, "_driver_plan_budget_ok", lambda _p: False
+    )
+    s_dist, c_dist, d_dist = pipeline.metadata_sum(
+        spark, out, cfg.run_id, df.schema, "big"
+    )
+    assert s_fast == s_dist == expected
+    assert c_fast == c_dist == 2048
+    # both answered from metadata alone (sums were recorded)
+    assert d_fast["rows_from_metadata"] == 2048
+    assert d_dist["rows_from_metadata"] == 2048
+
+
+def test_metadata_group_aggregate_int_overflow_loud_not_wrapped(spark):
+    """A per-group total past int64 surfaces LOUDLY — an ANSI cast
+    overflow error (Spark 4 default) or NULL under non-ANSI — never a
+    silently wrapped number (the decimal accumulator makes the
+    overflow detectable at all; a long SUM would just wrap)."""
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, "g", (1 << 53) + i) for i in range(2048)],
+        "id bigint, grp string, big bigint",
+    )
+    out, cfg = _encode(
+        spark, df, ["id", "grp", "big"], cluster_by="grp",
+        stripe_rows=256,
+    )
+    res = pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, df.schema, "grp", "big"
+    )
+    try:
+        rows = res.collect()
+    except Exception as e:  # ANSI: decimal→long cast overflow error
+        assert "OVERFLOW" in str(e).upper(), e
+    else:  # non-ANSI: NULL, not a wrapped value
+        assert len(rows) == 1 and rows[0]["cnt"] == 2048
+        assert rows[0]["sum_big"] is None
+
+
+def test_cli_plan_missing_column_errors(spark, tmp_path):
+    """`plan` must fail loudly on a stats-less predicate column like
+    every metadata entry point — an all-zero classification silently
+    reads as 'everything prunes' (review r5 #9)."""
+    from orc_spark.__main__ import main
+
+    src = str(tmp_path / "plan_src.parquet")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "id bigint, v double"
+    ).write.parquet(src)
+    out = str(tmp_path / "plan_stripes")
+    assert main([
+        "encode", src, "--out", out, "--run-id", "p1", "--key", "id",
+        "--partitions", "2", "--stripe-rows", "128",
+    ]) == 0
+    with pytest.raises(SystemExit, match="no stats rows"):
+        main([
+            "plan", "--out", out, "--run-id", "p1",
+            "--schema-from", src, "--where", "idd>=100",
+        ])
