@@ -843,6 +843,36 @@ def _q_metadata_group_by(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_metadata_group_minmax(spark, sf_dir):
+    """r5 grouped MIN/MAX pushdown (metadata_group_aggregate
+    agg='max'): latest capture per event type — on a type-clustered
+    encode, stripes single-valued in the key answer MAX(ts) straight
+    from their zone bounds; only the stripes where two types meet
+    decode. Hash-checked: a purity misclassification, a bounds-family
+    misroute, or an unsound zone max anywhere shifts a group's
+    timestamp and mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mgm_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mgm-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "ts", "event_type"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_type",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    return pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, events.schema, "event_type", "ts",
+        agg="max",
+    ).orderBy("event_type")
+
+
 def _q_metadata_topk(spark, sf_dir):
     """r5 top-k pushdown (pipeline.metadata_topk): newest-k rows by
     timestamp on a ts-clustered encode — the zone-threshold rule
@@ -2463,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
         "metadata_group_by": _q_metadata_group_by,
+        "metadata_group_minmax": _q_metadata_group_minmax,
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
@@ -2906,6 +2937,11 @@ def oracle_sql() -> dict[str, str]:
         "metadata_group_by": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
             "CAST(SUM(event_id) AS BIGINT) AS sum_event_id "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "metadata_group_minmax": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "MAX(ts) AS max_ts "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "metadata_topk": (

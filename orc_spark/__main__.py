@@ -427,8 +427,8 @@ def cmd_sum(args) -> int:
 
 
 def cmd_groupagg(args) -> int:
-    """Exact GROUP BY count/sum — stripes single-valued in the group
-    key answer from metadata, boundary/impure stripes decode
+    """Exact GROUP BY count/sum/min/max — stripes single-valued in the
+    group key answer from metadata, boundary/impure stripes decode
     (pipeline.metadata_group_aggregate)."""
     from orc_spark.engine import pipeline
 
@@ -437,7 +437,7 @@ def cmd_groupagg(args) -> int:
     predicate = [_parse_where(w) for w in args.where or []]
     rows = pipeline.metadata_group_aggregate(
         spark, args.out, args.run_id, schema, args.group_by,
-        args.sum, predicate or None,
+        args.agg_col, predicate or None, agg=args.agg,
     ).orderBy(args.group_by).collect()
     print(json.dumps({"groups": [r.asDict() for r in rows]}, default=str))
     return EXIT_OK
@@ -809,13 +809,16 @@ def main(argv: list[str] | None = None) -> int:
 
     ga = sub.add_parser(
         "groupagg",
-        help="exact GROUP BY count/sum (optional WHERE) — key-pure "
-        "stripes answer from metadata, boundaries decode",
+        help="exact GROUP BY count/sum/min/max (optional WHERE) — "
+        "key-pure stripes answer from metadata, boundaries decode",
     )
     ga.add_argument("--out", required=True)
     ga.add_argument("--run-id", required=True)
     ga.add_argument("--group-by", required=True)
-    ga.add_argument("--sum", default=None, help="optional SUM column")
+    ga.add_argument("--sum", dest="agg_col", default=None,
+                    help="optional aggregate column")
+    ga.add_argument("--agg", choices=("sum", "min", "max"),
+                    default="sum", help="fold applied to the column")
     ga.add_argument("--schema-from", required=True,
                     help="parquet path whose schema types the columns")
     ga.add_argument("--where", action="append", default=None,

@@ -1619,11 +1619,23 @@ def metadata_group_aggregate(
     group_col: str,
     agg_col: str | None = None,
     predicate: list[tuple] | None = None,
+    agg: str = "sum",
 ) -> DataFrame:
-    """EXACT ``SELECT group_col, COUNT(*) [, SUM(agg_col)] WHERE p
-    GROUP BY group_col`` where stripes PURE in the group column (zone
-    min == max, zero nulls, exact stats) are answered from metadata —
-    the grouped completion of metadata_count/metadata_sum.
+    """EXACT ``SELECT group_col, COUNT(*) [, SUM|MIN|MAX(agg_col)]
+    WHERE p GROUP BY group_col`` where stripes PURE in the group
+    column (zone min == max, zero nulls, exact stats) are answered
+    from metadata — the grouped completion of
+    metadata_count/metadata_sum/metadata_aggregate.
+
+    ``agg="sum"`` (default) folds the per-stripe exact sums;
+    ``agg="min"``/``"max"`` fold the per-stripe zone bounds — a pure
+    predicate-ALL stripe's zone min/max IS its group contribution
+    (MIN/MAX skip SQL nulls exactly like the zone stats do, and a
+    stripe whose agg column is entirely null contributes its rows to
+    cnt with no value). Leaves without an exact stat family (decimal's
+    widened bounds, timestamp_ntz's tz-sensitive rebuild, nested
+    containers) route every stripe to the decode half — exact either
+    way, never estimated.
 
     On a group-clustered layout (cluster_by=group_col) nearly every
     stripe is single-valued in the key, so the whole GROUP BY costs a
@@ -1636,14 +1648,16 @@ def metadata_group_aggregate(
     metadata rows and decoded rows merge in one final groupBy. Live
     deletes raise (stats describe encoded rows).
 
-    Returns a DataFrame (group_col, cnt, [sum_<agg_col>]) — cnt is
+    Returns a DataFrame (group_col, cnt, [<agg>_<agg_col>]) — cnt is
     COUNT(*) of the group's predicate-matching rows.
     """
     from pyspark.sql.types import (
-        BooleanType, ByteType, DateType, IntegerType, LongType,
-        ShortType, StringType, TimestampType,
+        BooleanType, ByteType, DateType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, StringType, TimestampType,
     )
 
+    if agg not in ("sum", "min", "max"):
+        raise ValueError(f"agg must be 'sum', 'min' or 'max', got {agg!r}")
     dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
     if dstats["n_vectors"] or dstats["n_eq_values"]:
         raise ValueError(
@@ -1735,19 +1749,76 @@ def metadata_group_aggregate(
         int_agg = isinstance(
             atype, (ByteType, ShortType, IntegerType, LongType)
         )
-        tgt = meta.filter(F.col("column") == agg_col).select(
-            *gkeys, "sum_int", "sum_num",
-        )
-        j = j.join(tgt, gkeys, "left")
-        # the agg column's type picks the stat family — int sums stay
-        # exact int64 end-to-end, float sums stay double
-        has_sum = (
-            F.col("sum_int").isNotNull()
-            if int_agg
-            else F.col("sum_num").isNotNull()
-        )
+        if agg == "sum":
+            tgt = meta.filter(F.col("column") == agg_col).select(
+                *gkeys, "sum_int", "sum_num",
+            )
+            j = j.join(tgt, gkeys, "left")
+            # the agg column's type picks the stat family — int sums
+            # stay exact int64 end-to-end, float sums stay double
+            has_sum = (
+                F.col("sum_int").isNotNull()
+                if int_agg
+                else F.col("sum_num").isNotNull()
+            )
+        else:
+            # MIN/MAX: zone bounds ARE the contribution. Family +
+            # leaf-type rebuild mirror the group-key logic above;
+            # TimestampNTZType is excluded for the same tz-cast
+            # reason, decimals for their widened (inexact) bounds.
+            if isinstance(
+                atype, (ByteType, ShortType, IntegerType, LongType,
+                        BooleanType, TimestampType, DateType)
+            ):
+                fam = "int"
+            elif isinstance(atype, (FloatType, DoubleType)):
+                fam = "num"
+            elif isinstance(atype, StringType):
+                fam = "str"
+            else:
+                fam = None
+            if fam is not None:
+                tgt = meta.filter(F.col("column") == agg_col).select(
+                    *gkeys,
+                    F.col(f"min_{fam}").alias("_amin"),
+                    F.col(f"max_{fam}").alias("_amax"),
+                    F.coalesce("stat_exact", F.lit(True)).alias("_aexact"),
+                    # an all-null agg stripe has no bounds but still
+                    # contributes its rows to cnt; MIN/MAX over it is
+                    # SQL-null, exactly what the fold produces
+                    (
+                        F.coalesce("null_count", F.lit(0))
+                        == F.col("n_rows")
+                    ).alias("_aallnull"),
+                )
+                j = j.join(tgt, gkeys, "left")
+                has_sum = (
+                    F.col("_amin").isNotNull()
+                    & F.col("_amax").isNotNull()
+                    & F.col("_aexact")
+                ) | F.coalesce("_aallnull", F.lit(False))
+            else:
+                has_sum = F.lit(False)  # decode everything: exact
+                # typed null placeholders keep the (never-matching)
+                # metadata fold analyzable
+                j = (
+                    j.withColumn("_amin", F.lit(None))
+                    .withColumn("_amax", F.lit(None))
+                )
     else:
         has_sum = F.lit(True)
+
+    def _mm_leaf(src):
+        """Rebuild the leaf-typed value from its int/num/str stat."""
+        if isinstance(atype, TimestampType):
+            return F.timestamp_micros(src)
+        if isinstance(atype, DateType):
+            return F.date_from_unix_date(src.cast("int"))
+        if isinstance(atype, BooleanType):
+            return src == 1
+        if isinstance(atype, StringType):
+            return src
+        return src.cast(atype)
     meta_ok = F.col("_keep") & F.col("_all") & F.col("_pure") & has_sum
     # metadata contribution: one (group, cnt[, sum]) row per pure
     # stripe. Int sums accumulate in decimal(38,0): per-stripe sums
@@ -1757,12 +1828,17 @@ def metadata_group_aggregate(
     # Spark's unresolvable-literal-dotted-name groupBy.
     maggs = [F.sum("n_rows").alias("cnt")]
     if agg_col:
-        maggs.append(
-            F.sum(
-                F.col("sum_int").cast("decimal(38,0)")
-                if int_agg else F.col("sum_num")
-            ).alias("_msum")
-        )
+        if agg == "sum":
+            maggs.append(
+                F.sum(
+                    F.col("sum_int").cast("decimal(38,0)")
+                    if int_agg else F.col("sum_num")
+                ).alias("_msum")
+            )
+        else:
+            mfold = F.min if agg == "min" else F.max
+            msrc = F.col("_amin" if agg == "min" else "_amax")
+            maggs.append(mfold(_mm_leaf(msrc)).alias("_msum"))
     meta_part = (
         j.filter(meta_ok).groupBy("_gval").agg(*maggs)
         .withColumnRenamed("_gval", "_gkey")
@@ -1794,23 +1870,30 @@ def metadata_group_aggregate(
             dec = dec.filter(zonemap.predicate_expr(predicate))
         daggs = [F.count(F.lit(1)).alias("cnt")]
         if agg_col:
-            dsum = F.sum(
-                F.col(agg_col).cast(
-                    "decimal(38,0)" if int_agg else "double"
+            if agg == "sum":
+                dval = F.sum(
+                    F.col(agg_col).cast(
+                        "decimal(38,0)" if int_agg else "double"
+                    )
                 )
-            )
-            daggs.append(dsum.alias("_msum"))
+            else:
+                dval = (F.min if agg == "min" else F.max)(F.col(agg_col))
+            daggs.append(dval.alias("_msum"))
         dec_part = dec.groupBy(F.col(group_col).alias("_gkey")).agg(*daggs)
     both = meta_part if dec_part is None else meta_part.unionByName(dec_part)
     faggs = [F.sum("cnt").alias("cnt")]
     if agg_col:
-        fsum = F.sum("_msum")
-        if int_agg:
-            # back to the advertised exact int64 column; a total past
-            # int64 errors under ANSI (Spark 4 default) / NULLs under
-            # non-ANSI — loud either way, never a silent wrap
-            fsum = fsum.cast("long")
-        faggs.append(fsum.alias(f"sum_{agg_col}"))
+        if agg == "sum":
+            fsum = F.sum("_msum")
+            if int_agg:
+                # back to the advertised exact int64 column; a total
+                # past int64 errors under ANSI (Spark 4 default) /
+                # NULLs under non-ANSI — loud either way, never a
+                # silent wrap
+                fsum = fsum.cast("long")
+        else:
+            fsum = (F.min if agg == "min" else F.max)(F.col("_msum"))
+        faggs.append(fsum.alias(f"{agg}_{agg_col}"))
     return (
         both.groupBy("_gkey").agg(*faggs)
         .withColumnRenamed("_gkey", group_col)

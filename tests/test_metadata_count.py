@@ -394,6 +394,143 @@ def test_metadata_group_aggregate_nulls_in_group_key(spark):
     _check_group(spark, df, out, cfg, "g", "id", [("id", ">=", 300)])
 
 
+def _check_group_mm(spark, df, out, cfg, group_col, agg_col, agg, predicate):
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    res = pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, df.schema, group_col, agg_col,
+        predicate, agg=agg,
+    )
+    key = lambda t: (t[0] is not None, str(t[0]))  # noqa: E731
+    got = sorted((tuple(r) for r in res.collect()), key=key)
+    q = df.filter(zonemap.predicate_expr(predicate)) if predicate else df
+    fold = F.min(agg_col) if agg == "min" else F.max(agg_col)
+    truth = sorted(
+        (
+            tuple(r)
+            for r in q.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                fold.alias(f"{agg}_{agg_col}"),
+            )
+            .collect()
+        ),
+        key=key,
+    )
+    assert got == truth, (group_col, agg_col, agg, predicate, got, truth)
+
+
+def test_metadata_group_aggregate_minmax(spark):
+    """agg='min'/'max' fold per-stripe zone bounds: every stat family
+    (int, float, string, timestamp) must match Spark's row-level
+    GROUP BY exactly, with and without a predicate."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value", "event_type", "ts")
+    )
+    out, cfg = _encode(
+        spark, df, ["event_id", "value", "event_type", "ts"],
+        cluster_by="event_type",
+    )
+    for agg in ("min", "max"):
+        _check_group_mm(spark, df, out, cfg, "event_type", "value", agg, None)
+        _check_group_mm(spark, df, out, cfg, "event_type", "ts", agg, None)
+        _check_group_mm(
+            spark, df, out, cfg, "event_type", "event_id", agg,
+            [("event_id", ">=", 3000)],
+        )
+    # string agg col folds through min_str/max_str
+    _check_group_mm(spark, df, out, cfg, "event_type", "event_type", "max", None)
+
+
+def test_metadata_group_aggregate_minmax_is_metadata_dominant(
+    spark, monkeypatch
+):
+    """On a group-clustered layout MIN/MAX decodes only the stripes
+    where two groups meet — same decode-set spy as the sum test."""
+    from orc_spark.engine import pipeline
+
+    rows = [(i, float(i % 97), f"g{(i * 7919) % 4}") for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, value double, event_type string"
+    )
+    out, cfg = _encode(
+        spark, df, ["event_id", "value", "event_type"],
+        cluster_by="event_type", stripe_rows=128,
+    )
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = og if isinstance(og, int) else (
+            len(og) if isinstance(og, list) else -1
+        )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    _check_group_mm(spark, df, out, cfg, "event_type", "value", "max", None)
+    n_types = 4
+    assert seen.get("n", 0) <= (n_types - 1) * cfg.n_partitions
+    assert seen.get("n", 0) < total_groups / 2
+
+
+def test_metadata_group_aggregate_minmax_all_null_and_decimal(spark):
+    """An all-null agg stripe contributes its rows to cnt with a null
+    value (never decoded, never dropped); a decimal agg column — whose
+    zone bounds are widened, hence inexact — routes every stripe to
+    decode and still returns the exact answer."""
+    import decimal
+
+    import pyspark.sql.functions as F
+
+    from orc_spark.engine import pipeline
+
+    rows = [
+        (
+            i,
+            f"g{i % 2}",
+            None if i % 2 == 0 else float(i),  # g0's v entirely null
+            decimal.Decimal(i) / 4,
+        )
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, g string, v double, d decimal(12,2)"
+    )
+    out, cfg = _encode(spark, df, ["id", "g", "v", "d"], cluster_by="g")
+    _check_group_mm(spark, df, out, cfg, "g", "v", "max", None)
+    _check_group_mm(spark, df, out, cfg, "g", "v", "min", None)
+    res = pipeline.metadata_group_aggregate(
+        spark, out, cfg.run_id, df.schema, "g", "d", agg="max"
+    )
+    got = {r.g: r.max_d for r in res.collect()}
+    exp = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(F.max("d").alias("m")).collect()
+    }
+    assert got == exp, (got, exp)
+
+
+def test_metadata_group_aggregate_bad_agg(spark):
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"g{i%2}") for i in range(64)], "id bigint, g string"
+    )
+    out, cfg = _encode(spark, df, ["id", "g"])
+    with pytest.raises(ValueError, match="agg must be"):
+        pipeline.metadata_group_aggregate(
+            spark, out, cfg.run_id, df.schema, "g", "id", agg="median"
+        )
+
+
 def test_metadata_group_aggregate_refusals(spark):
     from orc_spark.engine import pipeline
 
