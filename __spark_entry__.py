@@ -938,6 +938,56 @@ def _q_metadata_ndv(spark, sf_dir):
     )
 
 
+def _q_metadata_group_ndv(spark, sf_dir):
+    """r5 grouped sketch NDV (pipeline.metadata_group_ndv): distinct
+    users per event type — pure predicate-ALL stripes contribute their
+    HLL sketch with zero data reads, boundary stripes decode and
+    re-sketch per Arrow batch with the same hash streams. Same
+    self-checking oracle pattern as metadata_ndv: sketch_ok gates the
+    ~1.6%-SE estimate against the exact count IN-QUERY at 5%, and
+    DuckDB recomputes the exact counts — estimator drift or a lost
+    group flips a row and mismatches."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline
+
+    cols = ["event_id", "user_id", "event_type"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_gnv_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-gnv-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=cols, n_partitions=4, stripe_rows=512,
+        cluster_by="event_type",
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    est = {
+        r.event_type: float(r.ndv_estimate)
+        for r in pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, ev.schema, "event_type", "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: int(r.d)
+        for r in ev.groupBy("event_type")
+        .agg(F2.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    rows = [
+        (
+            t,
+            exact[t],
+            bool(
+                t in est
+                and abs(est[t] - exact[t]) / max(exact[t], 1) <= 0.05
+            ),
+        )
+        for t in sorted(exact)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_distinct bigint, sketch_ok boolean"
+    )
+
+
 def _q_multi_run_union(spark, sf_dir):
     """r5 append workflow (pipeline.read_runs — Iceberg multi-snapshot
     read analogue): two crawl snapshots encoded as separate runs in
@@ -2496,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_group_minmax": _q_metadata_group_minmax,
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
+        "metadata_group_ndv": _q_metadata_group_ndv,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -2896,6 +2947,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events UNION ALL "
             "SELECT 'user_id', COUNT(DISTINCT user_id), true FROM events "
             'ORDER BY "column"'
+        ),
+        "metadata_group_ndv": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct, "
+            "true AS sketch_ok FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

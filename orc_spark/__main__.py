@@ -539,10 +539,27 @@ def cmd_plan(args) -> int:
 
 def cmd_ndv(args) -> int:
     """Approximate COUNT(DISTINCT) per column from the per-stripe
-    HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv)."""
+    HyperLogLog sketches — zero data bytes read (pipeline.metadata_ndv);
+    with --group-by, approximate per-group distinct counts of ONE
+    column (pipeline.metadata_group_ndv)."""
     from orc_spark.engine import pipeline
 
     spark = _session(args.cores)
+    if args.group_by:
+        cols = args.columns.split(",")
+        if len(cols) != 1:
+            raise SystemExit(
+                "error: --group-by takes exactly one --columns entry"
+            )
+        schema = spark.read.parquet(args.schema_from).schema
+        predicate = [_parse_where(w) for w in args.where or []]
+        rows = pipeline.metadata_group_ndv(
+            spark, args.out, args.run_id, schema, args.group_by,
+            cols[0], predicate or None,
+        ).orderBy(args.group_by).collect()
+        print(json.dumps({"groups": [r.asDict() for r in rows]},
+                         default=str))
+        return EXIT_OK
     rows = pipeline.metadata_ndv(
         spark, args.out, args.run_id, args.columns.split(",")
     ).collect()
@@ -866,6 +883,12 @@ def main(argv: list[str] | None = None) -> int:
     nv.add_argument("--out", required=True)
     nv.add_argument("--run-id", required=True)
     nv.add_argument("--columns", required=True, help="comma-separated")
+    nv.add_argument("--group-by", default=None,
+                    help="per-group NDV of the single --columns entry")
+    nv.add_argument("--schema-from", default=None,
+                    help="parquet path typing the columns (--group-by)")
+    nv.add_argument("--where", action="append", default=None,
+                    help="conjunct predicate (--group-by, repeatable)")
     nv.set_defaults(fn=cmd_ndv)
 
     hi = sub.add_parser(

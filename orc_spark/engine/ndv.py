@@ -154,3 +154,120 @@ def merged_ndv(stripes_meta: DataFrame) -> DataFrame:
         )
     )
     return partial.groupBy("column").applyInPandas(_merge, out_schema)
+
+
+def grouped_batch_sketches(df: DataFrame, gkey: str = "_gkey",
+                           val: str = "_val") -> DataFrame:
+    """Per-(Arrow batch, group) HLL sketches of ``val`` — the decode
+    half of grouped NDV. One 4 KB sketch per distinct group per batch
+    keeps task memory flat no matter how large a group is (the
+    associative register-max merge downstream collapses them); the
+    per-batch group scan is O(groups_in_batch × batch), the right
+    trade for the low-cardinality keys GROUP BY NDV targets.
+
+    Loud contract: a batch whose values can't be hashed (float /
+    unsupported types — zonemap._hash_pairs declines them) raises
+    inside the task instead of under-counting.
+    """
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    gfield = df.schema[gkey]
+    out_schema = StructType(
+        [
+            StructField(gkey, gfield.dataType, True),
+            StructField("ndv_sketch", BinaryType(), True),
+        ]
+    )
+
+    def _sketch(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            gb = b.column(0)  # RecordBatch columns are plain Arrays
+            vals = b.column(1)
+            uniq = pc.unique(gb)
+            keys, blobs = [], []
+            for g in uniq.to_pylist():
+                if g is None:
+                    mask = pc.is_null(gb)
+                else:
+                    mask = pc.equal(gb, pa.scalar(g, type=gb.type))
+                sl = vals.filter(mask)  # null mask entries drop
+                blob = stripe_hll(sl)
+                if blob is None and len(sl) - sl.null_count > 0:
+                    raise ValueError(
+                        "grouped NDV: unsketchable value batch "
+                        f"(type {vals.type}) — float/decimal columns "
+                        "have no hashed-NDV semantics; COUNT(DISTINCT) "
+                        "them exactly instead"
+                    )
+                keys.append(g)
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(keys, type=gb.type), pa.array(blobs, pa.binary())],
+                [gkey, "ndv_sketch"],
+            )
+
+    return df.mapInArrow(_sketch, out_schema)
+
+
+def merged_ndv_by(df: DataFrame, key: str = "_gkey") -> DataFrame:
+    """(key, ndv_estimate double) — fold (key, ndv_sketch) rows with
+    the same two-level distributed merge as merged_ndv, keyed by an
+    arbitrary (possibly null) group key instead of the column name;
+    the final fold emits the HLL estimate directly. A None sketch
+    anywhere in a group poisons that group's merge and raises loudly
+    in the task (an unsketched contribution would silently
+    under-count)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, StructField, StructType,
+    )
+
+    kfield = df.schema[key]
+    mid_schema = StructType(
+        [
+            StructField(key, kfield.dataType, True),
+            StructField("ndv_sketch", BinaryType(), True),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField(key, kfield.dataType, True),
+            StructField("ndv_estimate", DoubleType(), True),
+        ]
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_sketches(list(pdf["ndv_sketch"]))
+        if blob is None:
+            raise ValueError(
+                "grouped NDV: a group received an unsketched or "
+                "unknown-version contribution — refusing to estimate"
+            )
+        return pd.DataFrame(
+            [{key: pdf[key].iloc[0], "ndv_sketch": blob}]
+        )
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = merge_sketches(list(pdf["ndv_sketch"]))
+        if blob is None:
+            raise ValueError(
+                "grouped NDV: a group received an unsketched or "
+                "unknown-version contribution — refusing to estimate"
+            )
+        return pd.DataFrame(
+            [{key: pdf[key].iloc[0], "ndv_estimate": estimate(blob)}]
+        )
+
+    partial = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64("ndv_sketch"), F.lit(256))
+        )
+        .groupBy(key, "_salt")
+        .applyInPandas(lambda pdf: _merge(pdf), mid_schema)
+    )
+    return partial.groupBy(key).applyInPandas(_final, out_schema)

@@ -1611,6 +1611,59 @@ def metadata_sum(
     return total, total_nn, detail
 
 
+def _group_purity_view(meta, result_schema, group_col: str, gkeys):
+    """(gview, leaf_type): per-stripe group-column purity + the single
+    typed group value, from the zone stats. A stripe is PURE when the
+    group column is single-valued (zone min == max), null-free, and
+    its stats are exact. The LEAF type drives the stat family even for
+    dotted keys (nested stats rows ride the parent's stripes under the
+    dotted name); unresolvable paths / float / decimal / nested-
+    container keys fall through to pure=False — their stripes decode,
+    exact either way. TimestampNTZType is deliberately excluded:
+    rebuilding an NTZ key from epoch-us goes through a session-
+    timezone-sensitive cast, so NTZ keys classify impure and decode."""
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, IntegerType, LongType,
+        ShortType, StringType, TimestampType,
+    )
+
+    gtype = _nested_field_type(result_schema, group_col)
+    ghit = meta.filter(F.col("column") == group_col)
+    if isinstance(gtype, StringType):
+        pure = F.col("min_str").isNotNull() & (
+            F.col("min_str") == F.col("max_str")
+        )
+        gval = F.col("min_str")
+    elif isinstance(
+        gtype, (ByteType, ShortType, IntegerType, LongType, BooleanType,
+                TimestampType, DateType)
+    ):
+        pure = F.col("min_int").isNotNull() & (
+            F.col("min_int") == F.col("max_int")
+        )
+        if isinstance(gtype, TimestampType):
+            gval = F.timestamp_micros(F.col("min_int"))
+        elif isinstance(gtype, DateType):
+            gval = F.date_from_unix_date(F.col("min_int").cast("int"))
+        elif isinstance(gtype, BooleanType):
+            gval = F.col("min_int") == 1
+        else:
+            gval = F.col("min_int").cast(gtype)
+    else:
+        pure = F.lit(False)
+        gval = F.lit(None).cast(gtype) if gtype is not None else F.lit(None)
+    gview = ghit.select(
+        *gkeys,
+        (
+            pure
+            & (F.coalesce("null_count", F.lit(1)) == 0)
+            & F.coalesce("stat_exact", F.lit(True))
+        ).alias("_pure"),
+        gval.alias("_gval"),
+    )
+    return gview, gtype
+
+
 def metadata_group_aggregate(
     spark: SparkSession,
     out_dir: str,
@@ -1691,50 +1744,7 @@ def metadata_group_aggregate(
                 F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
             )
         )
-    # group-column purity + the single value, typed via its stat
-    # family. The LEAF type drives the family even for dotted keys
-    # (nested stats rows ride the parent's stripes under the dotted
-    # name), so a struct-field group key gets the metadata path too;
-    # unresolvable paths fall through to pure=False (decode, exact).
-    gtype = _nested_field_type(result_schema, group_col)
-    ghit = meta.filter(F.col("column") == group_col)
-    if isinstance(gtype, StringType):
-        pure = F.col("min_str").isNotNull() & (
-            F.col("min_str") == F.col("max_str")
-        )
-        gval = F.col("min_str")
-    elif isinstance(
-        gtype, (ByteType, ShortType, IntegerType, LongType, BooleanType,
-                TimestampType, DateType)
-    ):
-        # TimestampNTZType is deliberately NOT here: rebuilding an NTZ
-        # key from epoch-us goes through a session-timezone-sensitive
-        # cast — NTZ group keys classify impure and decode (exact)
-        pure = F.col("min_int").isNotNull() & (
-            F.col("min_int") == F.col("max_int")
-        )
-        if isinstance(gtype, TimestampType):
-            gval = F.timestamp_micros(F.col("min_int"))
-        elif isinstance(gtype, DateType):
-            gval = F.date_from_unix_date(F.col("min_int").cast("int"))
-        elif isinstance(gtype, BooleanType):
-            gval = F.col("min_int") == 1
-        else:
-            gval = F.col("min_int").cast(gtype)
-    else:
-        # float / decimal / nested group keys: purity unprovable from
-        # the widened-or-inexact families — every stripe decodes
-        pure = F.lit(False)
-        gval = F.lit(None).cast(gtype) if gtype is not None else F.lit(None)
-    gview = ghit.select(
-        *gkeys,
-        (
-            pure
-            & (F.coalesce("null_count", F.lit(1)) == 0)
-            & F.coalesce("stat_exact", F.lit(True))
-        ).alias("_pure"),
-        gval.alias("_gval"),
-    )
+    gview, gtype = _group_purity_view(meta, result_schema, group_col, gkeys)
     j = cls.join(gview, gkeys, "left")
     j = j.withColumn("_pure", F.coalesce("_pure", F.lit(False)))
     int_agg = False
@@ -1896,6 +1906,118 @@ def metadata_group_aggregate(
         faggs.append(fsum.alias(f"{agg}_{agg_col}"))
     return (
         both.groupBy("_gkey").agg(*faggs)
+        .withColumnRenamed("_gkey", group_col)
+    )
+
+
+def metadata_group_ndv(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    group_col: str,
+    ndv_col: str,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """Approximate ``SELECT group_col, COUNT(DISTINCT ndv_col) WHERE p
+    GROUP BY group_col`` (~1.6% SE) — the grouped completion of
+    metadata_ndv: stripes PURE in the group key and predicate-ALL
+    contribute their per-stripe HyperLogLog sketch with zero data
+    bytes; every other kept stripe decodes (group, value) and
+    re-sketches per Arrow batch with the SAME hash streams
+    (ndv.grouped_batch_sketches), so both halves fold in one
+    associative register-max merge per group — no driver collect at
+    any size, groups never materialize their rows.
+
+    Loud-or-approximate discipline (metadata_ndv's contract, grouped):
+    live deletes raise; a metadata-half stripe without a sketch simply
+    decodes, but a decode-half batch whose values can't be hashed
+    (float/decimal) raises instead of under-counting.
+
+    Returns (group_col, ndv_estimate double). COUNT(DISTINCT) skips
+    SQL nulls, exactly like the hash streams do; NULL group keys form
+    their own group.
+    """
+    from . import ndv as ndv_mod
+
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — sketch NDV would "
+            "count deleted rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {group_col, ndv_col})
+    if _nested_field_type(result_schema, group_col) is None:
+        raise ValueError(f"group column {group_col!r} not in result_schema")
+    if _nested_field_type(result_schema, ndv_col) is None:
+        raise ValueError(f"ndv column {ndv_col!r} not in result_schema")
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
+        )
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys, "n_rows",
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    gview, _ = _group_purity_view(meta, result_schema, group_col, gkeys)
+    j = cls.join(gview, gkeys, "left")
+    j = j.withColumn("_pure", F.coalesce("_pure", F.lit(False)))
+    tgt = meta.filter(F.col("column") == ndv_col).select(
+        *gkeys, F.col("ndv").alias("_sketch")
+    )
+    j = j.join(tgt, gkeys, "left")
+    meta_ok = (
+        F.col("_keep") & F.col("_all") & F.col("_pure")
+        & F.col("_sketch").isNotNull()
+    )
+    meta_part = j.filter(meta_ok).select(
+        F.col("_gval").alias("_gkey"),
+        F.col("_sketch").alias("ndv_sketch"),
+    )
+    decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+    chk = j.agg(
+        F.sum(F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)).alias("_nd"),
+        *_presence_aggs(predicate),
+    ).first()
+    _raise_missing(chk, predicate, run_id)
+    n_decode = int(chk._nd or 0)
+    both = meta_part
+    if n_decode:
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in decode_groups.collect()
+            ]
+        else:
+            only = decode_groups
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need,
+            predicate or None, only,
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        dec_sk = ndv_mod.grouped_batch_sketches(
+            dec.select(
+                F.col(group_col).alias("_gkey"), F.col(ndv_col).alias("_val")
+            )
+        )
+        both = meta_part.unionByName(dec_sk)
+    return (
+        ndv_mod.merged_ndv_by(both, "_gkey")
         .withColumnRenamed("_gkey", group_col)
     )
 

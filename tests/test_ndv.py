@@ -116,3 +116,150 @@ def test_cli_ndv_and_history(spark, capsys):
     h = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert h["epochs"][0]["epoch"] == 0
     assert h["live_deletes"]["n_vectors"] == 0
+
+
+# ------------------------------------------------ grouped NDV
+
+def _encode_g(spark, df, columns, **kw):
+    out = tempfile.mkdtemp(prefix="orcspark_gndv_")
+    kw.setdefault("stripe_rows", 512)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"g-{uuid.uuid4().hex[:8]}",
+        key=columns[0], columns=columns, n_partitions=4, **kw,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    return out, cfg
+
+
+def test_grouped_ndv_matches_exact(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    out, cfg = _encode_g(
+        spark, ev, ["event_id", "user_id", "event_type"],
+        cluster_by="event_type",
+    )
+    got = {
+        r.event_type: r.ndv_estimate
+        for r in pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, ev.schema, "event_type", "user_id"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / max(e, 1) <= 0.05, (k, got[k], e)
+    # predicate variant: only matching rows count
+    got2 = {
+        r.event_type: r.ndv_estimate
+        for r in pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, ev.schema, "event_type", "user_id",
+            predicate=[("event_id", ">=", 3000)],
+        ).collect()
+    }
+    exact2 = {
+        r.event_type: r.d
+        for r in ev.filter("event_id >= 3000")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got2) == set(exact2)
+    for k, e in exact2.items():
+        assert abs(got2[k] - e) / max(e, 1) <= 0.05, (k, got2[k], e)
+
+
+def test_grouped_ndv_null_group_and_dominance(spark, monkeypatch):
+    """NULL group keys form their own group (their stripes decode —
+    purity requires null-free); pure stripes stay metadata-only,
+    proven with the decode_job spy."""
+    rows = [
+        (i, None if i % 11 == 0 else f"g{i % 3}", i % 257)
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+    out, cfg = _encode_g(
+        spark, df, ["id", "g", "v"], cluster_by="g", stripe_rows=128,
+    )
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = og if isinstance(og, int) else (
+            len(og) if isinstance(og, list) else -1
+        )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    got = {
+        r.g: r.ndv_estimate
+        for r in pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, df.schema, "g", "v"
+        ).collect()
+    }
+    exact = {
+        r.g: r.d
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)  # includes the None group
+    for k, e in exact.items():
+        assert abs(got[k] - e) / max(e, 1) <= 0.05, (k, got[k], e)
+    # null-bearing + boundary stripes decode; the clustered interior
+    # must have stayed metadata-only
+    assert 0 < seen.get("n", -1) < total_groups / 2
+
+
+def test_grouped_ndv_refusals(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i % 7)) for i in range(600)],
+        "id bigint, g string, x double",
+    )
+    out, cfg = _encode_g(spark, df, ["id", "g", "x"], cluster_by="g")
+    with pytest.raises(ValueError, match="not in result_schema"):
+        pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, df.schema, "nope", "x"
+        )
+    # float ndv_col: unsketchable everywhere -> loud task error
+    with pytest.raises(Exception, match="unsketchable|PythonException"):
+        pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, df.schema, "g", "x"
+        ).collect()
+    pipeline.delete_rows_eq(spark, out, cfg.run_id, "id", [5])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_group_ndv(
+            spark, out, cfg.run_id, df.schema, "g", "id"
+        )
+
+
+def test_cli_grouped_ndv(spark, capsys):
+    import json
+
+    from orc_spark.__main__ import main
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    out, cfg = _encode_g(
+        spark, ev, ["event_id", "user_id", "event_type"],
+        cluster_by="event_type",
+    )
+    assert main(
+        ["ndv", "--out", out, "--run-id", cfg.run_id,
+         "--columns", "user_id", "--group-by", "event_type",
+         "--schema-from", f"{SF_DIR}/events.parquet"]
+    ) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(got["groups"]) == 5
+    assert all("ndv_estimate" in g for g in got["groups"])
