@@ -1478,7 +1478,13 @@ def metadata_sum(
         for k, g in groups.items():
             if not g["keep"]:
                 continue
-            has_sum = g["sum_int"] is not None or g["sum_num"] is not None
+            # an all-null stripe (nn == 0, stats row present) has no
+            # recorded sum but needs no decode: SUM skips nulls
+            has_sum = (
+                g["sum_int"] is not None
+                or g["sum_num"] is not None
+                or g["nn"] == 0
+            )
             if g["all_"] and has_sum:
                 n_meta += 1
                 meta_nn += g["nn"] or 0
@@ -1512,7 +1518,15 @@ def metadata_sum(
         # left join: a group missing the target's stats row (evolved-in
         # column) or its sum (unsummable stripe) must decode, not vanish
         j = cls.join(tgt, gkeys, "left")
-        has_sum = F.col("sum_int").isNotNull() | F.col("sum_num").isNotNull()
+        # all-null stripes (nn == 0 with a stats row) contribute zero
+        # to SUM/COUNT without decoding; coalesce keeps meta_ok
+        # boolean-valued when the stats row is missing entirely (a
+        # null meta_ok would drop the stripe from BOTH halves)
+        has_sum = (
+            F.col("sum_int").isNotNull()
+            | F.col("sum_num").isNotNull()
+            | F.coalesce(F.col("_nn") == 0, F.lit(False))
+        )
         meta_ok = F.col("_keep") & F.col("_all") & has_sum
         # ONE metadata action: totals + the loud missing-column check for
         # predicate columns (_presence_aggs) and the target (_tp)
@@ -1762,6 +1776,12 @@ def metadata_group_aggregate(
         if agg == "sum":
             tgt = meta.filter(F.col("column") == agg_col).select(
                 *gkeys, "sum_int", "sum_num",
+                # an all-null agg stripe has no recorded sum but
+                # contributes its rows to cnt with a null summand
+                # (SQL SUM skips nulls) — no decode needed
+                (
+                    F.coalesce("null_count", F.lit(0)) == F.col("n_rows")
+                ).alias("_aallnull"),
             )
             j = j.join(tgt, gkeys, "left")
             # the agg column's type picks the stat family — int sums
@@ -1770,7 +1790,7 @@ def metadata_group_aggregate(
                 F.col("sum_int").isNotNull()
                 if int_agg
                 else F.col("sum_num").isNotNull()
-            )
+            ) | F.coalesce("_aallnull", F.lit(False))
         else:
             # MIN/MAX: zone bounds ARE the contribution. Family +
             # leaf-type rebuild mirror the group-key logic above;

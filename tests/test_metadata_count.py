@@ -257,6 +257,37 @@ def test_metadata_sum_null_and_nan_handling(spark):
     assert d["n_mixed"] > 0
 
 
+def test_metadata_sum_all_null_column_no_decode(spark, monkeypatch):
+    """A column that is entirely null sums to (None, 0) straight from
+    metadata — the all-null shortcut (nn == 0 with a stats row) must
+    not decode a single stripe, on both classifier paths."""
+    from orc_spark.engine import pipeline
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(1200)], "id bigint, v double"
+    )
+    out, cfg = _encode(spark, df, ["id", "v"])
+
+    called = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        called["hit"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    s, c, d = pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "v")
+    assert s is None and c == 0
+    assert d["n_mixed"] == 0 and "hit" not in called
+    # distributed path too (footer budget forced past)
+    from orc_spark.engine import zonemap
+
+    monkeypatch.setattr(zonemap, "_driver_plan_budget_ok", lambda _: False)
+    s, c, d = pipeline.metadata_sum(spark, out, cfg.run_id, df.schema, "v")
+    assert s is None and c == 0
+    assert d["n_mixed"] == 0 and "hit" not in called
+
+
 def test_stripe_sum_stats_overflow_guard():
     """Unit: the encode-side sum stat is exact or absent — values
     whose n·max|bound| could wrap int64 record NO sum (the group then
@@ -507,6 +538,9 @@ def test_metadata_group_aggregate_minmax_all_null_and_decimal(spark):
     out, cfg = _encode(spark, df, ["id", "g", "v", "d"], cluster_by="g")
     _check_group_mm(spark, df, out, cfg, "g", "v", "max", None)
     _check_group_mm(spark, df, out, cfg, "g", "v", "min", None)
+    # SUM too: the all-null group's sum is SQL-null straight from
+    # metadata (rows counted, nothing decoded for the null stripes)
+    _check_group(spark, df, out, cfg, "g", "v", None)
     res = pipeline.metadata_group_aggregate(
         spark, out, cfg.run_id, df.schema, "g", "d", agg="max"
     )
