@@ -938,6 +938,63 @@ def _q_metadata_ndv(spark, sf_dir):
     )
 
 
+def _q_metadata_percentile(spark, sf_dir):
+    """r5 metadata-only percentiles (pipeline.metadata_percentile —
+    per-stripe order-statistic sketches, provable rank error ≤ one
+    rank gap per stripe). Self-checking oracle pattern: the sketch
+    value's exact rank is gated IN-QUERY against the N/(K−1) bound
+    (rank_ok), and the returned exact PERCENTILE_DISC values are what
+    DuckDB's quantile_disc recomputes — a biased sketch flips rank_ok,
+    an engine-semantics drift shifts pd_value, either mismatches."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, quantiles
+
+    cols = ["event_id", "value"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_pct_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-pct-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=cols, n_partitions=4, stripe_rows=512,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    qs = [0.25, 0.5, 0.95]
+    est = {
+        float(r.q): r.value
+        for r in pipeline.metadata_percentile(
+            spark, out, cfg.run_id, ev.schema, "value", qs
+        ).collect()
+    }
+    nn = ev.filter(F2.col("value").isNotNull()).count()
+    n_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    budget = n_groups * (-(-(512 - 1) // (quantiles.QSK_K - 1)))
+    exact = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS p{i}"
+            for i, q in enumerate(qs)
+        )
+        + f" FROM {{ev}}",
+        ev=ev,
+    ).first()
+    rows = []
+    for i, q in enumerate(qs):
+        target = math.ceil(q * nn - 1e-9)
+        rank = ev.filter(F2.col("value") <= F2.lit(est[q])).count()
+        rows.append(
+            (float(q), float(exact[f"p{i}"]),
+             bool(target <= rank <= target + budget))
+        )
+    return spark.createDataFrame(
+        rows, "q double, pd_value double, rank_ok boolean"
+    )
+
+
 def _q_metadata_group_ndv(spark, sf_dir):
     """r5 grouped sketch NDV (pipeline.metadata_group_ndv): distinct
     users per event type — pure predicate-ALL stripes contribute their
@@ -2547,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
         "metadata_group_ndv": _q_metadata_group_ndv,
+        "metadata_percentile": _q_metadata_percentile,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -2953,6 +3011,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct, "
             "true AS sketch_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "metadata_percentile": (
+            "SELECT CAST(0.25 AS DOUBLE) AS q, "
+            "quantile_disc(value, 0.25) AS pd_value, "
+            "true AS rank_ok FROM events UNION ALL "
+            "SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5), true "
+            "FROM events UNION ALL "
+            "SELECT CAST(0.95 AS DOUBLE), quantile_disc(value, 0.95), true "
+            "FROM events ORDER BY q"
         ),
         "metadata_aggregate": (
             'SELECT \'event_id\' AS "column", COUNT(*) AS n_rows, '

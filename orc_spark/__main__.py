@@ -567,6 +567,23 @@ def cmd_ndv(args) -> int:
     return EXIT_OK
 
 
+def cmd_percentile(args) -> int:
+    """Approximate percentiles from the per-stripe order-statistic
+    sketches — zero data bytes read, provable N/(K-1) rank-error bound
+    (pipeline.metadata_percentile)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    qs = [float(x) for x in args.q.split(",")]
+    rows = pipeline.metadata_percentile(
+        spark, args.out, args.run_id, schema, args.column, qs
+    ).orderBy("q").collect()
+    print(json.dumps({"percentiles": [r.asDict() for r in rows]},
+                     default=str))
+    return EXIT_OK
+
+
 def cmd_history(args) -> int:
     """Time-travel points of a run: one row per epoch with its wave's
     partition/stripe counts and commit window (Iceberg snapshots-list
@@ -890,6 +907,20 @@ def main(argv: list[str] | None = None) -> int:
     nv.add_argument("--where", action="append", default=None,
                     help="conjunct predicate (--group-by, repeatable)")
     nv.set_defaults(fn=cmd_ndv)
+
+    pc = sub.add_parser(
+        "percentile",
+        help="approximate percentiles from order-statistic sketches "
+        "(no data reads, rank error <= ~1.6% of rows)",
+    )
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--run-id", required=True)
+    pc.add_argument("--column", required=True)
+    pc.add_argument("--q", required=True,
+                    help="comma-separated quantiles in (0, 1]")
+    pc.add_argument("--schema-from", required=True,
+                    help="parquet path typing the column")
+    pc.set_defaults(fn=cmd_percentile)
 
     hi = sub.add_parser(
         "history",

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 
 from ..codecs import column_checksum, encode_frame
 from . import ndv as ndv_mod
+from . import quantiles as quantiles_mod
 from . import selector, zonemap
 
 STRIPE_SCHEMA = StructType(
@@ -76,6 +77,11 @@ STRIPE_SCHEMA = StructType(
         # from these with zero data reads; null = unsketchable type
         # (floats/decimals) / pre-upgrade rows
         StructField("ndv", BinaryType(), True),
+        # per-stripe order-statistic quantile sketch (engine/
+        # quantiles.py) — metadata-only percentiles with a provable
+        # N/(K-1) rank-error bound; null = non-numeric / NaN-poisoned
+        # / pre-upgrade rows
+        StructField("qsk", BinaryType(), True),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -108,6 +114,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("sum_num", pa.float64()),
         ("bloom", pa.binary()),
         ("ndv", pa.binary()),
+        ("qsk", pa.binary()),
         ("data", pa.binary()),
     ]
 )
@@ -330,6 +337,11 @@ def encode_stage(
                     if status == "completed"
                     else None
                 )
+                rows["qsk"].append(
+                    quantiles_mod.stripe_qsketch(arr)
+                    if status == "completed"
+                    else None
+                )
                 rows["data"].append(blob)
                 if status == "completed":
                     # ORC nested-column statistics: one metadata-only
@@ -362,6 +374,9 @@ def encode_stage(
                             zonemap.stripe_bloom(child) if bloom_index else None
                         )
                         rows["ndv"].append(ndv_mod.stripe_hll(child))
+                        rows["qsk"].append(
+                            quantiles_mod.stripe_qsketch(child)
+                        )
                         rows["data"].append(b"")
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)
 

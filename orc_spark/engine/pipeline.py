@@ -1930,6 +1930,215 @@ def metadata_group_aggregate(
     )
 
 
+def metadata_percentile(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    qs: list[float],
+) -> DataFrame:
+    """Approximate ``PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY
+    column)`` for each q, answered ENTIRELY from the per-stripe
+    order-statistic sketches (engine/quantiles.py) — zero data bytes
+    read, with a PROVABLE worst-case rank-error bound of one rank gap
+    per stripe: ≤ N/(K−1) ≈ 1.6% of rows at K=64, independent of the
+    value distribution. The returned value is always one actually
+    recorded in the data (an exact stripe order statistic), and its
+    true rank is ≥ ceil(q·N) — the estimate can only land at-or-above
+    the target rank, never below it.
+
+    Distributed end-to-end at metadata scale: sketch points explode to
+    (value, weight) rows (stripes × K, ~1000× smaller than the data),
+    the prefix-sum runs as range-partitioned partials + a bounded
+    per-partition offset collect, and each quantile resolves in ONE
+    final aggregate. No unbounded driver collect.
+
+    Exact-or-loud: live deletes raise; any kept stripe holding
+    non-null rows without a sketch (non-numeric / NaN-poisoned /
+    pre-upgrade) raises instead of returning a biased value. NULLs are
+    excluded, SQL-style. Returns (q double, value <column's type>),
+    one row per requested q.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType, StructField, StructType, TimestampNTZType, TimestampType,
+    )
+
+    from . import quantiles as quantiles_mod
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs!r}")
+    ltype = _nested_field_type(result_schema, column)
+    if ltype is None:
+        raise ValueError(f"column {column!r} not in result_schema")
+    int_dom = isinstance(
+        ltype, (ByteType, ShortType, IntegerType, LongType,
+                TimestampType, TimestampNTZType, DateType)
+    )
+    if not int_dom and not isinstance(ltype, (FloatType, DoubleType)):
+        raise ValueError(
+            f"column {column!r} ({ltype.simpleString()}) has no quantile-"
+            "sketch family — strings/decimals/bools decode instead"
+        )
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — sketch percentiles "
+            "describe the encoded rows; compact the run first"
+        )
+    stripes = read_stripes(spark, out_dir, run_id)
+    meta = _epoch_keep_filter(
+        spark, stripes, {column.partition(".")[0]}
+    ).drop("data").filter(F.col("column") == column)
+    # ONE metadata action: N (non-null), total rank-error budget, and
+    # the loud unsketched check
+    chk = meta.agg(
+        F.sum(
+            F.col("n_rows") - F.coalesce("null_count", F.lit(0))
+        ).alias("_nn"),
+        F.sum(
+            F.when(
+                F.col("qsk").isNull()
+                & (
+                    F.col("n_rows")
+                    > F.coalesce("null_count", F.lit(0))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("_nosk"),
+        F.count(F.lit(1)).alias("_nstripes"),
+    ).first()
+    if int(chk._nstripes or 0) == 0:
+        raise ValueError(f"no stripes for column {column!r} in run {run_id!r}")
+    if int(chk._nosk or 0):
+        raise ValueError(
+            f"column {column!r}: {chk._nosk} stripe(s) hold rows without "
+            "a quantile sketch (non-numeric / NaN-poisoned / pre-upgrade) "
+            "— a metadata percentile would be biased; decode instead"
+        )
+    out_schema = StructType(
+        [
+            StructField("q", DoubleType(), False),
+            StructField("value", ltype, True),
+        ]
+    )
+    total_nn = int(chk._nn or 0)
+    if total_nn == 0:
+        return spark.createDataFrame(
+            [(float(q), None) for q in sorted(qs)], out_schema
+        )
+    vtype = LongType() if int_dom else DoubleType()
+    pt_schema = StructType(
+        [StructField("_v", vtype, False), StructField("_w", LongType(), False)]
+    )
+
+    def _explode(pdfs):
+        for pdf in pdfs:
+            vs, ws = [], []
+            for blob, n_rows, nulls in zip(
+                pdf["qsk"], pdf["n_rows"], pdf["null_count"]
+            ):
+                nn = int(n_rows) - int(nulls or 0)
+                if blob is None or nn <= 0:
+                    continue
+                v, w = quantiles_mod.unpack_points(bytes(blob), nn)
+                vs.append(v)
+                ws.append(w)
+            if not vs:
+                continue
+            yield pd.DataFrame(
+                {"_v": np.concatenate(vs), "_w": np.concatenate(ws)}
+            )
+
+    points = meta.select("qsk", "n_rows", "null_count").mapInPandas(
+        _explode, pt_schema
+    )
+    # distributed prefix sum: range-partition by value, per-partition
+    # totals to the driver (bounded: one row per partition), then each
+    # partition adds its offset locally
+    n_parts = max(2, points.rdd.getNumPartitions())
+    ranged = (
+        points.repartitionByRange(n_parts, "_v")
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin the partitioning
+    totals = {
+        r._pid: r.t
+        for r in ranged.groupBy("_pid").agg(F.sum("_w").alias("t")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid])
+    off_schema = StructType(
+        [StructField("_v", vtype, False), StructField("_c", LongType(), False)]
+    )
+
+    def _cum(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            yield pd.DataFrame(
+                {"_v": pdf["_v"], "_c": base + pdf["_w"].cumsum()}
+            )
+
+    cum = ranged.mapInPandas(_cum, off_schema)
+    # target rank ceil(q*N), guarded against float drift on exact
+    # multiples (0.5 * even N must not round up an extra rank)
+    targets = {
+        q: max(1, int(np.ceil(np.float64(q) * total_nn - 1e-9)))
+        for q in qs
+    }
+    sel = cum.agg(
+        *[
+            F.min(F.when(F.col("_c") >= F.lit(t), F.col("_v"))).alias(
+                f"_q{i}"
+            )
+            for i, (q, t) in enumerate(sorted(targets.items()))
+        ]
+    ).first()
+
+    def _leaf(raw):
+        """Rebuild the leaf-typed python value from its int64/float64
+        point — calendar arithmetic for temporals (tz-free for NTZ,
+        aware-UTC for TZ timestamps), so no session-timezone cast can
+        shift the result."""
+        import datetime
+
+        if raw is None:
+            return None
+        if isinstance(ltype, TimestampType):
+            return datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=int(raw))
+        if isinstance(ltype, TimestampNTZType):
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=int(raw)
+            )
+        if isinstance(ltype, DateType):
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=int(raw)
+            )
+        if int_dom:
+            return int(raw)
+        return float(raw)
+
+    return spark.createDataFrame(
+        [
+            (float(q), _leaf(sel[f"_q{i}"]))
+            for i, (q, _t) in enumerate(sorted(targets.items()))
+        ],
+        out_schema,
+    )
+
+
 def metadata_group_ndv(
     spark: SparkSession,
     out_dir: str,
