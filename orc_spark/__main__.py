@@ -576,8 +576,10 @@ def cmd_percentile(args) -> int:
     spark = _session(args.cores)
     schema = spark.read.parquet(args.schema_from).schema
     qs = [float(x) for x in args.q.split(",")]
+    predicate = [_parse_where(w) for w in args.where or []]
     rows = pipeline.metadata_percentile(
-        spark, args.out, args.run_id, schema, args.column, qs
+        spark, args.out, args.run_id, schema, args.column, qs,
+        predicate or None,
     ).orderBy("q").collect()
     print(json.dumps({"percentiles": [r.asDict() for r in rows]},
                      default=str))
@@ -920,6 +922,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated quantiles in (0, 1]")
     pc.add_argument("--schema-from", required=True,
                     help="parquet path typing the column")
+    pc.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     pc.set_defaults(fn=cmd_percentile)
 
     hi = sub.add_parser(

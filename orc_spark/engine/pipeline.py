@@ -1937,28 +1937,32 @@ def metadata_percentile(
     result_schema,
     column: str,
     qs: list[float],
+    predicate: list[tuple] | None = None,
 ) -> DataFrame:
-    """Approximate ``PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY
-    column)`` for each q, answered ENTIRELY from the per-stripe
-    order-statistic sketches (engine/quantiles.py) — zero data bytes
-    read, with a PROVABLE worst-case rank-error bound of one rank gap
-    per stripe: ≤ N/(K−1) ≈ 1.6% of rows at K=64, independent of the
-    value distribution. The returned value is always one actually
-    recorded in the data (an exact stripe order statistic), and its
-    true rank is ≥ ceil(q·N) — the estimate can only land at-or-above
-    the target rank, never below it.
+    """Approximate ``PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY column)
+    WHERE predicate`` for each q, with a PROVABLE worst-case rank-error
+    bound of one rank gap per contributing unit (metadata stripe or
+    decoded Arrow batch): ≤ N/(K−1) ≈ 1.6% of rows at K=64,
+    independent of the value distribution. Stripes the classifier
+    proves predicate-ALL contribute their per-stripe order-statistic
+    sketch (engine/quantiles.py) with ZERO data bytes; MIXED /
+    unsketched (pre-upgrade) stripes decode through the restricted
+    path and re-sketch per Arrow batch with exact gap weights. The
+    returned value is always one actually recorded in the data, and
+    its true rank is ≥ ceil(q·N) — the estimate can only land
+    at-or-above the target rank, never below it.
 
-    Distributed end-to-end at metadata scale: sketch points explode to
-    (value, weight) rows (stripes × K, ~1000× smaller than the data),
-    the prefix-sum runs as range-partitioned partials + a bounded
-    per-partition offset collect, and each quantile resolves in ONE
-    final aggregate. No unbounded driver collect.
+    Distributed end-to-end: sketch points explode to (value, weight)
+    rows (stripes × K, ~1000× smaller than the data), the prefix-sum
+    runs as range-partitioned partials + a bounded per-partition
+    offset collect, and all quantiles resolve in ONE final aggregate.
+    No unbounded driver collect.
 
-    Exact-or-loud: live deletes raise; any kept stripe holding
-    non-null rows without a sketch (non-numeric / NaN-poisoned /
-    pre-upgrade) raises instead of returning a biased value. NULLs are
-    excluded, SQL-style. Returns (q double, value <column's type>),
-    one row per requested q.
+    Exact-or-loud: live deletes raise; a decoded batch whose values
+    can't be sketched (NaN — engines disagree on its sort position)
+    raises instead of returning a biased value. NULLs are excluded,
+    SQL-style. Returns (q double, value <column's type>), one row per
+    requested q.
     """
     import numpy as np
     import pandas as pd
@@ -1990,47 +1994,55 @@ def metadata_percentile(
             f"run {run_id!r} carries live deletes — sketch percentiles "
             "describe the encoded rows; compact the run first"
         )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {column})
     stripes = read_stripes(spark, out_dir, run_id)
-    meta = _epoch_keep_filter(
-        spark, stripes, {column.partition(".")[0]}
-    ).drop("data").filter(F.col("column") == column)
-    # ONE metadata action: N (non-null), total rank-error budget, and
-    # the loud unsketched check
-    chk = meta.agg(
-        F.sum(
-            F.col("n_rows") - F.coalesce("null_count", F.lit(0))
-        ).alias("_nn"),
-        F.sum(
-            F.when(
-                F.col("qsk").isNull()
-                & (
-                    F.col("n_rows")
-                    > F.coalesce("null_count", F.lit(0))
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("_nosk"),
-        F.count(F.lit(1)).alias("_nstripes"),
-    ).first()
-    if int(chk._nstripes or 0) == 0:
-        raise ValueError(f"no stripes for column {column!r} in run {run_id!r}")
-    if int(chk._nosk or 0):
-        raise ValueError(
-            f"column {column!r}: {chk._nosk} stripe(s) hold rows without "
-            "a quantile sketch (non-numeric / NaN-poisoned / pre-upgrade) "
-            "— a metadata percentile would be biased; decode instead"
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
         )
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys,
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    tgt = meta.filter(F.col("column") == column).select(
+        *gkeys,
+        F.col("qsk").alias("_qsk"),
+        F.col("n_rows").alias("_qn"),
+        F.coalesce("null_count", F.lit(0)).alias("_qnull"),
+    )
+    j = cls.join(tgt, gkeys, "left")
+    # metadata half: predicate-ALL stripes with a sketch (an all-null
+    # stripe's sketch is valid-and-empty, so it rides free); everything
+    # else kept — MIXED, unsketched, pre-upgrade — decodes and
+    # re-sketches exactly per batch
+    meta_ok = F.col("_keep") & F.col("_all") & F.col("_qsk").isNotNull()
+    chk = j.agg(
+        F.sum(F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)).alias("_nd"),
+        F.count(F.col("_qn")).alias("_tp"),
+        *_presence_aggs(predicate),
+    ).first()
+    _raise_missing(chk, predicate, run_id)
+    if int(chk._tp or 0) == 0:
+        raise ValueError(f"no stripes for column {column!r} in run {run_id!r}")
     out_schema = StructType(
         [
             StructField("q", DoubleType(), False),
             StructField("value", ltype, True),
         ]
     )
-    total_nn = int(chk._nn or 0)
-    if total_nn == 0:
-        return spark.createDataFrame(
-            [(float(q), None) for q in sorted(qs)], out_schema
-        )
     vtype = LongType() if int_dom else DoubleType()
     pt_schema = StructType(
         [StructField("_v", vtype, False), StructField("_w", LongType(), False)]
@@ -2040,7 +2052,7 @@ def metadata_percentile(
         for pdf in pdfs:
             vs, ws = [], []
             for blob, n_rows, nulls in zip(
-                pdf["qsk"], pdf["n_rows"], pdf["null_count"]
+                pdf["_qsk"], pdf["_qn"], pdf["_qnull"]
             ):
                 nn = int(n_rows) - int(nulls or 0)
                 if blob is None or nn <= 0:
@@ -2054,9 +2066,32 @@ def metadata_percentile(
                 {"_v": np.concatenate(vs), "_w": np.concatenate(ws)}
             )
 
-    points = meta.select("qsk", "n_rows", "null_count").mapInPandas(
-        _explode, pt_schema
+    points = (
+        j.filter(meta_ok)
+        .select("_qsk", "_qn", "_qnull")
+        .mapInPandas(_explode, pt_schema)
     )
+    n_decode = int(chk._nd or 0)
+    if n_decode:
+        decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in decode_groups.collect()
+            ]
+        else:
+            only = decode_groups
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need,
+            predicate or None, only,
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        points = points.unionByName(
+            quantiles_mod.column_batch_points(
+                dec.select(F.col(column).alias("_c")), int_dom
+            )
+        )
     # distributed prefix sum: range-partition by value, per-partition
     # totals to the driver (bounded: one row per partition), then each
     # partition adds its offset locally
@@ -2090,6 +2125,13 @@ def metadata_percentile(
             )
 
     cum = ranged.mapInPandas(_cum, off_schema)
+    # N = total point weight (the offsets pass already summed it);
+    # zero matching non-null rows -> SQL-null percentiles
+    total_nn = acc
+    if total_nn == 0:
+        return spark.createDataFrame(
+            [(float(q), None) for q in sorted(qs)], out_schema
+        )
     # target rank ceil(q*N), guarded against float drift on exact
     # multiples (0.5 * even N must not round up an extra rank)
     targets = {

@@ -102,3 +102,44 @@ def unpack_points(blob: bytes, n_nonnull: int):
     ranks = (np.arange(m, dtype=np.int64) * (n_nonnull - 1)) // (m - 1)
     w = np.diff(ranks, prepend=np.int64(-1))
     return vals, w
+
+
+def column_batch_points(df, int_domain: bool):
+    """(value, weight) point rows from a one-column DataFrame — the
+    decode half of a predicated percentile. Each Arrow batch yields at
+    most K exact order statistics with exact gap weights, so the batch
+    adds at most one rank gap of error (same budget unit as a
+    metadata stripe) and task memory stays flat. NaN-bearing batches
+    raise loudly: NaN has no rank, and engines disagree on its sort
+    position."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("_v", LongType() if int_domain else DoubleType(),
+                        False),
+            StructField("_w", LongType(), False),
+        ]
+    )
+
+    def _pts(batches):
+        for b in batches:
+            arr = b.column(0)
+            nn = len(arr) - arr.null_count
+            if nn == 0:
+                continue
+            blob = stripe_qsketch(arr)
+            if blob is None:
+                raise ValueError(
+                    "percentile: decoded batch is unsketchable "
+                    f"(type {arr.type}; NaN values have no rank) — "
+                    "decode and aggregate exactly instead"
+                )
+            v, w = unpack_points(blob, nn)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(v), pa.array(w)], ["_v", "_w"]
+            )
+
+    return df.mapInArrow(_pts, schema)

@@ -126,18 +126,68 @@ def test_metadata_percentile_refusals_and_empty(spark):
         )
 
 
-def test_metadata_percentile_unsketched_stripes_raise(spark, monkeypatch):
-    """Pre-upgrade / NaN-poisoned stripes (qsk null with non-null
-    rows) must raise — a biased percentile is worse than a decode."""
+def test_metadata_percentile_nan_raises_from_decode(spark):
+    """NaN-poisoned stripes have no sketch so they route to the decode
+    half — whose batch re-sketch raises loudly on the NaN values (NaN
+    has no rank; engines disagree on its sort position)."""
     import math as _m
 
     rows = [(i, _m.nan if i >= 500 else float(i)) for i in range(600)]
     df = spark.createDataFrame(rows, "id bigint, v double")
     out, cfg = _encode_q(spark, df, ["id", "v"])
-    with pytest.raises(ValueError, match="without a quantile sketch"):
+    with pytest.raises(Exception, match="unsketchable|has no rank"):
         pipeline.metadata_percentile(
             spark, out, cfg.run_id, df.schema, "v", [0.5]
+        ).collect()
+
+
+def test_metadata_percentile_predicate(spark, monkeypatch):
+    """Predicated percentile: ALL stripes keep their sketches, MIXED
+    boundary stripes decode and re-sketch — result honors the provable
+    rank bound over the MATCHING rows only, and the decode set stays
+    boundary-sized on a clustered layout (decode_job spy)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "value"
+    )
+    stripe_rows = 32  # many stripes per partition at the tiny test SF
+    out, cfg = _encode_q(
+        spark, ev, ["event_id", "value"], cluster_by="event_id",
+        stripe_rows=stripe_rows,
+    )
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = og if isinstance(og, int) else (
+            len(og) if isinstance(og, list) else -1
         )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    lo, hi = 200, 800  # interior slice at any test SF (ids are 0..N-1)
+    pred = [("event_id", ">=", lo), ("event_id", "<", hi)]
+    sub = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+    nn = sub.filter(F.col("value").isNotNull()).count()
+    gap = -(-(stripe_rows - 1) // (quantiles.QSK_K - 1))
+    budget = total_groups * gap
+    res = pipeline.metadata_percentile(
+        spark, out, cfg.run_id, ev.schema, "value", [0.5, 0.9],
+        predicate=pred,
+    ).collect()
+    for r in res:
+        import math as _m
+
+        target = _m.ceil(r.q * nn - 1e-9)
+        rank = sub.filter(F.col("value") <= F.lit(r.value)).count()
+        assert target <= rank <= target + budget, (r.q, rank, target)
+    # boundary decode only: the event_id-clustered interior stays
+    # metadata-side
+    assert 0 <= seen.get("n", -1) < total_groups / 2
 
 
 def test_cli_percentile(spark, capsys):
