@@ -995,6 +995,64 @@ def _q_metadata_percentile(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """r5 one-call table profile (pipeline.table_profile — DESCRIBE
+    EXTENDED at zero data bytes). The exact cells (counts, typed
+    min/max reprs) are hash-checked against DuckDB recomputing them
+    from the raw table; the estimate cells (HLL NDV, p50 order
+    statistic) are gated IN-QUERY into booleans (5% / provable rank
+    bound) so estimator drift flips a cell and mismatches."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, quantiles
+
+    cols = ["event_id", "user_id", "event_type"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_prof_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-prof-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=cols, n_partitions=4, stripe_rows=512,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    prof = {
+        r.column: r
+        for r in pipeline.table_profile(
+            spark, out, cfg.run_id, ev.schema, cols
+        ).collect()
+    }
+    n_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    budget = n_groups * (-(-(512 - 1) // (quantiles.QSK_K - 1)))
+    rows = []
+    for c in sorted(cols):
+        r = prof[c]
+        exact_ndv = ev.select(F2.countDistinct(c)).first()[0]
+        ndv_ok = (
+            r.ndv_estimate is not None
+            and abs(r.ndv_estimate - exact_ndv) / max(exact_ndv, 1) <= 0.05
+        )
+        if r.p50_repr is not None:
+            nn = ev.filter(F2.col(c).isNotNull()).count()
+            target = math.ceil(0.5 * nn - 1e-9)
+            rank = ev.filter(F2.col(c) <= int(r.p50_repr)).count()
+            p50_ok = target <= rank <= target + budget
+        else:
+            p50_ok = r.column == "event_type"  # strings have no sketch
+        rows.append(
+            (c, int(r.n_rows), int(r.n_nulls), r.min_repr, r.max_repr,
+             bool(ndv_ok), bool(p50_ok))
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, min_repr string, "
+        "max_repr string, ndv_ok boolean, p50_ok boolean",
+    )
+
+
 def _q_metadata_group_ndv(spark, sf_dir):
     """r5 grouped sketch NDV (pipeline.metadata_group_ndv): distinct
     users per event type — pure predicate-ALL stripes contribute their
@@ -2605,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_ndv": _q_metadata_ndv,
         "metadata_group_ndv": _q_metadata_group_ndv,
         "metadata_percentile": _q_metadata_percentile,
+        "table_profile": _q_table_profile,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -3011,6 +3070,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct, "
             "true AS sketch_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "table_profile": (
+            "SELECT * FROM ("
+            "SELECT 'event_id' AS \"column\", "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls, "
+            "CAST(MIN(event_id) AS VARCHAR) AS min_repr, "
+            "CAST(MAX(event_id) AS VARCHAR) AS max_repr, "
+            "true AS ndv_ok, true AS p50_ok FROM events "
+            "UNION ALL SELECT 'event_type', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(event_type) AS BIGINT), "
+            "MIN(event_type), MAX(event_type), true, true FROM events "
+            "UNION ALL SELECT 'user_id', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(user_id) AS BIGINT), "
+            "CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR), "
+            "true, true FROM events"
+            ") ORDER BY \"column\""
         ),
         "metadata_percentile": (
             "SELECT CAST(0.25 AS DOUBLE) AS q, "

@@ -586,6 +586,20 @@ def cmd_percentile(args) -> int:
     return EXIT_OK
 
 
+def cmd_profile(args) -> int:
+    """Per-column table profile (counts, min/max, NDV estimate, p50)
+    from footer metadata only (pipeline.table_profile)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    rows = pipeline.table_profile(
+        spark, args.out, args.run_id, schema, args.columns.split(",")
+    ).collect()
+    print(json.dumps({"profile": [r.asDict() for r in rows]}, default=str))
+    return EXIT_OK
+
+
 def cmd_history(args) -> int:
     """Time-travel points of a run: one row per epoch with its wave's
     partition/stripe counts and commit window (Iceberg snapshots-list
@@ -925,6 +939,18 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     pc.set_defaults(fn=cmd_percentile)
+
+    pf = sub.add_parser(
+        "profile",
+        help="per-column profile (counts, min/max, ndv, p50) from "
+        "footer metadata only",
+    )
+    pf.add_argument("--out", required=True)
+    pf.add_argument("--run-id", required=True)
+    pf.add_argument("--columns", required=True, help="comma-separated")
+    pf.add_argument("--schema-from", required=True,
+                    help="parquet path typing the columns")
+    pf.set_defaults(fn=cmd_profile)
 
     hi = sub.add_parser(
         "history",

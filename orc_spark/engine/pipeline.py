@@ -2181,6 +2181,94 @@ def metadata_percentile(
     )
 
 
+def table_profile(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    columns: list[str],
+) -> DataFrame:
+    """One-call per-column profile from footer metadata only — the
+    `DESCRIBE EXTENDED` / pandas-describe analogue at zero data bytes:
+    exact row/null counts and min/max (metadata_aggregate), the HLL
+    NDV estimate where the column is sketched, and the p50 order-
+    statistic estimate where it is numeric. Best-effort by design
+    where the exact operators are loud: a column whose NDV or
+    percentile machinery would raise (floats without sketches,
+    strings' long-form decline, pre-upgrade rows) simply reports null
+    for that cell rather than failing the whole profile — the loud
+    single-column operators remain the authoritative path.
+
+    Returns (column, n_rows, n_nulls, min_repr string, max_repr
+    string, ndv_estimate double|null, p50_repr string|null), one row
+    per requested column, driver-assembled (one row per column — the
+    bounded-collect shape every CLI report here uses).
+    """
+    prof = {
+        r.column: r
+        for r in metadata_aggregate(
+            spark, out_dir, run_id, columns
+        ).collect()
+    }
+    try:
+        ndv_est = {
+            r.column: float(r.ndv_estimate)
+            for r in metadata_ndv(spark, out_dir, run_id, columns).collect()
+        }
+    except ValueError:
+        # mixed table: retry column-at-a-time so sketched columns
+        # still report
+        ndv_est = {}
+        for c in columns:
+            try:
+                ndv_est.update(
+                    {
+                        r.column: float(r.ndv_estimate)
+                        for r in metadata_ndv(
+                            spark, out_dir, run_id, [c]
+                        ).collect()
+                    }
+                )
+            except ValueError:
+                pass
+    p50 = {}
+    for c in columns:
+        try:
+            rows = metadata_percentile(
+                spark, out_dir, run_id, result_schema, c, [0.5]
+            ).collect()
+            if rows and rows[0].value is not None:
+                p50[c] = str(rows[0].value)
+        except Exception:  # noqa: BLE001 — loud ops stay loud standalone
+            pass
+
+    def _repr(r, lo: bool) -> str | None:
+        for fam in ("int", "num", "str"):
+            v = getattr(r, f"{'min' if lo else 'max'}_{fam}")
+            if v is not None:
+                return str(v)
+        return None
+
+    out = [
+        (
+            c,
+            int(prof[c].n_rows),
+            int(prof[c].n_nulls),
+            _repr(prof[c], True),
+            _repr(prof[c], False),
+            ndv_est.get(c),
+            p50.get(c),
+        )
+        for c in sorted(columns)
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "min_repr string, max_repr string, ndv_estimate double, "
+        "p50_repr string",
+    )
+
+
 def metadata_group_ndv(
     spark: SparkSession,
     out_dir: str,

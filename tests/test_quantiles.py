@@ -207,3 +207,46 @@ def test_cli_percentile(spark, capsys):
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [r["q"] for r in got["percentiles"]] == [0.5, 0.95]
     assert all(r["value"] is not None for r in got["percentiles"])
+
+
+# ------------------------------------------------ table profile
+
+def test_table_profile_and_cli(spark, capsys):
+    """Exact cells (counts, min/max reprs) match the raw table; the
+    estimate cells degrade to null on columns whose loud operators
+    would raise (float NDV), never failing the whole profile."""
+    import json
+
+    from orc_spark.__main__ import main
+
+    rows = [
+        (i, f"u{i % 37}", None if i % 5 == 0 else float(i % 113))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, u string, v double")
+    out, cfg = _encode_q(spark, df, ["id", "u", "v"])
+    prof = {
+        r.column: r
+        for r in pipeline.table_profile(
+            spark, out, cfg.run_id, df.schema, ["id", "u", "v"]
+        ).collect()
+    }
+    assert prof["id"].n_rows == 1500 and prof["id"].n_nulls == 0
+    assert prof["id"].min_repr == "0" and prof["id"].max_repr == "1499"
+    assert prof["v"].n_nulls == 300
+    assert prof["u"].min_repr == "u0"
+    # id: sketched int -> both estimates present and sane
+    assert abs(prof["id"].ndv_estimate - 1500) / 1500 <= 0.05
+    assert prof["id"].p50_repr is not None
+    # v: float -> NDV declines (null), p50 present (order stats exist)
+    assert prof["v"].ndv_estimate is None
+    assert prof["v"].p50_repr is not None
+    # u: string -> NDV present, p50 declines (no numeric sketch)
+    assert abs(prof["u"].ndv_estimate - 37) / 37 <= 0.05
+    assert prof["u"].p50_repr is None
+    assert main(
+        ["profile", "--out", out, "--run-id", cfg.run_id,
+         "--columns", "id,v", "--schema-from", f"{SF_DIR}/events.parquet"]
+    ) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["column"] for r in got["profile"]} == {"id", "v"}
