@@ -995,6 +995,82 @@ def _q_metadata_percentile(spark, sf_dir):
     )
 
 
+def _q_metadata_group_percentile(spark, sf_dir):
+    """r5 grouped percentile pushdown (metadata_group_percentile):
+    p50/p90 of value per event type on a type-clustered encode — pure
+    predicate-ALL stripes contribute footer order-statistic sketches,
+    boundary stripes decode and re-sketch per batch slice. Same
+    self-checking oracle pattern as metadata_percentile, per group:
+    rank_ok gates each group's estimate at the provable bound
+    IN-QUERY, and DuckDB recomputes the exact grouped
+    PERCENTILE_DISC values that are hash-checked."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, quantiles
+
+    cols = ["event_id", "value", "event_type"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_gpct_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-gpct-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=cols, n_partitions=4, stripe_rows=512,
+        cluster_by="event_type",
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    qs = [0.5, 0.9]
+    est = {
+        (r.event_type, float(r.q)): r.value
+        for r in pipeline.metadata_group_percentile(
+            spark, out, cfg.run_id, ev.schema, "event_type", "value", qs
+        ).collect()
+    }
+    n_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    budget = n_groups * (-(-(512 - 1) // (quantiles.QSK_K - 1)))
+    exact = {
+        (r.event_type, q): float(r[f"p{i}"])
+        for r in spark.sql(
+            "SELECT event_type, "
+            + ", ".join(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) "
+                f"AS p{i}"
+                for i, q in enumerate(qs)
+            )
+            + " FROM {ev} GROUP BY event_type",
+            ev=ev,
+        ).collect()
+        for i, q in enumerate(qs)
+    }
+    counts = {
+        r.event_type: (int(r.nn))
+        for r in ev.groupBy("event_type")
+        .agg(F2.count("value").alias("nn"))
+        .collect()
+    }
+    ranks = {
+        (t, q): ev.filter(
+            (F2.col("event_type") == t) & (F2.col("value") <= est[(t, q)])
+        ).count()
+        for (t, q) in est
+    }
+    rows = []
+    for t in sorted(counts):
+        for q in qs:
+            target = math.ceil(q * counts[t] - 1e-9)
+            ok = (t, q) in est and (
+                target <= ranks[(t, q)] <= target + budget
+            )
+            rows.append((t, float(q), exact[(t, q)], bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "event_type string, q double, pd_value double, rank_ok boolean",
+    )
+
+
 def _q_table_profile(spark, sf_dir):
     """r5 one-call table profile (pipeline.table_profile — DESCRIBE
     EXTENDED at zero data bytes). The exact cells (counts, typed
@@ -2664,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_group_ndv": _q_metadata_group_ndv,
         "metadata_percentile": _q_metadata_percentile,
         "table_profile": _q_table_profile,
+        "metadata_group_percentile": _q_metadata_group_percentile,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
@@ -3070,6 +3147,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct, "
             "true AS sketch_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "metadata_group_percentile": (
+            "SELECT event_type, CAST(q AS DOUBLE) AS q, pd_value, "
+            "true AS rank_ok FROM ("
+            "SELECT event_type, 0.5 AS q, "
+            "quantile_disc(value, 0.5) AS pd_value "
+            "FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT event_type, 0.9, quantile_disc(value, 0.9) "
+            "FROM events GROUP BY event_type"
+            ") ORDER BY event_type, q"
         ),
         "table_profile": (
             "SELECT * FROM ("

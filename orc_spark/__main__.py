@@ -577,6 +577,14 @@ def cmd_percentile(args) -> int:
     schema = spark.read.parquet(args.schema_from).schema
     qs = [float(x) for x in args.q.split(",")]
     predicate = [_parse_where(w) for w in args.where or []]
+    if args.group_by:
+        rows = pipeline.metadata_group_percentile(
+            spark, args.out, args.run_id, schema, args.group_by,
+            args.column, qs, predicate or None,
+        ).orderBy(args.group_by, "q").collect()
+        print(json.dumps({"percentiles": [r.asDict() for r in rows]},
+                         default=str))
+        return EXIT_OK
     rows = pipeline.metadata_percentile(
         spark, args.out, args.run_id, schema, args.column, qs,
         predicate or None,
@@ -938,6 +946,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path typing the column")
     pc.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
+    pc.add_argument("--group-by", default=None,
+                    help="per-group percentiles of --column")
     pc.set_defaults(fn=cmd_percentile)
 
     pf = sub.add_parser(

@@ -2269,6 +2269,204 @@ def table_profile(
     )
 
 
+def metadata_group_percentile(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    group_col: str,
+    pct_col: str,
+    qs: list[float],
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """Approximate ``PERCENTILE_DISC(q) WITHIN GROUP (ORDER BY
+    pct_col) ... GROUP BY group_col WHERE p`` — the grouped completion
+    of metadata_percentile, with the same provable per-group rank
+    bound (≤ one rank gap per contributing unit: metadata stripe or
+    decoded batch slice). Stripes PURE in the group key and
+    predicate-ALL contribute their order-statistic sketch with zero
+    data bytes; everything else kept decodes (group, value) and
+    re-sketches per batch slice.
+
+    Per-group prefix sums run as window aggregates partitioned by the
+    group key — a group's points are its stripes × K (metadata-scale),
+    so this targets bounded-cardinality keys (the GROUP BY NDV/minmax
+    caveat). Groups with zero non-null values are OMITTED (SQL's
+    HAVING COUNT(pct_col) > 0 shape); NULL group keys form their own
+    group. Returns (group_col, q double, value <pct_col type>).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ByteType, DateType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType, StructField, StructType, TimestampNTZType, TimestampType,
+    )
+
+    from . import quantiles as quantiles_mod
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs!r}")
+    ltype = _nested_field_type(result_schema, pct_col)
+    if ltype is None:
+        raise ValueError(f"column {pct_col!r} not in result_schema")
+    int_dom = isinstance(
+        ltype, (ByteType, ShortType, IntegerType, LongType,
+                TimestampType, TimestampNTZType, DateType)
+    )
+    if not int_dom and not isinstance(ltype, (FloatType, DoubleType)):
+        raise ValueError(
+            f"column {pct_col!r} ({ltype.simpleString()}) has no quantile-"
+            "sketch family — strings/decimals/bools decode instead"
+        )
+    if _nested_field_type(result_schema, group_col) is None:
+        raise ValueError(f"group column {group_col!r} not in result_schema")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — sketch percentiles "
+            "describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {group_col, pct_col})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
+        )
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys,
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    gview, gtype = _group_purity_view(meta, result_schema, group_col, gkeys)
+    j = cls.join(gview, gkeys, "left")
+    j = j.withColumn("_pure", F.coalesce("_pure", F.lit(False)))
+    tgt = meta.filter(F.col("column") == pct_col).select(
+        *gkeys,
+        F.col("qsk").alias("_qsk"),
+        F.col("n_rows").alias("_qn"),
+        F.coalesce("null_count", F.lit(0)).alias("_qnull"),
+    )
+    j = j.join(tgt, gkeys, "left")
+    meta_ok = (
+        F.col("_keep") & F.col("_all") & F.col("_pure")
+        & F.col("_qsk").isNotNull()
+    )
+    chk = j.agg(
+        F.sum(F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)).alias("_nd"),
+        F.count(F.col("_qn")).alias("_tp"),
+        *_presence_aggs(predicate),
+    ).first()
+    _raise_missing(chk, predicate, run_id)
+    if int(chk._tp or 0) == 0:
+        raise ValueError(
+            f"no stripes for column {pct_col!r} in run {run_id!r}"
+        )
+    vtype = LongType() if int_dom else DoubleType()
+    # the metadata half's group key is the purity view's leaf-typed
+    # single value — same Spark type the decode half produces
+    ktype = gtype if gtype is not None else gview.schema["_gval"].dataType
+    pt_schema = StructType(
+        [
+            StructField("_gkey", ktype, True),
+            StructField("_v", vtype, False),
+            StructField("_w", LongType(), False),
+        ]
+    )
+
+    def _explode_g(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            out = []
+            for g, blob, n_rows, nulls in zip(
+                pdf["_gval"], pdf["_qsk"], pdf["_qn"], pdf["_qnull"]
+            ):
+                nn = int(n_rows) - int(nulls or 0)
+                if blob is None or nn <= 0:
+                    continue
+                v, w = quantiles_mod.unpack_points(bytes(blob), nn)
+                out.append(
+                    pd.DataFrame({"_gkey": [g] * len(v), "_v": v, "_w": w})
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    points = (
+        j.filter(meta_ok)
+        .select("_gval", "_qsk", "_qn", "_qnull")
+        .mapInPandas(_explode_g, pt_schema)
+    )
+    n_decode = int(chk._nd or 0)
+    if n_decode:
+        decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in decode_groups.collect()
+            ]
+        else:
+            only = decode_groups
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need,
+            predicate or None, only,
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        points = points.unionByName(
+            quantiles_mod.grouped_batch_points(
+                dec.select(
+                    F.col(group_col).alias("_g"), F.col(pct_col).alias("_c")
+                ),
+                int_dom,
+            )
+        )
+    wcum = (
+        Window.partitionBy("_gkey").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = points.withColumn("_c", F.sum("_w").over(wcum)).withColumn(
+        "_n", F.sum("_w").over(Window.partitionBy("_gkey"))
+    )
+    sel = None
+    for q in sorted(qs):
+        t = F.ceil(F.lit(float(q)) * F.col("_n") - F.lit(1e-9))
+        part = (
+            cum.filter(F.col("_c") >= F.greatest(t, F.lit(1)))
+            .groupBy("_gkey")
+            .agg(F.min("_v").alias("_v"))
+            .withColumn("q", F.lit(float(q)))
+        )
+        sel = part if sel is None else sel.unionByName(part)
+    if isinstance(ltype, TimestampType):
+        vexpr = F.timestamp_micros(F.col("_v"))
+    elif isinstance(ltype, TimestampNTZType):
+        # calendar arithmetic from the NTZ epoch — tz-free, unlike a
+        # TimestampType round trip through the session zone
+        vexpr = F.expr(
+            "timestampadd(MICROSECOND, _v, "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        )
+    elif isinstance(ltype, DateType):
+        vexpr = F.date_from_unix_date(F.col("_v").cast("int"))
+    else:
+        vexpr = F.col("_v").cast(ltype)
+    return sel.select(
+        F.col("_gkey").alias(group_col), "q", vexpr.alias("value")
+    )
+
+
 def metadata_group_ndv(
     spark: SparkSession,
     out_dir: str,

@@ -143,3 +143,61 @@ def column_batch_points(df, int_domain: bool):
             )
 
     return df.mapInArrow(_pts, schema)
+
+
+def grouped_batch_points(df, int_domain: bool):
+    """(group, value, weight) point rows from a two-column
+    (group, value) DataFrame — the decode half of a grouped
+    percentile. Per Arrow batch, each distinct group's values sketch
+    to ≤K exact order statistics with exact gap weights (≤ one rank
+    gap of error per group per batch); NaN-bearing slices raise
+    loudly like column_batch_points."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    gfield = df.schema[0]
+    schema = StructType(
+        [
+            StructField("_gkey", gfield.dataType, True),
+            StructField("_v", LongType() if int_domain else DoubleType(),
+                        False),
+            StructField("_w", LongType(), False),
+        ]
+    )
+
+    def _pts(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            gb = b.column(0)
+            vals = b.column(1)
+            for g in pc.unique(gb).to_pylist():
+                if g is None:
+                    mask = pc.is_null(gb)
+                else:
+                    mask = pc.equal(gb, pa.scalar(g, type=gb.type))
+                sl = vals.filter(mask)
+                nn = len(sl) - sl.null_count
+                if nn == 0:
+                    continue
+                blob = stripe_qsketch(sl)
+                if blob is None:
+                    raise ValueError(
+                        "grouped percentile: decoded batch slice is "
+                        f"unsketchable (type {sl.type}; NaN has no "
+                        "rank) — decode and aggregate exactly instead"
+                    )
+                v, w = unpack_points(blob, nn)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([g] * len(v), type=gb.type),
+                        pa.array(v),
+                        pa.array(w),
+                    ],
+                    ["_gkey", "_v", "_w"],
+                )
+
+    return df.mapInArrow(_pts, schema)

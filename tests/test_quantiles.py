@@ -250,3 +250,98 @@ def test_table_profile_and_cli(spark, capsys):
     ) == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {r["column"] for r in got["profile"]} == {"id", "v"}
+
+
+# ------------------------------------------------ grouped percentile
+
+def test_metadata_group_percentile(spark, monkeypatch):
+    """Per-group rank bound on a type-clustered layout, with the
+    decode spy proving the clustered interior stays metadata-side."""
+    rows = [
+        (i, float((i * 37) % 211), f"g{(i * 7919) % 4}") for i in range(4000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, value double, event_type string"
+    )
+    stripe_rows = 128
+    out, cfg = _encode_q(
+        spark, ev, ["event_id", "value", "event_type"],
+        cluster_by="event_type", stripe_rows=stripe_rows,
+    )
+    total_groups = (
+        pipeline.read_stripes(spark, out, cfg.run_id)
+        .select("partition_id", "stripe_idx").distinct().count()
+    )
+    seen = {}
+    real = pipeline.decode_job
+
+    def spy(*a, **kw):
+        og = kw.get("_only_groups")
+        seen["n"] = og if isinstance(og, int) else (
+            len(og) if isinstance(og, list) else -1
+        )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "decode_job", spy)
+    res = pipeline.metadata_group_percentile(
+        spark, out, cfg.run_id, ev.schema, "event_type", "value",
+        [0.5, 0.9],
+    ).collect()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(res) == 2 * n_types
+    gap = -(-(stripe_rows - 1) // (quantiles.QSK_K - 1))
+    budget = total_groups * gap
+    for r in res:
+        sub = ev.filter(F.col("event_type") == r.event_type)
+        nn = sub.filter(F.col("value").isNotNull()).count()
+        target = math.ceil(r.q * nn - 1e-9)
+        rank = sub.filter(F.col("value") <= F.lit(r.value)).count()
+        assert target <= rank <= target + budget, (
+            r.event_type, r.q, rank, target
+        )
+    # boundary decode only on the clustered layout
+    assert 0 <= seen.get("n", -1) < total_groups / 2
+
+
+def test_metadata_group_percentile_null_group_and_predicate(spark):
+    rows = [
+        (i, None if i % 13 == 0 else f"g{i % 3}", float((i * 37) % 211))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    out, cfg = _encode_q(spark, df, ["id", "g", "v"], cluster_by="g")
+    pred = [("id", ">=", 500)]
+    sub = df.filter("id >= 500")
+    res = pipeline.metadata_group_percentile(
+        spark, out, cfg.run_id, df.schema, "g", "v", [0.5],
+        predicate=pred,
+    ).collect()
+    keys = {r.g for r in res}
+    assert None in keys and keys == {None, "g0", "g1", "g2"}
+    for r in res:
+        grp = (
+            sub.filter(F.col("g").isNull())
+            if r.g is None
+            else sub.filter(F.col("g") == r.g)
+        )
+        nn = grp.filter(F.col("v").isNotNull()).count()
+        target = math.ceil(0.5 * nn - 1e-9)
+        rank = grp.filter(F.col("v") <= F.lit(r.value)).count()
+        # generous budget: every stripe is its own unit at this size
+        assert target <= rank <= target + nn // 4 + 64, (r.g, rank, target)
+
+
+def test_metadata_group_percentile_refusals(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"s{i}") for i in range(400)],
+        "id bigint, g string, s string",
+    )
+    out, cfg = _encode_q(spark, df, ["id", "g", "s"])
+    with pytest.raises(ValueError, match="no quantile-sketch family"):
+        pipeline.metadata_group_percentile(
+            spark, out, cfg.run_id, df.schema, "g", "s", [0.5]
+        )
+    with pytest.raises(ValueError, match="not in result_schema"):
+        pipeline.metadata_group_percentile(
+            spark, out, cfg.run_id, df.schema, "nope", "id", [0.5]
+        )
