@@ -1043,6 +1043,51 @@ def main() -> None:
     plk_best = _read_plk_best()
     if plk_best is not None:
         extras["point_lookup_best_observed_on_host"] = plk_best
+
+    # --- metadata-aggregate pushdown (r5 footer-stat family): a thin
+    # ts-CLUSTERED companion run (url + warc_ts only — the layout a
+    # crawl table would actually use for time-slice queries), then a
+    # warc_ts range COUNT answered from stripe zone stats + boundary
+    # decode (pipeline.metadata_count), verified in-run against the
+    # Spark ground truth. Timed: the metadata_count call only; the
+    # thin encode is setup, reported as an extra.
+    from pyspark.sql import functions as F
+
+    thin = df.select("url", "warc_ts")
+    mout = tempfile.mkdtemp(prefix="orcspark_bench_meta_")
+    mcfg = pipeline.EncodeJobConfig(
+        out_dir=mout, run_id=f"bench-meta-{uuid.uuid4().hex[:8]}",
+        key="url", columns=["url", "warc_ts"],
+        n_partitions=max(2 * MAIN_CORES, 16), cluster_by="warc_ts",
+        # stripes must be finer than a partition for zone pruning to
+        # bite (same 2048-row granularity as BENCH.md's pushdown
+        # analysis); the default stripe size targets encode throughput
+        stripe_rows=2048,
+    )
+    t0 = time.perf_counter()
+    pipeline.run_encode_job(spark, thin, mcfg)
+    extras["metadata_thin_encode_sec"] = round(time.perf_counter() - t0, 3)
+    bounds = thin.agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).first()
+    span = bounds.hi - bounds.lo
+    tlo = bounds.lo + 0.2 * span
+    thi = bounds.lo + 0.8 * span
+    mpred = [("warc_ts", ">=", tlo), ("warc_ts", "<", thi)]
+    t0 = time.perf_counter()
+    mcnt, mdetail = pipeline.metadata_count(
+        spark, mout, mcfg.run_id, thin.schema, predicate=mpred
+    )
+    msec = time.perf_counter() - t0
+    truth = thin.filter(
+        (F.col("warc_ts") >= F.lit(tlo)) & (F.col("warc_ts") < F.lit(thi))
+    ).count()
+    assert int(mcnt) == int(truth), (mcnt, truth, mdetail)
+    queries["metadata_count_ts_range"] = round(msec, 3)
+    extras["metadata_count_rows_from_metadata_pct"] = (
+        round(100.0 * mdetail["rows_from_metadata"] / max(truth, 1), 1)
+    )
+    shutil.rmtree(mout, ignore_errors=True)
     assert n_hit >= 1
 
     try_late_scaling("point_lookup")
