@@ -99,6 +99,50 @@ def _q_roundtrip_dict_lang(spark, sf_dir):
     )
 
 
+def _q_roundtrip_prefix_url(spark, sf_dir):
+    """Front coding of a url-clustered URL column (codecs/framing
+    ._encode_strings_prefix — the public Parquet DELTA_BYTE_ARRAY /
+    ORC sorted-symbol-table idea: store only the shared-prefix length
+    with the previous value plus the suffix). URLs are seeded
+    deterministically from doc_id/lang (the url_canonicalize seeding
+    pattern) so the DuckDB twin rebuilds identical inputs; the encode
+    clusters by url (cluster_by rides the encode exchange's output, no
+    extra shuffle), the AUTO-selector must engage prefix via the
+    sampled adjacent-overlap stat — no override — and decode must
+    reproduce every url bit-identically."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.host"),
+            F.lpad((F.col("doc_id") % 23).cast("string"), 2, "0"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/page/"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("url"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_prefixurl_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="prefixurl", key="doc_id",
+        columns=["doc_id", "url"], n_partitions=4, cluster_by="url",
+    )
+    pipeline.run_encode_job(spark, seeded, cfg)
+    return pipeline.decode_job(
+        spark, out, "prefixurl", seeded.schema, ["doc_id", "url"]
+    )
+
+
+_ROUNDTRIP_PREFIX_URL_SQL = (
+    "SELECT doc_id, 'https://www.host' || "
+    "lpad(CAST(doc_id % 23 AS VARCHAR), 2, '0') || '.example.com/' || "
+    "lang || '/page/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url "
+    "FROM documents"
+)
+
+
 def _q_roundtrip_lzma_cold(spark, sf_dir):
     """r5 cold-storage tier: the lzma block compressor (frame flag
     bit 3) layered over the lightweight codecs — denser than deflate,
@@ -2707,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "roundtrip_fsst_text": _q_roundtrip_fsst_text,
         "roundtrip_dict_lang": _q_roundtrip_dict_lang,
+        "roundtrip_prefix_url": _q_roundtrip_prefix_url,
         "roundtrip_lzma_cold": _q_roundtrip_lzma_cold,
         "roundtrip_rle_ints": _q_roundtrip_rle_ints,
         "roundtrip_for_ts": _q_roundtrip_for_ts,
@@ -3050,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_id = (SELECT MAX(event_id) // 2 FROM events)"
         ),
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
+        "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",
         "roundtrip_rle_ints": "SELECT doc_id, n_chars FROM documents",
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",

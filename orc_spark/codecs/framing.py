@@ -68,6 +68,7 @@ CODECS = {
     "list": 10,  # ORC LIST type analogue: length stream + child frame
     "struct": 11,  # ORC STRUCT type analogue: per-field child frames
     "map": 12,  # ORC MAP type analogue: length stream + key/value frames
+    "prefix": 13,  # front coding (Parquet DELTA_BYTE_ARRAY semantics)
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -302,6 +303,136 @@ def _decode_strings_dict(payload: bytes, n_valid: int) -> tuple[np.ndarray, byte
     else:
         data = b""
     return lengths, data
+
+
+# ------------------------------------------------- front coding (prefix)
+
+# Incremental / front coding of adjacent string values (the public
+# Parquet DELTA_BYTE_ARRAY encoding and the ORC dictionary's sorted
+# symbol-table layout both use this idea — semantics only, not a
+# port): each value stores only (shared-prefix length with the
+# PREVIOUS value, suffix). On URL columns clustered by url the host +
+# path prefix repeats for runs of thousands of rows, so the prefix
+# stream RLEs to almost nothing and only the varying tails remain —
+# which an optional FSST pass over the suffix stream then compresses
+# further. Prefix lengths are capped so the encode-side pairwise
+# comparison stays a bounded padded-matrix numpy op.
+
+_PREFIX_CAP = 255
+
+
+def consecutive_prefix_lengths(
+    lengths: np.ndarray, data, cap: int = _PREFIX_CAP
+) -> np.ndarray:
+    """p[i] = len(common prefix of value i-1 and value i), capped.
+
+    Vectorized: the first ``min(cap, maxlen)`` bytes of every value are
+    gathered into one padded uint8 matrix; consecutive-row inequality +
+    argmax gives the first mismatch column. Padding bytes can only
+    produce false matches BEYOND min(len[i-1], len[i]), which the final
+    clamp removes. Shared with the codec selector's prefix-savings
+    stat, so the planning estimate and the codec agree by construction.
+    """
+    n = len(lengths)
+    p = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        return p
+    dbuf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
+    take = np.minimum(lengths, cap)
+    w = int(take.max()) if n else 0
+    if w == 0:
+        return p
+    offs = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    mat = np.zeros((n, w), dtype=np.uint8)
+    mask = np.arange(w)[None, :] < take[:, None]
+    src = offs[:, None] + np.arange(w)[None, :]
+    mat[mask] = dbuf[src[mask]]
+    neq = mat[1:] != mat[:-1]
+    first = np.where(neq.any(axis=1), neq.argmax(axis=1), w)
+    p[1:] = np.minimum(first, np.minimum(take[1:], take[:-1]))
+    return p
+
+
+def _range_gather_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices covering [starts[i], starts[i]+lens[i]) per row, in
+    row order — the cumsum trick from _decode_strings_dict, shared."""
+    nz = lens > 0
+    ls, ss = lens[nz], starts[nz]
+    total = int(ls.sum())
+    if not total:
+        return np.zeros(0, dtype=np.int64)
+    d = np.ones(total, dtype=np.int64)
+    out_off = np.cumsum(ls) - ls
+    if len(ls) > 1:
+        d[out_off[1:]] += ss[1:] - (ss[:-1] + ls[:-1])
+    d[0] = ss[0]
+    return np.cumsum(d)
+
+
+def _encode_strings_prefix(
+    lengths: np.ndarray, data, state: dict | None = None
+) -> bytes:
+    """prefix-length stream + suffix-length stream (both through the
+    int auto-selector) + suffix bytes (FSST when it pays, flag bit 0)."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    dbuf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
+    p = consecutive_prefix_lengths(lengths, dbuf)
+    s = lengths - p
+    offs = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    sfx = dbuf[_range_gather_indices(offs + p, s)].tobytes()
+    pb = encode_ints_auto(p)
+    sb = encode_ints_auto(s)
+    flag = 0
+    if len(sfx) >= _COMPRESS_MIN_BYTES:
+        table = state.get("prefix_fsst_table") if state is not None else None
+        if table is None and state is not None and len(sfx) >= 4096:
+            table = fsst.train(sfx)
+            state["prefix_fsst_table"] = table
+        comp = fsst.compress(sfx, table)
+        if len(comp) < len(sfx):
+            sfx, flag = comp, 1
+    return struct.pack("<BII", flag, len(pb), len(sb)) + pb + sb + sfx
+
+
+def _decode_strings_prefix(payload: bytes, n_valid: int) -> tuple[np.ndarray, bytes]:
+    flag, pb_len, sb_len = struct.unpack("<BII", payload[:9])
+    off = 9
+    p = decode_ints_auto(payload[off : off + pb_len], n_valid)
+    off += pb_len
+    s = decode_ints_auto(payload[off : off + sb_len], n_valid)
+    off += sb_len
+    sfx = payload[off:]
+    if flag & 1:
+        sfx = fsst.decompress(sfx)
+    sfx_b = sfx if isinstance(sfx, np.ndarray) else np.frombuffer(sfx, dtype=np.uint8)
+    lengths = (p + s).astype(np.int64)
+    n = n_valid
+    if n == 0:
+        return lengths, b""
+    sfx_off = np.concatenate(([0], np.cumsum(s)))[:-1]
+    out_off = np.concatenate(([0], np.cumsum(lengths)))
+    out = np.zeros(int(out_off[-1]), dtype=np.uint8)
+    starts = out_off[:-1]
+    # Byte j of value i lives in the suffix of the LAST row r <= i with
+    # p[r] <= j (rows above it in the chain copied it forward). One
+    # vectorized maximum.accumulate per column resolves the whole chain
+    # for that position; only columns below max(p) can be inherited —
+    # everything at or past max(p) is each row's own suffix (bulk path).
+    w = int(p.max())
+    idx = np.arange(n)
+    for j in range(w):
+        rows = lengths > j
+        if not rows.any():
+            break
+        src = np.maximum.accumulate(np.where(p <= j, idx, -1))
+        r = src[rows]
+        out[starts[rows] + j] = sfx_b[sfx_off[r] + (j - p[r])]
+    tail = np.maximum(lengths - w, 0)
+    if int(tail.sum()):
+        src_idx = _range_gather_indices(sfx_off + (w - p), tail)
+        dst_idx = _range_gather_indices(starts + w, tail)
+        out[dst_idx] = sfx_b[src_idx]
+    return lengths, out.tobytes()
 
 
 # ---------------------------------------------------------- float helpers
@@ -574,6 +705,9 @@ def encode_frame(
                 table = fsst.train(data)
                 state["fsst_table"] = table
             payload = _encode_strings_fsst(lengths, data, table)
+        elif codec == "prefix":
+            lengths, data = _string_parts(arr)
+            payload = _encode_strings_prefix(lengths, data, state)
         elif codec == "raw":
             lengths, data = _string_parts(arr)
             payload = _encode_strings_raw(lengths, data)
@@ -770,6 +904,8 @@ def decode_frame(blob: bytes) -> pa.Array:
             lengths, data = _decode_strings_dict(payload, n_valid)
         elif codec == "fsst":
             lengths, data = _decode_strings_fsst(payload, n_valid)
+        elif codec == "prefix":
+            lengths, data = _decode_strings_prefix(payload, n_valid)
         else:
             lengths, data = _decode_strings_raw(payload, n_valid)
         return _build_string_array(lengths, data, valid_mask, n, dt)

@@ -23,6 +23,11 @@ import pyarrow as pa
 
 DICT_RATIO_THRESHOLD = 0.5  # ORC spec default is 0.8; strings benefit earlier
 FSST_MIN_BYTES = 1 << 12  # below this, symbol-table overhead dominates
+# front coding engages when the sampled consecutive-common-prefix bytes
+# are at least this fraction of the sampled string bytes (url-clustered
+# URL columns measure 0.7+; crawl-order body text ~0.0). Below it the
+# two extra int streams can't pay for themselves and FSST wins.
+PREFIX_RATIO_THRESHOLD = 0.25
 
 
 @dataclass
@@ -37,9 +42,14 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
     for f in schema:
         t = f.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            chain = ["dict", "fsst", "raw"]
+            # prefix (front coding) sits between dict and fsst: it only
+            # survives choose_codec's pruning when the sampled
+            # consecutive-prefix overlap clears PREFIX_RATIO_THRESHOLD
+            # (url-clustered URL columns), so low-cardinality columns
+            # still take dict and body text still takes fsst.
+            chain = ["dict", "prefix", "fsst", "raw"]
         elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            chain = ["fsst", "raw"]
+            chain = ["prefix", "fsst", "raw"]
         elif (
             pa.types.is_integer(t)
             or pa.types.is_timestamp(t)
@@ -95,9 +105,22 @@ def stripe_stats(arr: pa.Array) -> dict:
             out["avg_len"] = float(
                 pa.compute.mean(pa.compute.binary_length(sample)).as_py() or 0
             )
+            # sampled front-coding savings: consecutive common-prefix
+            # bytes / sampled bytes, via the SAME helper the codec
+            # uses, so the estimate and the encoder agree exactly
+            from ..codecs import framing
+
+            lens, data = framing._string_parts(sample)
+            tot = int(lens.sum())
+            out["prefix_ratio"] = (
+                float(framing.consecutive_prefix_lengths(lens, data).sum()) / tot
+                if tot
+                else 0.0
+            )
         else:
             out["distinct_ratio"] = 1.0
             out["avg_len"] = 0.0
+            out["prefix_ratio"] = 0.0
         out["total_bytes"] = int(arr.nbytes)
     elif pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t):
         from ..codecs.framing import _int64_values
@@ -167,6 +190,11 @@ def choose_codec(arr: pa.Array, chain: list[str]) -> list[str]:
         dr = stats.get("distinct_ratio", 1.0)
         if dr > DICT_RATIO_THRESHOLD:
             order.remove("dict")  # dictionary would not pay for itself
+    if "prefix" in order and (
+        stats.get("prefix_ratio", 0.0) < PREFIX_RATIO_THRESHOLD
+        or stats.get("total_bytes", 1 << 30) < FSST_MIN_BYTES
+    ):
+        order.remove("prefix")  # adjacent values don't share prefixes
     if "fsst" in order and stats.get("total_bytes", 1 << 30) < FSST_MIN_BYTES:
         order.remove("fsst")
     if "alp" in order and not stats.get("alp_viable", True):

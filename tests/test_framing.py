@@ -23,7 +23,7 @@ def roundtrip(arr: pa.Array, codec: str):
 
 
 INT_CODECS = ["raw", "rle_auto", "rle_sr", "rle_direct", "rle_delta", "rle_pb"]
-STR_CODECS = ["raw", "fsst", "dict"]
+STR_CODECS = ["raw", "fsst", "dict", "prefix"]
 
 
 @pytest.mark.parametrize("codec", INT_CODECS)
@@ -72,6 +72,48 @@ def test_binary(codec):
     roundtrip(arr, codec)
 
 
+def test_prefix_front_coding_clustered_urls():
+    """Front coding on a url-clustered column: bit-identical roundtrip,
+    smaller than both raw and fsst (the host/path prefix repeats), and
+    correct across the prefix cap (values longer than 255 shared
+    bytes), empty strings, and duplicate-of-previous values."""
+    urls = sorted(
+        f"https://www.host{i % 23:02d}.example.com/{i % 7}/page/{i:06d}"
+        for i in range(4000)
+    )
+    long = "q" * 300
+    arr = pa.array(
+        urls + [long, long + "tail", long[:260], "", "a", "a"], type=pa.string()
+    )
+    out = roundtrip(arr, "prefix")
+    assert out.to_pylist() == arr.to_pylist()
+    sz = {c: len(encode_frame(arr, c, state={})) for c in ("raw", "fsst", "prefix")}
+    assert sz["prefix"] < sz["fsst"] < sz["raw"], sz
+
+
+def test_prefix_correct_on_unshared_strings():
+    """No adjacent overlap: the codec must still roundtrip exactly (the
+    selector would prune it, but a forced override may not)."""
+    vals = [f"{i * 2654435761 % 999983:x}-{i}" for i in range(3000)]
+    roundtrip(pa.array(vals, type=pa.string()), "prefix")
+
+
+def test_prefix_selector_gate():
+    """choose_codec keeps prefix only when sampled adjacent overlap
+    clears the threshold: clustered urls keep it, body text drops it."""
+    from orc_spark.engine import selector
+
+    chain = ["dict", "prefix", "fsst", "raw"]
+    urls = pa.array(
+        sorted(f"https://www.h{i % 5}.org/p/{i:07d}" for i in range(3000))
+    )
+    assert "prefix" in selector.choose_codec(urls, chain)
+    text = pa.array(
+        [f"{i * 7919 % 104729} unique sentence body {i}" for i in range(3000)]
+    )
+    assert "prefix" not in selector.choose_codec(text, chain)
+
+
 def test_float64():
     vals = RNG.random(1000)
     vals[::97] = np.nan
@@ -90,6 +132,7 @@ def test_float64():
         (pa.int64(), "rle_auto"),
         (pa.string(), "fsst"),
         (pa.string(), "dict"),
+        (pa.string(), "prefix"),
         (pa.float64(), "raw"),
     ],
 )

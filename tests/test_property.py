@@ -87,7 +87,7 @@ def test_fsst_roundtrip_arbitrary_bytes(data):
     st.lists(
         st.one_of(st.none(), st.text(max_size=60)), max_size=120
     ),
-    st.sampled_from(["fsst", "dict", "raw"]),
+    st.sampled_from(["fsst", "dict", "raw", "prefix"]),
 )
 def test_string_frame_roundtrip_with_nulls(strings, codec):
     arr = pa.array(strings, type=pa.string())
@@ -192,7 +192,7 @@ def test_zone_stats_int_bounds_property(vals):
         st.one_of(st.none(), st.text(max_size=40), st.just("")),
         max_size=200,
     ),
-    st.sampled_from(["raw", "fsst", "dict"]),
+    st.sampled_from(["raw", "fsst", "dict", "prefix"]),
 )
 def test_string_frame_roundtrip_compressed(strings, codec):
     """The zlib layer must be transparent for arbitrary string frames

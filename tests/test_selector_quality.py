@@ -14,7 +14,7 @@ from orc_spark.codecs import encode_frame
 from orc_spark.engine import encode as encode_mod
 from orc_spark.engine import selector, webgen
 
-STRING_CODECS = ["dict", "fsst", "raw"]
+STRING_CODECS = ["dict", "prefix", "fsst", "raw"]
 INT_CODECS = ["rle_auto", "rle_delta", "rle_direct", "rle_pb", "for_ts", "raw"]
 
 
@@ -35,6 +35,11 @@ def _cases():
         ("lang_lowcard", web.column("lang").combine_chunks(), STRING_CODECS),
         ("text_zipf", web.column("text").combine_chunks(), STRING_CODECS),
         ("url_unique", web.column("url").combine_chunks(), STRING_CODECS),
+        (
+            "url_sorted",
+            web.column("url").combine_chunks().sort(),
+            STRING_CODECS,
+        ),
         (
             "ts_runs",
             web.column("warc_ts").combine_chunks(),
@@ -74,7 +79,7 @@ def test_selector_within_15pct_of_best(name, arr, codecs):
     if pa.types.is_timestamp(arr.type):
         arr = arr.cast(pa.int64())  # frame layer stores ts as int64 anyway
     plan_chain = (
-        ["dict", "fsst", "raw"]
+        ["dict", "prefix", "fsst", "raw"]
         if pa.types.is_string(arr.type)
         else ["rle_auto", "raw"]
     )
