@@ -1559,6 +1559,83 @@ def _q_time_travel_decode(spark, sf_dir):
     )
 
 
+def _q_incremental_read(spark, sf_dir):
+    """r5 incremental read (pipeline.incremental_read — Iceberg
+    incremental-scan semantics over the resume lineage; ≙ the
+    reference's run-history deltas,
+    /root/reference/internal/state/history.go): wave 0 wholly fails
+    partitions {1,3}, resume completes them at epoch 1. The 0→1 delta
+    must be exactly the resumed partitions' rows (verified IN-QUERY
+    against the recomputed partition map — drift raises, recorded as
+    an error), both trivial windows must be empty, and delta ∪ as-of-0
+    must reproduce the full table. Returned columns are the portable
+    pieces: the empty-window row count (0) and the count+md5
+    fingerprint of the UNION, which the oracle recomputes from the
+    source table — a row missing from or double-counted in the delta
+    hash-mismatches."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, skew
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_incr_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="incr", key="doc_id", columns=cols,
+        n_partitions=4,
+        fault_spec={"columns": cols, "partitions": [1, 3]},
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.run_encode_job(
+        spark, docs, dataclasses.replace(cfg, fault_spec=None)
+    )
+    delta = pipeline.incremental_read(
+        spark, out, "incr", docs.schema, from_epoch=0, to_epoch=1
+    )
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    resumed = docs.withColumn("_pid", pid).filter(
+        F2.col("_pid").isin([1, 3])
+    ).drop("_pid")
+    chk = pipeline.verify_roundtrip(resumed, delta, "doc_id")
+    if chk["missing_from_decoded"] or chk["extra_in_decoded"]:
+        raise AssertionError(f"incremental delta drifted: {chk}")
+    empty_n = (
+        pipeline.incremental_read(
+            spark, out, "incr", docs.schema, from_epoch=1, to_epoch=1
+        ).count()
+        + pipeline.incremental_read(
+            spark, out, "incr", docs.schema, from_epoch=0, to_epoch=0
+        ).count()
+    )
+    asof0 = pipeline.decode_job(
+        spark, out, "incr", docs.schema, as_of_epoch=0
+    )
+    union = asof0.select(cols).unionByName(delta.select(cols))
+    fp = union.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(
+            F2.conv(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws(
+                            ":",
+                            F2.col("doc_id").cast("string"),
+                            F2.col("lang"),
+                            F2.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(empty_n), int(fp.n), int(fp.fp))],
+        "empty_window_rows int, union_rows bigint, union_fingerprint bigint",
+    )
+
+
 def _q_streaming_ingest(spark, sf_dir):
     """Structured-Streaming incremental encode, oracle-backed end to
     end: split documents into two crawl files (doc_id parity), drain
@@ -2798,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_skew": _q_partition_skew,
         "checkpoint_resume": _q_checkpoint_resume,
         "time_travel_decode": _q_time_travel_decode,
+        "incremental_read": _q_incremental_read,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -2844,6 +2922,15 @@ _STREAMING_INGEST_SQL = (
     "CAST(24 AS BIGINT) AS n_stripes, COUNT(*) AS decoded_rows, "
     "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':' "
     "|| CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS decoded_fingerprint "
+    "FROM documents"
+)
+
+# Same md5 fingerprint scheme as _RESUME_FP_SQL over the full source
+# table: the query's delta ∪ as-of-0 union must reproduce it exactly.
+_INCREMENTAL_READ_SQL = (
+    "SELECT 0 AS empty_window_rows, COUNT(*) AS union_rows, "
+    "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':' "
+    "|| CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS union_fingerprint "
     "FROM documents"
 )
 
@@ -2929,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
             "AS BIGINT) AS decoded_fingerprint FROM documents"
         ),
+        "incremental_read": _INCREMENTAL_READ_SQL,
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,
         "streaming_dedup": analysis.EXACT_DEDUP_SQL.format(table="documents"),

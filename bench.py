@@ -380,7 +380,12 @@ def scale_pair_child(small: int, large: int) -> None:
     # "1-core" run can take 50 s, so unbounded adaptive rounds can eat
     # the entire bench budget (observed). Rounds stop at the deadline
     # no matter what the efficiency says.
-    budget_s = float(os.environ.get("ORCSPARK_CHILD_BUDGET_S", "120"))
+    # 180 s: on mid-tier host phases (probe-healthy but noisy — fresh
+    # ~0.7 GB/s vs the ~5 GB/s of a clean window) the extra ~4 warm
+    # interleaved rounds span more host minutes per child, which is
+    # the cheapest way to catch one clean small/large pairing; the
+    # cost only accrues while the gate is NOT met (early-stop at 0.85)
+    budget_s = float(os.environ.get("ORCSPARK_CHILD_BUDGET_S", "180"))
     t_start = time.perf_counter()
     smalls, larges = [], []
     for _ in range(max_rounds):

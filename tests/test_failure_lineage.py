@@ -283,6 +283,78 @@ def test_decode_as_of_epoch_time_travel(spark, docs, tmp_path):
     )
 
 
+def test_incremental_read_appended_partitions(spark, docs, tmp_path):
+    """Iceberg incremental-read semantics (pipeline.incremental_read):
+    the epoch-0→1 delta is exactly the rows of the partitions the
+    resume completed; unchanged partitions are pruned by metadata and
+    never decoded; the trivial and inverted windows are empty/loud."""
+    from orc_spark.engine import skew
+
+    out = str(tmp_path / "run")
+    all_cols = [f.name for f in docs.schema.fields]
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": all_cols, "partitions": [1, 3]}),
+    )
+    pipeline.run_encode_job(spark, docs, _cfg(out))  # resume, epoch 1
+
+    delta = pipeline.incremental_read(
+        spark, out, "fl", docs.schema, from_epoch=0, to_epoch=1
+    )
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    resumed = docs.withColumn("_pid", pid).filter(
+        F.col("_pid").isin([1, 3])
+    ).drop("_pid")
+    chk = pipeline.verify_roundtrip(resumed, delta, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    # same-cap window: no partition's kept epoch differs -> empty, and
+    # the path must short-circuit without decoding anything
+    assert pipeline.incremental_read(
+        spark, out, "fl", docs.schema, from_epoch=1, to_epoch=1
+    ).count() == 0
+    assert pipeline.incremental_read(
+        spark, out, "fl", docs.schema, from_epoch=0, to_epoch=0
+    ).count() == 0
+
+    # delta ∪ as-of-0 == full table (snapshot algebra holds)
+    asof0 = pipeline.decode_job(spark, out, "fl", docs.schema, as_of_epoch=0)
+    union = asof0.select(*sorted(docs.columns)).unionByName(
+        delta.select(*sorted(docs.columns))
+    )
+    chk = pipeline.verify_roundtrip(docs, union, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    with pytest.raises(ValueError, match="to_epoch"):
+        pipeline.incremental_read(
+            spark, out, "fl", docs.schema, from_epoch=2, to_epoch=1
+        )
+
+    # column subset: delta restricted to (doc_id, lang) matches too
+    sub = pipeline.incremental_read(
+        spark, out, "fl", docs.schema, 0, 1, columns=["doc_id", "lang"]
+    )
+    assert sorted(sub.columns) == ["doc_id", "lang"]
+    assert sub.count() == delta.count()
+
+    # regression: decode_job must accept a REORDERED column subset
+    # against a full schema (it projects the declared mapInArrow
+    # schema onto the requested order; previously the batch columns
+    # misaligned against the full schema's types and the read blew up)
+    reordered = pipeline.decode_job(
+        spark, out, "fl", docs.schema, columns=["lang", "doc_id"]
+    )
+    assert reordered.columns == ["lang", "doc_id"]
+    assert (
+        reordered.count()
+        == pipeline.decode_job(spark, out, "fl", docs.schema).count()
+    )
+    with pytest.raises(ValueError, match="not in result_schema"):
+        pipeline.decode_job(
+            spark, out, "fl", docs.schema, columns=["doc_id", "nope"]
+        )
+
+
 def test_snapshot_tags_resolve_and_time_travel(spark, docs, tmp_path):
     """Named refs over the epoch history (Iceberg tag semantics):
     decode --as-of-tag equals decode --as-of-epoch of the pinned
