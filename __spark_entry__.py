@@ -1636,6 +1636,92 @@ def _q_incremental_read(spark, sf_dir):
     )
 
 
+def _q_rollback_reencode(spark, sf_dir):
+    """r5 write-side rollback (retention.rollback_to_epoch — Iceberg
+    rollback_to_snapshot): fault partitions {1,3} at epoch 0, resume
+    at epoch 1, tag the resumed snapshot, then roll back to epoch 0.
+    The rollback must drop exactly the resumed wave's stripes (2
+    partitions x 3 columns — pinned), make plain decode equal the
+    as-of-0 survivors (gated IN-QUERY against the recomputed partition
+    map), drop the now-dangling tag (gated loud), and be idempotent.
+    Re-encoding then resumes at epoch 1 and re-completes the table;
+    the portable pieces are the pinned counts plus the count+md5
+    fingerprint of the final full decode, recomputed by the oracle
+    over the source table."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import lineage as lineage_mod
+    from orc_spark.engine import pipeline, retention, skew
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_rb_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="rb", key="doc_id", columns=cols,
+        n_partitions=4,
+        fault_spec={"columns": cols, "partitions": [1, 3]},
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.run_encode_job(
+        spark, docs, dataclasses.replace(cfg, fault_spec=None)
+    )
+    lineage_mod.write_tag(spark, out, "rb", "resumed", epoch=1)
+    removed = retention.rollback_to_epoch(spark, out, "rb", 0)
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    survivors = docs.withColumn("_pid", pid).filter(
+        ~F2.col("_pid").isin([1, 3])
+    ).drop("_pid")
+    chk = pipeline.verify_roundtrip(
+        survivors, pipeline.decode_job(spark, out, "rb", docs.schema),
+        "doc_id",
+    )
+    if chk["missing_from_decoded"] or chk["extra_in_decoded"]:
+        raise AssertionError(f"post-rollback view drifted: {chk}")
+    try:
+        lineage_mod.resolve_tag(out, "rb", "resumed")
+        raise AssertionError("dangling tag survived rollback")
+    except ValueError:
+        pass
+    removed_again = retention.rollback_to_epoch(spark, out, "rb", 0)
+    r = pipeline.run_encode_job(
+        spark, docs, dataclasses.replace(cfg, fault_spec=None)
+    )
+    full = pipeline.decode_job(spark, out, "rb", docs.schema)
+    fp = full.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(
+            F2.conv(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws(
+                            ":",
+                            F2.col("doc_id").cast("string"),
+                            F2.col("lang"),
+                            F2.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(removed),
+                int(removed_again),
+                int(r.partitions_encoded),
+                int(r.partitions_skipped),
+                int(fp.n),
+                int(fp.fp),
+            )
+        ],
+        "rolled_back int, rolled_back_again int, reencoded int, "
+        "skipped int, decoded_rows bigint, decoded_fingerprint bigint",
+    )
+
+
 def _q_streaming_ingest(spark, sf_dir):
     """Structured-Streaming incremental encode, oracle-backed end to
     end: split documents into two crawl files (doc_id parity), drain
@@ -2876,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "time_travel_decode": _q_time_travel_decode,
         "incremental_read": _q_incremental_read,
+        "rollback_reencode": _q_rollback_reencode,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -3017,6 +3104,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS decoded_fingerprint FROM documents"
         ),
         "incremental_read": _INCREMENTAL_READ_SQL,
+        "rollback_reencode": (
+            "SELECT 6 AS rolled_back, 0 AS rolled_back_again, "
+            "2 AS reencoded, 2 AS skipped, COUNT(*) AS decoded_rows, "
+            "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+            "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
+            "AS BIGINT) AS decoded_fingerprint FROM documents"
+        ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,
         "streaming_dedup": analysis.EXACT_DEDUP_SQL.format(table="documents"),

@@ -378,6 +378,20 @@ def cmd_vacuum(args) -> int:
     return EXIT_OK
 
 
+def cmd_rollback(args) -> int:
+    from orc_spark.engine import retention
+
+    spark = _session(args.cores)
+    removed = retention.rollback_to_epoch(
+        spark, args.out, args.run_id, args.epoch
+    )
+    print(json.dumps({
+        "run_id": args.run_id, "epoch": args.epoch,
+        "stripes_removed": removed,
+    }))
+    return EXIT_OK
+
+
 def cmd_agg(args) -> int:
     """MIN/MAX/COUNT/null-count per column from zone statistics only —
     zero data bytes read (pipeline.metadata_aggregate)."""
@@ -830,6 +844,15 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--run-id", default=None)
     vac.set_defaults(fn=cmd_vacuum)
 
+    rb = sub.add_parser(
+        "rollback",
+        help="roll a run back to snapshot EPOCH (drops newer epochs)",
+    )
+    rb.add_argument("--out", required=True)
+    rb.add_argument("--run-id", required=True)
+    rb.add_argument("--epoch", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
+
     ag = sub.add_parser(
         "agg", help="min/max/count per column from zone stats (no data reads)"
     )
@@ -919,7 +942,7 @@ def main(argv: list[str] | None = None) -> int:
     nv = sub.add_parser(
         "ndv",
         help="approximate count-distinct per column from HyperLogLog "
-        "sketches (no data reads, ~1.6% error)",
+        "sketches (no data reads, ~1.6%% error)",
     )
     nv.add_argument("--out", required=True)
     nv.add_argument("--run-id", required=True)
@@ -935,7 +958,7 @@ def main(argv: list[str] | None = None) -> int:
     pc = sub.add_parser(
         "percentile",
         help="approximate percentiles from order-statistic sketches "
-        "(no data reads, rank error <= ~1.6% of rows)",
+        "(no data reads, rank error <= ~1.6%% of rows)",
     )
     pc.add_argument("--out", required=True)
     pc.add_argument("--run-id", required=True)

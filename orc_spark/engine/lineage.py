@@ -200,11 +200,18 @@ def write_tag(
         epoch = int(row.e)
     tags = read_tags(out_dir)
     tags.setdefault(run_id, {})[name] = int(epoch)
+    write_tags(out_dir, tags)
+    return int(epoch)
+
+
+def write_tags(out_dir: str, tags: dict) -> None:
+    """Persist the full tags map atomically (tmp + rename)."""
+    import json
+
     tmp = tags_path(out_dir) + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(tags, fh, indent=1, sort_keys=True)
     os.replace(tmp, tags_path(out_dir))
-    return int(epoch)
 
 
 def resolve_tag(out_dir: str, run_id: str, name: str) -> int:

@@ -166,6 +166,94 @@ def prune_history(
     return expired
 
 
+def rollback_to_epoch(
+    spark: SparkSession, out_dir: str, run_id: str, epoch: int
+) -> int:
+    """Roll one run's state back to snapshot ``epoch`` — the WRITE-side
+    dual of ``decode_job(as_of_epoch=k)`` (Iceberg
+    ``rollback_to_snapshot``; ≙ the reference re-running from an
+    archived run state, /root/reference/internal/state/history.go):
+    every stripe and lineage row of ``run_id`` with epoch > k is
+    physically dropped, so subsequent reads equal the as-of-``k`` view
+    and the next ``run_encode_job`` resumes at epoch k+1, re-completing
+    whatever the dropped waves had added.
+
+    Scale/cost: metadata-only filters + atomic table rewrites (temp
+    dir + rename swap, the prune_history pattern) — no stripe blob is
+    decoded. With an Iceberg catalog this is one
+    ``rollback_to_snapshot`` DDL; the rewrite stands in for the
+    pointer swap.
+
+    Collateral, handled loudly/explicitly:
+    - position-delete vectors target (partition, epoch, stripe) groups;
+      vectors on dropped epochs are dropped with them.
+    - equality deletes carry no epoch (retroactive v2-style masks) and
+      SURVIVE rollback — documented, same rule as incremental_read.
+    - tags pinned to epochs > k would dangle; they are removed (Iceberg
+      drops refs whose snapshot is expired) and reported in the return.
+
+    Returns the number of stripe rows removed. Raises if the run has
+    no epoch ≤ k (a rollback to before the run existed would silently
+    erase the whole run — use prune_history for that).
+    """
+    if epoch < 0:
+        raise ValueError("epoch must be >= 0")
+    spath = lineage_mod.stripes_dir(out_dir)
+    lpath = lineage_mod.lineage_dir(out_dir)
+    recover_swap(spath)
+    recover_swap(lpath)
+    if not os.path.exists(spath):
+        raise ValueError(f"no stripes at {out_dir}")
+    from .encode import STRIPE_SCHEMA
+
+    stripes = spark.read.schema(STRIPE_SCHEMA).parquet(spath)
+    mine = stripes.filter(F.col("run_id") == run_id)
+    agg = mine.groupBy().agg(
+        F.min("epoch").alias("lo"),
+        F.sum((F.col("epoch") > int(epoch)).cast("long")).alias("over"),
+    ).first()
+    if agg.lo is None:
+        raise ValueError(f"run {run_id!r} has no stripes at {out_dir}")
+    if int(agg.lo) > int(epoch):
+        raise ValueError(
+            f"run {run_id!r} has no epoch <= {epoch} (earliest is "
+            f"{int(agg.lo)}); rollback would erase the run"
+        )
+    removed = int(agg.over or 0)
+    drop = (F.col("run_id") == run_id) & (F.col("epoch") > int(epoch))
+    if removed:
+        tmp = spath + ".vacuum_tmp"
+        stripes.filter(~drop).write.mode("overwrite").option(
+            "compression", "none"
+        ).option("parquet.enable.dictionary", "false").parquet(tmp)
+        _swap_in(spath, tmp)
+        if os.path.exists(lpath):
+            lin = spark.read.schema(lineage_mod.LINEAGE_SCHEMA).parquet(lpath)
+            ltmp = lpath + ".vacuum_tmp"
+            lin.filter(~drop).write.mode("overwrite").parquet(ltmp)
+            _swap_in(lpath, ltmp)
+        from . import deletes as deletes_mod
+
+        dpath = deletes_mod.deletes_dir(out_dir)
+        recover_swap(dpath)
+        if os.path.isdir(dpath):
+            dels = spark.read.schema(deletes_mod.DELETES_SCHEMA).parquet(dpath)
+            dkept = dels.filter(~drop)
+            if dkept.count() < dels.count():
+                dtmp = dpath + ".vacuum_tmp"
+                dkept.write.mode("overwrite").parquet(dtmp)
+                _swap_in(dpath, dtmp)
+    # drop tags that now point past the history (report via lineage API)
+    tags = lineage_mod.read_tags(out_dir)
+    run_tags = tags.get(run_id, {})
+    dangling = [n for n, e in run_tags.items() if int(e) > int(epoch)]
+    if dangling:
+        for n in dangling:
+            del run_tags[n]
+        lineage_mod.write_tags(out_dir, tags)
+    return removed
+
+
 def vacuum_epochs(
     spark: SparkSession, out_dir: str, run_id: str | None = None
 ) -> int:

@@ -355,6 +355,81 @@ def test_incremental_read_appended_partitions(spark, docs, tmp_path):
         )
 
 
+def test_rollback_to_epoch(spark, docs, tmp_path, capsys):
+    """Write-side rollback (retention.rollback_to_epoch): dropping
+    epochs > k makes plain reads equal the as-of-k view, re-encode
+    resumes and re-completes the dropped partitions, tags past the
+    rollback point are removed, and the guard rails are loud."""
+    from orc_spark.engine import lineage, retention, skew
+
+    out = str(tmp_path / "run")
+    all_cols = [f.name for f in docs.schema.fields]
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out, fault_spec={"columns": all_cols, "partitions": [1, 3]}),
+    )
+    pipeline.run_encode_job(spark, docs, _cfg(out))  # resume, epoch 1
+    lineage.write_tag(spark, out, "fl", "base", epoch=0)
+    lineage.write_tag(spark, out, "fl", "resumed", epoch=1)
+
+    removed = retention.rollback_to_epoch(spark, out, "fl", 0)
+    assert removed == 2 * len(all_cols)  # 2 partitions x all columns
+
+    # plain decode now equals the pre-resume survivors
+    pid = skew.partition_id_expr(4, "doc_id", 42)
+    survivors = docs.withColumn("_pid", pid).filter(
+        ~F.col("_pid").isin([1, 3])
+    ).drop("_pid")
+    dec = pipeline.decode_job(spark, out, "fl", docs.schema)
+    chk = pipeline.verify_roundtrip(survivors, dec, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    # tag hygiene: past-rollback tag dropped, earlier tag survives
+    assert lineage.resolve_tag(out, "fl", "base") == 0
+    with pytest.raises(ValueError, match="unknown tag"):
+        lineage.resolve_tag(out, "fl", "resumed")
+
+    # idempotent; then re-encode resumes at epoch 1 and re-completes
+    assert retention.rollback_to_epoch(spark, out, "fl", 0) == 0
+    r = pipeline.run_encode_job(spark, docs, _cfg(out))
+    assert r.partitions_encoded == 2 and r.partitions_skipped == 2
+    full = pipeline.decode_job(spark, out, "fl", docs.schema)
+    chk = pipeline.verify_roundtrip(docs, full, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+
+    # guard rails
+    with pytest.raises(ValueError, match="has no stripes"):
+        retention.rollback_to_epoch(spark, out, "nope", 0)
+    with pytest.raises(ValueError, match=">= 0"):
+        retention.rollback_to_epoch(spark, out, "fl", -1)
+
+    # a run whose epoch-0 history was vacuumed away cannot roll back
+    # to 0 — that would silently erase the run (loud instead)
+    out2 = str(tmp_path / "run2")
+    pipeline.run_encode_job(
+        spark, docs,
+        _cfg(out2, fault_spec={"columns": all_cols,
+                               "partitions": [0, 1, 2, 3]}),
+    )
+    pipeline.run_encode_job(spark, docs, _cfg(out2))  # all complete @1
+    from orc_spark.engine import retention as ret
+
+    assert ret.vacuum_epochs(spark, out2) > 0  # drops every failed @0
+    with pytest.raises(ValueError, match="no epoch <= 0"):
+        ret.rollback_to_epoch(spark, out2, "fl", 0)
+
+    # CLI surface: the first store is fully re-completed (epochs 0+1);
+    # rolling back to 0 via the CLI drops the re-encoded wave again
+    import json as _json
+
+    from orc_spark.__main__ import main
+
+    assert main(["rollback", "--out", out, "--run-id", "fl",
+                 "--epoch", "0"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["stripes_removed"] == 2 * len(all_cols)
+
+
 def test_snapshot_tags_resolve_and_time_travel(spark, docs, tmp_path):
     """Named refs over the epoch history (Iceberg tag semantics):
     decode --as-of-tag equals decode --as-of-epoch of the pinned
