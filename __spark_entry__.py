@@ -1636,6 +1636,73 @@ def _q_incremental_read(spark, sf_dir):
     )
 
 
+def _q_orc_interchange(spark, sf_dir):
+    """r5 ORC interchange conformance: export documents as STANDARD
+    Apache ORC files (Spark's JVM writer, zlib stripes — the
+    reference's native format), re-read them with pyarrow's C++ ORC
+    reader (an independent second implementation, distributed one task
+    per file), import them back through the ordinary encode pipeline,
+    and decode. All three views (JVM reader, pyarrow reader, store
+    decode) must agree on count + md5 fingerprint — gated IN-QUERY;
+    the portable pieces are the count and fingerprint the oracle
+    recomputes over the source table. Proves a reference user's ORC
+    corpus round-trips through this engine bit-identically."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, storage
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    dest = tempfile.mkdtemp(prefix="orcspark_entry_orcx_")
+    storage.export_orc(docs.repartition(4, "doc_id"), dest)
+
+    def _fp(df):
+        return df.agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(
+                F2.conv(
+                    F2.substring(
+                        F2.md5(
+                            F2.concat_ws(
+                                ":",
+                                F2.col("doc_id").cast("string"),
+                                F2.col("lang"),
+                                F2.col("n_chars").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+            ).alias("fp"),
+        ).first()
+
+    jvm = _fp(storage.read_orc(spark, dest))
+    pa_row = storage.orc_interchange_check(spark, dest, cols).first()
+    if (int(pa_row.rows_pyarrow), int(pa_row.fp_pyarrow)) != (
+        int(jvm.n), int(jvm.fp)
+    ):
+        raise AssertionError(
+            f"pyarrow C++ reader disagrees with JVM reader: "
+            f"{pa_row} vs {jvm}"
+        )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_orcx_store_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="orcx", key="doc_id", columns=cols,
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, storage.read_orc(spark, dest), cfg)
+    dec = _fp(pipeline.decode_job(spark, out, "orcx", docs.schema))
+    if (int(dec.n), int(dec.fp)) != (int(jvm.n), int(jvm.fp)):
+        raise AssertionError(
+            f"store decode disagrees with ORC source: {dec} vs {jvm}"
+        )
+    return spark.createDataFrame(
+        [(int(jvm.n), int(jvm.fp))],
+        "n_rows bigint, fingerprint bigint",
+    )
+
+
 def _q_rollback_reencode(spark, sf_dir):
     """r5 write-side rollback (retention.rollback_to_epoch — Iceberg
     rollback_to_snapshot): fault partitions {1,3} at epoch 0, resume
@@ -2963,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_decode": _q_time_travel_decode,
         "incremental_read": _q_incremental_read,
         "rollback_reencode": _q_rollback_reencode,
+        "orc_interchange": _q_orc_interchange,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -3110,6 +3178,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
             "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
             "AS BIGINT) AS decoded_fingerprint FROM documents"
+        ),
+        "orc_interchange": (
+            "SELECT COUNT(*) AS n_rows, "
+            "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+            "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
+            "AS BIGINT) AS fingerprint FROM documents"
         ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,

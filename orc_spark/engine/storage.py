@@ -82,6 +82,96 @@ def read_table(spark: SparkSession, target: str, schema=None) -> DataFrame:
     return reader.parquet(target)
 
 
+def export_orc(
+    df: DataFrame, dest: str, compression: str = "zlib"
+) -> None:
+    """Interchange EXPORT: write ``df`` as standard Apache ORC files —
+    the reference's native on-disk format — via Spark's built-in JVM
+    ORC writer (map-only, one file per partition, no shuffle, no
+    Python in the data path). Any spec-conformant ORC reader (the Go
+    reference, pyarrow's C++ reader, Hive, Trino) can consume the
+    output; ``orc_interchange_check`` proves it with a SECOND
+    implementation. Compression: zlib (ORC default) | snappy | none —
+    matching the reference writer's stripe compression options.
+    """
+    df.write.mode("overwrite").option("compression", compression).orc(dest)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Interchange IMPORT: standard ORC files (e.g. produced by the Go
+    reference writer) as a DataFrame — feed straight into
+    run_encode_job to admit an existing ORC corpus into the store."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def orc_interchange_check(
+    spark: SparkSession, path: str, fingerprint_cols: list[str]
+) -> DataFrame:
+    """Cross-IMPLEMENTATION conformance proof for an exported ORC dir:
+    every data file is re-read by pyarrow's C++ ORC reader (a second,
+    independent implementation of the spec — the same role the Go
+    reference's TestReader plays against its writer) and reduced to
+    (rows, md5-prefix fingerprint) partials; the caller compares the
+    folded result against the JVM reader's view of the same files.
+
+    Scale plan: the FILE LIST parallelizes (one task per ORC file via
+    mapInPandas over a paths DataFrame — per-file imperative read is
+    the genuinely non-relational step); partials are two longs per
+    file, folded by one tiny aggregation. No driver-side data read at
+    any size. Fingerprint = SUM over rows of the first-8-hex-digit
+    int of md5(col:col:...), the same portable scheme the oracle
+    queries use, computed here in numpy/hashlib inside the Arrow task.
+    """
+    import pandas as pd
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".orc")
+    )
+    if not files:
+        raise ValueError(f"no .orc files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    cols = list(fingerprint_cols)
+
+    def _read_partial(batches):
+        import hashlib
+
+        import pyarrow.orc as po
+
+        for pdf in batches:
+            for fname in pdf["file"]:
+                tbl = po.read_table(fname, columns=cols)
+                joined = [
+                    ":".join(vals)
+                    for vals in zip(
+                        *(
+                            tbl.column(c).cast("string").to_pylist()
+                            for c in cols
+                        )
+                    )
+                ]
+                fp = sum(
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    for s in joined
+                )
+                yield pd.DataFrame(
+                    {"n": [tbl.num_rows], "fp": [fp]}
+                )
+
+    from pyspark.sql import functions as F
+
+    partials = fdf.repartition(min(len(files), 32), "file").mapInPandas(
+        _read_partial, "n long, fp long"
+    )
+    return partials.agg(
+        F.sum("n").alias("rows_pyarrow"), F.sum("fp").alias("fp_pyarrow")
+    )
+
+
 def exists(target: str, spark: SparkSession | None = None) -> bool:
     if is_iceberg(target):
         assert spark is not None

@@ -32,3 +32,55 @@ def test_iceberg_detection(spark):
     assert not storage.is_iceberg("/data/stripes")
     # sandbox ships no iceberg runtime jar; the seam must report that
     assert storage.iceberg_available(spark) is False
+
+
+def test_orc_interchange_roundtrip(spark, tmp_path):
+    """Export -> independent C++ re-read -> import: the three views
+    (JVM ORC reader, pyarrow ORC reader, plain DataFrame) agree on
+    count + fingerprint, for both zlib and uncompressed stripes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    n_src = docs.count()
+
+    def fp(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("lang"),
+                                F.col("n_chars").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+            ).alias("fp"),
+        ).first()
+        return int(r.n), int(r.fp)
+
+    want = fp(docs)
+    for comp in ("zlib", "none"):
+        dest = str(tmp_path / f"orc_{comp}")
+        storage.export_orc(docs.repartition(3, "doc_id"), dest, comp)
+        assert fp(storage.read_orc(spark, dest)) == want
+        chk = storage.orc_interchange_check(
+            spark, dest, ["doc_id", "lang", "n_chars"]
+        ).first()
+        assert (int(chk.rows_pyarrow), int(chk.fp_pyarrow)) == want
+    assert n_src == want[0]
+
+    with pytest.raises(ValueError, match="no .orc files"):
+        storage.orc_interchange_check(
+            spark, str(tmp_path), ["doc_id"]
+        )
