@@ -1636,6 +1636,67 @@ def _q_incremental_read(spark, sf_dir):
     )
 
 
+def _q_changelog_read(spark, sf_dir):
+    """r5 CDC changelog (pipeline.changelog_read — Iceberg
+    create_changelog_view / Delta CDF shape over the epoch history):
+    the 0→1 window of a fault+resume run must be all-'insert' (resume
+    waves only append partitions; the delete side is exercised by
+    pytest on the replaced-partition path), and applying the changeset
+    to the as-of-0 snapshot must reproduce the full table. Portable
+    pieces: the pinned delete count (0) and the count+md5 fingerprint
+    of snapshot+changeset, recomputed by the oracle over the source."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_cdc_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="cdc", key="doc_id", columns=cols,
+        n_partitions=4,
+        fault_spec={"columns": cols, "partitions": [1, 3]},
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.run_encode_job(
+        spark, docs, dataclasses.replace(cfg, fault_spec=None)
+    )
+    cdc = pipeline.changelog_read(
+        spark, out, "cdc", docs.schema, from_epoch=0, to_epoch=1
+    )
+    n_del = cdc.filter(F2.col("_change_type") == "delete").count()
+    inserts = cdc.filter(F2.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    asof0 = pipeline.decode_job(
+        spark, out, "cdc", docs.schema, as_of_epoch=0
+    )
+    applied = asof0.select(cols).unionByName(inserts.select(cols))
+    fp = applied.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(
+            F2.conv(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws(
+                            ":",
+                            F2.col("doc_id").cast("string"),
+                            F2.col("lang"),
+                            F2.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(n_del), int(fp.n), int(fp.fp))],
+        "n_delete_rows int, applied_rows bigint, applied_fingerprint bigint",
+    )
+
+
 def _q_orc_interchange(spark, sf_dir):
     """r5 ORC interchange conformance: export documents as STANDARD
     Apache ORC files (Spark's JVM writer, zlib stripes — the
@@ -3031,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read": _q_incremental_read,
         "rollback_reencode": _q_rollback_reencode,
         "orc_interchange": _q_orc_interchange,
+        "changelog_read": _q_changelog_read,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -3178,6 +3240,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
             "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
             "AS BIGINT) AS decoded_fingerprint FROM documents"
+        ),
+        "changelog_read": (
+            "SELECT 0 AS n_delete_rows, COUNT(*) AS applied_rows, "
+            "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+            "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
+            "AS BIGINT) AS applied_fingerprint FROM documents"
         ),
         "orc_interchange": (
             "SELECT COUNT(*) AS n_rows, "

@@ -726,6 +726,27 @@ def incremental_read(
     compact first (a new run at a fresh epoch 0) to fold deletes into
     lineage this scan can see.
     """
+    inserts, _deletes = _window_changes(
+        spark, out_dir, run_id, result_schema, from_epoch, to_epoch,
+        columns,
+    )
+    return inserts
+
+
+def _window_changes(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    from_epoch: int,
+    to_epoch: int,
+    columns: list[str] | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(inserts, deletes) of the epoch window — shared engine of
+    incremental_read (inserts only) and changelog_read (both). See
+    incremental_read's docstring for the cost model; the delete side
+    costs nothing extra in the common all-append case (the replaced
+    set is empty, so no second decode happens)."""
     if to_epoch < from_epoch:
         raise ValueError("to_epoch must be >= from_epoch")
     want = set(columns or [f.name for f in result_schema.fields])
@@ -795,14 +816,47 @@ def incremental_read(
     empty = spark.createDataFrame(
         [], StructType([f for f in result_schema.fields if f.name in want])
     ).select(cols)
-    out = empty
+    inserts, deletes = empty, empty
     if appended:
-        out = _decode_pids(appended, kt, int(to_epoch))
+        inserts = _decode_pids(appended, kt, int(to_epoch))
     if replaced:
         new_side = _decode_pids(replaced, kt, int(to_epoch))
         old_side = _decode_pids(replaced, kf, int(from_epoch))
-        out = out.unionByName(new_side.exceptAll(old_side))
-    return out
+        inserts = inserts.unionByName(new_side.exceptAll(old_side))
+        deletes = old_side.exceptAll(new_side)
+    return inserts, deletes
+
+
+def changelog_read(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    from_epoch: int,
+    to_epoch: int,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """CDC view of the epoch window — ``incremental_read``'s rows with
+    an explicit ``_change_type`` column (Iceberg
+    ``create_changelog_view`` / Delta CDF shape), so a downstream
+    incremental consumer (feature refresh, index update) can apply the
+    window as a changeset rather than re-deriving it.
+
+    Same cost model as incremental_read (one metadata aggregation;
+    appends decode once). Today's write paths only produce 'insert'
+    rows (resume waves add partitions); a replaced partition (forward
+    compat) would contribute 'delete' rows for its old image and
+    'insert' rows for the new. Epoch-less v2 deletes cancel out of the
+    window, as documented on incremental_read — compact first to
+    surface them.
+    """
+    inserts, deletes = _window_changes(
+        spark, out_dir, run_id, result_schema, from_epoch, to_epoch,
+        columns,
+    )
+    return inserts.withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
 
 
 def delete_rows(

@@ -330,6 +330,23 @@ def test_incremental_read_appended_partitions(spark, docs, tmp_path):
             spark, out, "fl", docs.schema, from_epoch=2, to_epoch=1
         )
 
+    # CDC shape: same window as a changelog is all-insert and matches
+    # the delta row-for-row; the trivial window is an empty changelog
+    cdc = pipeline.changelog_read(
+        spark, out, "fl", docs.schema, from_epoch=0, to_epoch=1
+    )
+    assert "_change_type" in cdc.columns
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_type == {"insert": delta.count()}
+    assert pipeline.changelog_read(
+        spark, out, "fl", docs.schema, 1, 1
+    ).count() == 0
+
     # column subset: delta restricted to (doc_id, lang) matches too
     sub = pipeline.incremental_read(
         spark, out, "fl", docs.schema, 0, 1, columns=["doc_id", "lang"]
