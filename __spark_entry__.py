@@ -2553,6 +2553,18 @@ def _q_dup_window_stats(spark, sf_dir):
     return dedup.dup_window_stats(_load(spark, sf_dir, "documents"), k=3)
 
 
+def _q_substring_purge(spark, sf_dir):
+    """Substring-dedup REMOVAL (Lee et al. 2022, the other half of
+    dup_window_stats): duplicated k-token windows survive only at
+    their global first occurrence; every doc reassembles from its
+    surviving tokens. k=3 over the small-vocab synthetic corpus
+    removes a dense span set, exercising keeper choice, overlapping
+    spans, and full-boilerplate docs."""
+    from orc_spark.textops import dedup
+
+    return dedup.purge_dup_windows(_load(spark, sf_dir, "documents"), k=3)
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by tf * ln(N/df); deterministic
     (score desc, term asc) tie-break in both engines."""
@@ -3027,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "dup_window_stats": _q_dup_window_stats,
+        "substring_purge": _q_substring_purge,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
@@ -3295,6 +3308,7 @@ def oracle_sql() -> dict[str, str]:
             "(" + _PARA_SEED_SQL + ") seeded"
         ),
         "dup_window_stats": dedup.dup_window_stats_sql("documents", k=3),
+        "substring_purge": dedup.purge_dup_windows_sql("documents", k=3),
         "tfidf_top_terms": analysis.tfidf_top_terms_sql("documents", k=3),
         "mojibake_score": analysis.mojibake_score_sql(
             "(" + _MOJIBAKE_SEED_SQL + ") seeded"

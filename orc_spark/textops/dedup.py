@@ -934,6 +934,173 @@ GROUP BY w.doc_id ORDER BY doc_id
 """
 
 
+def purge_dup_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """The REMOVAL half of Lee et al.'s substring dedup
+    (:func:`dup_window_stats` is the detection half): every k-token
+    window that appears in ≥2 documents survives only at its GLOBAL
+    first occurrence (lowest (doc_id, pos)); tokens covered by any
+    other occurrence of a duplicated window are removed and each
+    document is reassembled from its surviving tokens in order. A
+    document that is entirely boilerplate comes back with empty
+    ``clean_text`` (kept, not dropped — the caller decides).
+
+    Scale plan (all JVM expressions, no Python): windows reduce to md5
+    BEFORE any shuffle; the keeper choice is one min(struct) per
+    window hash; removal spans explode to (doc_id, token_idx) pairs —
+    O(k × duplicated windows) slim int rows, NOT strings; reassembly
+    is one groupBy(doc_id) of (idx, token) structs with array_sort
+    (bounded by tokens-per-doc, not corpus size). Four shuffles total
+    (window agg, removal join, anti-join, reassembly), each on hash
+    or (id, int) keys.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text), order by doc_id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("t")
+    )
+    n = F.size("t")
+    wins = toks.select(
+        "doc_id",
+        F.col("t"),
+        F.posexplode(shingles_from_tokens("t", k)).alias("p0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.md5("w").alias("wh"),
+        F.least(F.lit(k), F.size("t")).alias("wlen"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .where(F.col("ndocs") >= 2)
+        .select("wh", "keep.doc_id", "keep.pos")
+        .withColumnsRenamed({"doc_id": "kdoc", "pos": "kpos"})
+    )
+    removal = wins.join(dup, "wh").where(
+        ~((F.col("doc_id") == F.col("kdoc")) & (F.col("pos") == F.col("kpos")))
+    )
+    removed_idx = removal.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("wlen") - 1)
+        ).alias("idx"),
+    ).distinct()
+    tok_idx = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("idx"), "tok")
+    kept = tok_idx.join(removed_idx, ["doc_id", "idx"], "left_anti")
+    stats = tok_idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        stats.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shingles_from_tokens(tokens_col: str, k: int):
+    """k-token windows (ALL positions, order preserved) from a
+    pre-split token array column — :func:`shingles` without the
+    re-tokenize, for callers that need positions."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def purge_dup_windows_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`purge_dup_windows` (same tokenizer, same
+    window/keeper/removal rules, same reassembly)."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, string_split_regex(lower({text_col}), '\s+') AS t
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i + {k} - 1], ' ')) AS wh,
+         least({k}, len(t)) AS wlen
+  FROM toks,
+       unnest(CASE WHEN len(t) >= {k}
+              THEN generate_series(1, len(t) - {k} + 1)
+              ELSE [1] END) AS u(i)
+),
+dup AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+),
+keeper AS (
+  SELECT wh, doc_id AS kdoc, pos AS kpos FROM (
+    SELECT w.wh, w.doc_id, w.pos,
+           row_number() OVER (PARTITION BY w.wh
+                              ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup USING (wh)
+  ) WHERE rn = 1
+),
+removal AS (
+  SELECT w.doc_id, w.pos, w.wlen
+  FROM wins w JOIN keeper USING (wh)
+  WHERE NOT (w.doc_id = keeper.kdoc AND w.pos = keeper.kpos)
+),
+removed_idx AS (
+  SELECT DISTINCT doc_id, idx
+  FROM removal, unnest(generate_series(pos, pos + wlen - 1)) AS g(idx)
+),
+tok_idx AS (
+  SELECT doc_id, i AS idx, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT doc_id, idx, tok FROM tok_idx
+  ANTI JOIN removed_idx USING (doc_id, idx)
+)
+SELECT s.doc_id AS doc_id,
+       s.n_tokens AS n_tokens,
+       s.n_tokens - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT doc_id, count(*) AS n_tokens FROM tok_idx GROUP BY doc_id) s
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY idx) AS clean_text
+  FROM kept GROUP BY doc_id
+) r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_against(
     new_df: DataFrame,
     base_df: DataFrame,

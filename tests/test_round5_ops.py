@@ -179,6 +179,88 @@ class TestDupWindowStats:
         assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0)}
 
 
+class TestPurgeDupWindows:
+    def test_keeper_survives_others_purged(self, spark):
+        """Global first occurrence of a duplicated window keeps its
+        tokens; later occurrences lose theirs; unique text survives."""
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),     # keeper of "a b c"; "b c d" unique
+                (2, "a b c"),       # whole doc is the dup window
+                (3, "x y a b c"),   # dup at pos 3..5; "x y" unique-ish
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in dedup.purge_dup_windows(df, k=3).collect()
+        }
+        # doc 1 keeps everything (it owns the keeper occurrence);
+        # doc 2 empties; doc 3 loses its tail copy
+        assert got[1] == (4, 0, "a b c d")
+        assert got[2] == (3, 3, "")
+        assert got[3] == (5, 3, "x y")
+
+    def test_overlapping_removals_count_tokens_once(self, spark):
+        """Two overlapping duplicated windows in one doc remove the
+        union of their spans, not the sum."""
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),    # keeper of both "a b c" and "b c d"
+                (2, "a b c d e"),  # both windows dup at pos 1 and 2
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_removed, r.clean_text)
+            for r in dedup.purge_dup_windows(df, k=3).collect()
+        }
+        assert got[1] == (0, "a b c d")
+        assert got[2] == (4, "e")  # union of spans 1-3 and 2-4
+
+    def test_short_doc_whole_text_window(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_removed, r.clean_text)
+            for r in dedup.purge_dup_windows(df, k=3).collect()
+        }
+        assert got == {1: (0, "a b"), 2: (2, ""), 3: (0, "c")}
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "the quick brown cat sits"),
+                (3, "lazy dog the quick brown fox naps"),
+                (4, "the quick brown fox jumps"),
+            ],
+            "doc_id long, text string",
+        )
+        got = [
+            (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+            for r in dedup.purge_dup_windows(df, k=3).collect()
+        ]
+        con = duckdb.connect()
+        con.register("docs_pd", df.toPandas())
+        con.execute("CREATE VIEW d AS SELECT * FROM docs_pd")
+        want = con.execute(
+            dedup.purge_dup_windows_sql("d", k=3)
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+
+
 class TestTfidfTopTerms:
     def test_idf_zeroes_ubiquitous_term(self, spark):
         import math
