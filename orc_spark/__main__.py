@@ -44,7 +44,13 @@ def cmd_encode(args) -> int:
     from orc_spark.engine import pipeline
 
     spark = _session(args.cores)
-    df = spark.read.parquet(args.input)
+    fmt = getattr(args, "input_format", "parquet")
+    if fmt == "orc":  # admit an existing ORC corpus (storage.read_orc)
+        from orc_spark.engine import storage
+
+        df = storage.read_orc(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
     n_partitions = args.partitions or pipeline.suggest_partitions(spark, df)
     cfg = pipeline.EncodeJobConfig(
         out_dir=args.out,
@@ -392,6 +398,27 @@ def cmd_rollback(args) -> int:
     return EXIT_OK
 
 
+def cmd_export(args) -> int:
+    """Decode a run and write it as standard Apache ORC files (the
+    reference's native format) — see storage.export_orc; any
+    spec-conformant reader consumes the output."""
+    from orc_spark.engine import pipeline, storage
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    cols = args.columns.split(",") if args.columns else None
+    df = pipeline.decode_job(
+        spark, args.out, args.run_id, schema, columns=cols
+    )
+    storage.export_orc(df, args.dest, args.compression)
+    n = storage.read_orc(spark, args.dest).count()
+    print(json.dumps({
+        "dest": args.dest, "rows": int(n),
+        "compression": args.compression,
+    }))
+    return EXIT_OK
+
+
 def cmd_agg(args) -> int:
     """MIN/MAX/COUNT/null-count per column from zone statistics only —
     zero data bytes read (pipeline.metadata_aggregate)."""
@@ -681,6 +708,10 @@ def main(argv: list[str] | None = None) -> int:
 
     enc = sub.add_parser("encode", help="encode a parquet table into stripes")
     enc.add_argument("input")
+    enc.add_argument(
+        "--input-format", default="parquet", choices=["parquet", "orc"],
+        help="orc: admit an existing Apache ORC corpus directly",
+    )
     enc.add_argument("--out", required=True)
     enc.add_argument("--run-id", required=True)
     enc.add_argument("--key", required=True)
@@ -852,6 +883,22 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--run-id", required=True)
     rb.add_argument("--epoch", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    ex = sub.add_parser(
+        "export",
+        help="decode a run and write standard Apache ORC files",
+    )
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--run-id", required=True)
+    ex.add_argument("--schema-from", required=True)
+    ex.add_argument("--dest", required=True)
+    ex.add_argument(
+        "--columns", help="comma-separated projection (default: all)"
+    )
+    ex.add_argument(
+        "--compression", default="zlib", choices=["zlib", "snappy", "none"],
+    )
+    ex.set_defaults(fn=cmd_export)
 
     ag = sub.add_parser(
         "agg", help="min/max/count per column from zone stats (no data reads)"

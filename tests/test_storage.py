@@ -84,3 +84,52 @@ def test_orc_interchange_roundtrip(spark, tmp_path):
         storage.orc_interchange_check(
             spark, str(tmp_path), ["doc_id"]
         )
+
+
+def test_export_cli_roundtrip(spark, tmp_path, capsys):
+    """CLI export: encode a run, export it to ORC via the CLI, read
+    the ORC back with both readers and match the source."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from orc_spark.__main__ import main
+    from orc_spark.engine import pipeline
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "run")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="ex", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    dest = str(tmp_path / "orc_out")
+    assert main([
+        "export", "--out", out, "--run-id", "ex",
+        "--schema-from", src, "--dest", dest,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows"] == docs.count()
+    back = storage.read_orc(spark, dest)
+    assert back.count() == docs.count()
+    assert back.join(docs, ["doc_id", "lang", "n_chars"]).count() == docs.count()
+    chk = storage.orc_interchange_check(
+        spark, dest, ["doc_id", "lang", "n_chars"]
+    ).first()
+    assert int(chk.rows_pyarrow) == docs.count()
+
+    # and back in: admit the exported ORC corpus via the encode CLI
+    out2 = str(tmp_path / "run2")
+    assert main([
+        "encode", dest, "--input-format", "orc", "--out", out2,
+        "--run-id", "back", "--key", "doc_id", "--partitions", "4",
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["partitions_encoded"] == 4
+    dec = pipeline.decode_job(spark, out2, "back", docs.schema)
+    assert dec.join(docs, ["doc_id", "lang", "n_chars"]).count() == docs.count()
