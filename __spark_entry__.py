@@ -1636,6 +1636,60 @@ def _q_incremental_read(spark, sf_dir):
     )
 
 
+def _q_wap_publish(spark, sf_dir):
+    """r5 write-audit-publish (retention.publish_run — Iceberg WAP:
+    write to a staging branch, audit, fast-forward production): the
+    corpus encodes under a STAGING run_id, an audit gates in-query
+    (row-count precondition — any query could), publish renames the
+    run atomically, and the production decode must reproduce the
+    source. Portable pieces: the pinned published-stripe count, and
+    the count+md5 fingerprint of the production decode recomputed by
+    the oracle over the source table; the staged name's disappearance
+    gates in-query."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, retention
+
+    cols = ["doc_id", "lang", "n_chars"]
+    docs = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_wap_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="stage", key="doc_id", columns=cols,
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    audit_n = pipeline.decode_job(spark, out, "stage", docs.schema).count()
+    if audit_n != docs.count():
+        raise AssertionError(f"audit failed: {audit_n} != {docs.count()}")
+    moved = retention.publish_run(spark, out, "stage", "prod")
+    if "stage" in retention.list_runs(spark, out):
+        raise AssertionError("staged run survived publish")
+    prod = pipeline.decode_job(spark, out, "prod", docs.schema)
+    fp = prod.agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(
+            F2.conv(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws(
+                            ":",
+                            F2.col("doc_id").cast("string"),
+                            F2.col("lang"),
+                            F2.col("n_chars").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias("fp"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(moved), int(fp.n), int(fp.fp))],
+        "stripes_published int, prod_rows bigint, prod_fingerprint bigint",
+    )
+
+
 def _q_changelog_read(spark, sf_dir):
     """r5 CDC changelog (pipeline.changelog_read — Iceberg
     create_changelog_view / Delta CDF shape over the epoch history):
@@ -3106,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_reencode": _q_rollback_reencode,
         "orc_interchange": _q_orc_interchange,
         "changelog_read": _q_changelog_read,
+        "wap_publish": _q_wap_publish,
         "failure_categories": _q_failure_categories,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
@@ -3253,6 +3308,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
             "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
             "AS BIGINT) AS decoded_fingerprint FROM documents"
+        ),
+        "wap_publish": (
+            "SELECT 12 AS stripes_published, COUNT(*) AS prod_rows, "
+            "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+            "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
+            "AS BIGINT) AS prod_fingerprint FROM documents"
         ),
         "changelog_read": (
             "SELECT 0 AS n_delete_rows, COUNT(*) AS applied_rows, "

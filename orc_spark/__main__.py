@@ -398,6 +398,22 @@ def cmd_rollback(args) -> int:
     return EXIT_OK
 
 
+def cmd_publish(args) -> int:
+    """Write-audit-publish: rename an audited staging run to its
+    production run_id (metadata-only atomic rewrite)."""
+    from orc_spark.engine import retention
+
+    spark = _session(args.cores)
+    moved = retention.publish_run(
+        spark, args.out, args.staging_run_id, args.run_id
+    )
+    print(json.dumps({
+        "staging_run_id": args.staging_run_id,
+        "run_id": args.run_id, "stripes_published": moved,
+    }))
+    return EXIT_OK
+
+
 def cmd_export(args) -> int:
     """Decode a run and write it as standard Apache ORC files (the
     reference's native format) — see storage.export_orc; any
@@ -899,6 +915,16 @@ def main(argv: list[str] | None = None) -> int:
         "--compression", default="zlib", choices=["zlib", "snappy", "none"],
     )
     ex.set_defaults(fn=cmd_export)
+
+    pub = sub.add_parser(
+        "publish",
+        help="write-audit-publish: rename a staged run to its "
+        "production run_id",
+    )
+    pub.add_argument("--out", required=True)
+    pub.add_argument("--staging-run-id", required=True)
+    pub.add_argument("--run-id", required=True)
+    pub.set_defaults(fn=cmd_publish)
 
     ag = sub.add_parser(
         "agg", help="min/max/count per column from zone stats (no data reads)"

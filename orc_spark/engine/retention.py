@@ -254,6 +254,106 @@ def rollback_to_epoch(
     return removed
 
 
+def publish_run(
+    spark: SparkSession, out_dir: str, staging_run_id: str,
+    final_run_id: str,
+) -> int:
+    """Write-audit-publish (Iceberg WAP: write to a branch, audit,
+    fast-forward main; ≙ the reference's gated promotion of a
+    completed run, /root/reference/internal/runner/runner.go): a
+    corpus increment is encoded under a STAGING run_id, audited in
+    place (any query against that run — quality rules, dedup gate,
+    row counts), then atomically renamed to its production run_id so
+    readers of the production name see it only after the audit.
+
+    Metadata-only: the rewrite touches the run_id column of the
+    stripes/lineage/delete tables via the atomic swap (no blob
+    decoded); tags move with the run. Publishing onto an EXISTING
+    run_id is refused loudly (Iceberg: fast-forward of a diverged
+    branch fails) — use upsert/read_runs for merging corpora.
+
+    Returns the number of stripe rows published.
+    """
+    if final_run_id == staging_run_id:
+        raise ValueError("staging and final run_id are the same")
+    spath = lineage_mod.stripes_dir(out_dir)
+    lpath = lineage_mod.lineage_dir(out_dir)
+    recover_swap(spath)
+    recover_swap(lpath)
+    if not os.path.exists(spath):
+        raise ValueError(f"no stripes at {out_dir}")
+    from .encode import STRIPE_SCHEMA
+
+    stripes = spark.read.schema(STRIPE_SCHEMA).parquet(spath)
+    counts = {
+        r.run_id: int(r.n)
+        for r in stripes.groupBy("run_id").count()
+        .withColumnRenamed("count", "n").collect()
+        if r.run_id in (staging_run_id, final_run_id)
+    }
+    if staging_run_id not in counts:
+        raise ValueError(
+            f"staging run {staging_run_id!r} has no stripes at {out_dir}"
+        )
+    if final_run_id in counts:
+        raise ValueError(
+            f"run {final_run_id!r} already exists at {out_dir}; refusing "
+            "to merge by rename (use read_runs/upsert for unions)"
+        )
+    moved = counts[staging_run_id]
+    rename = F.when(
+        F.col("run_id") == staging_run_id, F.lit(final_run_id)
+    ).otherwise(F.col("run_id"))
+
+    def _rewrite(path: str, schema, precompressed: bool) -> None:
+        if not os.path.exists(path):
+            return
+        recover_swap(path)
+        df = spark.read.schema(schema).parquet(path).withColumn(
+            "run_id", rename
+        )
+        tmp = path + ".vacuum_tmp"
+        w = df.write.mode("overwrite")
+        if precompressed:
+            w = w.option("compression", "none").option(
+                "parquet.enable.dictionary", "false"
+            )
+        w.parquet(tmp)
+        _swap_in(path, tmp)
+
+    from . import deletes as deletes_mod
+
+    _rewrite(spath, STRIPE_SCHEMA, True)
+    _rewrite(lpath, lineage_mod.LINEAGE_SCHEMA, False)
+    _rewrite(deletes_mod.deletes_dir(out_dir), deletes_mod.DELETES_SCHEMA, False)
+    _rewrite(
+        deletes_mod.eq_deletes_dir(out_dir),
+        deletes_mod.EQ_DELETES_SCHEMA, False,
+    )
+    # run configs + tags follow the rename
+    cfg_src = os.path.join(out_dir, "configs", f"{staging_run_id}.json")
+    cfg_dst = os.path.join(out_dir, "configs", f"{final_run_id}.json")
+    if os.path.exists(cfg_src) and not os.path.exists(cfg_dst):
+        import json as _json
+
+        with open(cfg_src, encoding="utf-8") as fh:
+            rec = _json.load(fh)
+        # the embedded run_id must follow the rename or the resume
+        # identity guard would reject a later resume under the
+        # published name
+        if rec.get("run_id") == staging_run_id:
+            rec["run_id"] = final_run_id
+        with open(cfg_dst + ".tmp", "w", encoding="utf-8") as fh:
+            _json.dump(rec, fh, indent=1, sort_keys=True)
+        os.replace(cfg_dst + ".tmp", cfg_dst)
+        os.remove(cfg_src)
+    tags = lineage_mod.read_tags(out_dir)
+    if staging_run_id in tags:
+        tags.setdefault(final_run_id, {}).update(tags.pop(staging_run_id))
+        lineage_mod.write_tags(out_dir, tags)
+    return moved
+
+
 def vacuum_epochs(
     spark: SparkSession, out_dir: str, run_id: str | None = None
 ) -> int:

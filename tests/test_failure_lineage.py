@@ -447,6 +447,53 @@ def test_rollback_to_epoch(spark, docs, tmp_path, capsys):
     assert rep["stripes_removed"] == 2 * len(all_cols)
 
 
+def test_publish_run_wap(spark, docs, tmp_path, capsys):
+    """Write-audit-publish (retention.publish_run): a staged run
+    renames atomically to its production run_id — stripes, lineage,
+    config, and tags follow; the staged name is gone; collisions and
+    missing stages are loud; resume works under the published name."""
+    import json as _json
+
+    from orc_spark.__main__ import main
+    from orc_spark.engine import lineage, retention
+
+    out = str(tmp_path / "run")
+    cols = [f.name for f in docs.schema.fields]
+    pipeline.run_encode_job(
+        spark, docs, _cfg(out, run_id="stage")
+    )
+    lineage.write_tag(spark, out, "stage", "audited", epoch=0)
+
+    moved = retention.publish_run(spark, out, "stage", "prod")
+    assert moved == 4 * len(cols)
+
+    dec = pipeline.decode_job(spark, out, "prod", docs.schema)
+    chk = pipeline.verify_roundtrip(docs, dec, "doc_id")
+    assert chk["missing_from_decoded"] == 0 and chk["extra_in_decoded"] == 0
+    # staged name is gone from the ledger; tag moved
+    assert "stage" not in retention.list_runs(spark, out)
+    assert lineage.resolve_tag(out, "prod", "audited") == 0
+    # resume identity guard accepts the published name (config followed)
+    r = pipeline.run_encode_job(spark, docs, _cfg(out, run_id="prod"))
+    assert r.partitions_skipped == 4 and r.partitions_encoded == 0
+
+    with pytest.raises(ValueError, match="has no stripes"):
+        retention.publish_run(spark, out, "stage", "prod2")
+    with pytest.raises(ValueError, match="the same"):
+        retention.publish_run(spark, out, "prod", "prod")
+    pipeline.run_encode_job(spark, docs, _cfg(out, run_id="stage2"))
+    with pytest.raises(ValueError, match="already exists"):
+        retention.publish_run(spark, out, "stage2", "prod")
+
+    # CLI surface
+    assert main([
+        "publish", "--out", out, "--staging-run-id", "stage2",
+        "--run-id", "prod2",
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["stripes_published"] == 4 * len(cols)
+
+
 def test_snapshot_tags_resolve_and_time_travel(spark, docs, tmp_path):
     """Named refs over the epoch history (Iceberg tag semantics):
     decode --as-of-tag equals decode --as-of-epoch of the pinned
