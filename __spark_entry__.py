@@ -2557,6 +2557,29 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) recall self-check:
+    deterministic codebooks (seeded per-subvector k-means on a fixed
+    sample order), ADC candidate scan over the m-int codes + exact
+    cosine rerank, scored in-query against brute force. The oracle
+    pins the exact expected outcome on this corpus so codebook, code
+    assignment, or LUT drift hash-mismatches."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding]
+    bf = {r.id for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    books = similarity.pq_train(emb, m=4, k=16)
+    pq = [
+        r.id
+        for r in similarity.pq_topk(emb, q, books, k=10, refine=8).collect()
+    ]
+    return spark.createDataFrame(
+        [(4, 16, 10, len(pq), len(set(pq) & bf))],
+        "m int, k_centroids int, k int, n_results int, n_in_exact_topk int",
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN with 2-bit bands: the candidate set provably
     contains the true top-10 on this corpus (verified: identical output
@@ -3104,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "semantic_purge": _q_semantic_purge,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -3232,6 +3256,11 @@ _ANN_IVF_SQL = (
     "10 AS n_results, 9 AS n_in_exact_topk"
 )
 
+_ANN_PQ_SQL = (
+    "SELECT 4 AS m, 16 AS k_centroids, 10 AS k, "
+    "10 AS n_results, 9 AS n_in_exact_topk"
+)
+
 _MEDIA_DIMENSIONS_SQL = (
     "SELECT doc_id AS media_id, "
     "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format, "
@@ -3344,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": dedup.simhash_pairs_sql("documents", max_hamming=3),
         "ann_lsh": _ANN_BRUTE_FORCE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "ann_pq": _ANN_PQ_SQL,
         "semantic_purge": similarity.semantic_purge_sql(
             "embeddings", threshold=0.4
         ),

@@ -301,6 +301,113 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, public
+    method): the vector splits into ``m`` subvectors, each quantized
+    by its own ``k``-centroid Lloyd's k-means. Training runs on the
+    same BOUNDED driver-side sample as :func:`kmeans_centroids`, so
+    cost is O(1) in table size. Returns (m, k, d/m) float64."""
+    frac_df = df.select(vec_col)
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(
+            fraction=min(1.0, 1.2 * sample_rows / n), seed=seed
+        )
+    x = np.array(
+        [r[0] for r in frac_df.limit(sample_rows).collect()], dtype=np.float64
+    )
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        for _ in range(n_iter):
+            dist = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books[j, : len(cent)] = cent
+    return books
+
+
+def pq_encode_col(codebooks: np.ndarray, vec_col: str = "embedding"):
+    """PQ codes as an array<int> column — one vectorized pandas UDF
+    doing m small matmuls per Arrow batch (the same shape as
+    ivf_assign_col); a d-dim float vector becomes m small ints
+    (d/m × 8 ÷ log2(k) compression of the index payload)."""
+    books = codebooks.copy()
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            cent = books[j]
+            d = -2.0 * (xs @ cent.T) + (cent**2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _enc(F.col(vec_col))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC) + exact rerank: the query
+    builds an (m × k) lookup table once; each row's approximate
+    squared-L2 distance is m table gathers over its codes (no float
+    vector read); the ``k × refine`` best candidates rerank by exact
+    cosine. At scale the codes column is the only thing the first
+    pass scans — d/m·8/log2(k)× less IO than the vectors — and the
+    rerank touches ``k × refine`` rows."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    books = codebooks.copy()
+    m, kk, sub = books.shape
+    lut = np.stack(
+        [
+            ((books[j] - q[j * sub : (j + 1) * sub][None, :]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        dist = lut[np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(dist)
+
+    cand = (
+        df.withColumn("_pq_codes", pq_encode_col(codebooks, vec_col))
+        .withColumn("_adc", _adc(F.col("_pq_codes")))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(int(k) * int(refine))
+        .drop("_pq_codes", "_adc")
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -254,6 +254,40 @@ def test_ivf_partial_probe_finds_self(spark, emb):
     assert out and out[0].id == 3 and out[0].cosine > 0.999999
 
 
+def test_pq_full_refine_matches_brute_force(spark, emb):
+    """With refine covering the whole table, the exact rerank makes PQ
+    return exactly the brute-force top-k regardless of ADC order."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    books = similarity.pq_train(emb, m=4, k=8)
+    n = emb.count()
+    full = similarity.pq_topk(emb, q, books, k=5, refine=n).collect()
+    brute = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert [(r.id, round(r.cosine, 9)) for r in full] == [
+        (r.id, round(r.cosine, 9)) for r in brute
+    ]
+
+
+def test_pq_codes_and_self_recall(spark, emb):
+    """Codes have the declared shape/range and a narrow ADC scan still
+    finds the query vector itself (its own codes are ADC-minimal)."""
+    books = similarity.pq_train(emb, m=4, k=8)
+    assert books.shape[0] == 4 and books.shape[1] == 8
+    codes = emb.select(
+        similarity.pq_encode_col(books).alias("c")
+    ).collect()
+    assert all(len(r.c) == 4 and all(0 <= v < 8 for v in r.c) for r in codes)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    out = similarity.pq_topk(emb, q, books, k=3, refine=2).collect()
+    assert out and out[0].id == 3 and out[0].cosine > 0.999999
+
+
+def test_pq_dim_guard(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=7, k=8)
+
+
 def test_repetition_ratio_flags_boilerplate(spark):
     from orc_spark.textops import analysis
 
