@@ -433,6 +433,35 @@ def _q_bloom_point_lookup(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_in_list_decode(spark, sf_dir):
+    """IN-list predicated decode (zonemap `in` conjunct + multi-value
+    bloom probe — ORC SearchArgument IN semantics, public spec): a
+    5-key IN-list on a high-cardinality UNCLUSTERED int column. Zone
+    maps OR the per-key range overlaps; the bloom index probes every
+    key against each stripe's bitset and vetoes stripes containing
+    none of them — the inverted-index effect for multi-point lookups.
+    The conservative residual `isin` makes the result exactly the SQL
+    WHERE; the oracle is the plain IN-list SELECT."""
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select("event_id", "value")
+    m = int(events.agg(F.max("event_id")).first()[0])
+    keys = [m // d for d in (2, 3, 5, 7, 11)]
+    out = tempfile.mkdtemp(prefix="orcspark_entry_il_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-il-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value"],
+        n_partitions=8,
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    pred = [("event_id", "in", keys)]
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, events.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """Stripe compaction (pipeline.compact_run — ORC file-merge /
     Iceberg rewrite-data-files semantics): encode documents into
@@ -3169,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "metadata_group_percentile": _q_metadata_group_percentile,
         "bloom_point_lookup": _q_bloom_point_lookup,
+        "in_list_decode": _q_in_list_decode,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -3522,6 +3552,14 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup": (
             "SELECT event_id, value FROM events "
             "WHERE event_id = (SELECT MAX(event_id) // 2 FROM events)"
+        ),
+        "in_list_decode": (
+            "SELECT event_id, value FROM events WHERE event_id IN ("
+            "(SELECT MAX(event_id) // 2 FROM events), "
+            "(SELECT MAX(event_id) // 3 FROM events), "
+            "(SELECT MAX(event_id) // 5 FROM events), "
+            "(SELECT MAX(event_id) // 7 FROM events), "
+            "(SELECT MAX(event_id) // 11 FROM events))"
         ),
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
