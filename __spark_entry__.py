@@ -1847,6 +1847,53 @@ def _q_orc_interchange(spark, sf_dir):
     )
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """r5 WARC admission (sources.warc — ISO 28500 / Common-Crawl
+    response records, the north rule's native input format): documents
+    are serialized as per-record-gzip WARC shards (one file per
+    partition, distributed write), re-read through the binaryFile +
+    mapInPandas WARC parser, pushed through the ordinary encode
+    pipeline, and decoded. Returned rows are the decoded
+    (url, warc_ts, text) — the oracle recomputes the same projection
+    from the source table, so the crawl-format hop must be
+    bit-identical per url (the input_hint's per-row invariant)."""
+    from orc_spark.engine import pipeline
+    from orc_spark.sources import warc as warc_mod
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        F.concat(
+            F.lit("https://example.com/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2021-06-01 00:00:00").cast("timestamp"))
+            + F.col("doc_id") % 86400
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    ).repartition(4, "url")
+    shard_dir = tempfile.mkdtemp(prefix="orcspark_entry_warc_")
+    n_written = (
+        warc_mod.write_warc(src, shard_dir)
+        .agg(F.sum("n_records")).first()[0]
+    )
+    crawl = warc_mod.read_warc(spark, shard_dir)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_warc_store_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="warc", key="url",
+        columns=["url", "warc_ts", "html"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, crawl, cfg)
+    dec = pipeline.decode_job(spark, out, "warc", crawl.schema)
+    if int(n_written) != dec.count():
+        raise AssertionError(
+            f"WARC shards wrote {n_written} records, store decoded "
+            f"{dec.count()}"
+        )
+    return dec.select(
+        "url", "warc_ts", F.decode("html", "UTF-8").alias("text")
+    )
+
+
 def _q_rollback_reencode(spark, sf_dir):
     """r5 write-side rollback (retention.rollback_to_epoch — Iceberg
     rollback_to_snapshot): fault partitions {1,3} at epoch 0, resume
@@ -3213,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_read": _q_incremental_read,
         "rollback_reencode": _q_rollback_reencode,
         "orc_interchange": _q_orc_interchange,
+        "warc_ingest": _q_warc_ingest,
         "changelog_read": _q_changelog_read,
         "wap_publish": _q_wap_publish,
         "failure_categories": _q_failure_categories,
@@ -3385,6 +3433,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' "
             "|| lang || ':' || CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT) "
             "AS BIGINT) AS fingerprint FROM documents"
+        ),
+        "warc_ingest": (
+            "SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) "
+            "AS url, "
+            "TIMESTAMP '2021-06-01 00:00:00' "
+            "+ INTERVAL (doc_id % 86400) SECOND AS warc_ts, "
+            "text FROM documents"
         ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,

@@ -49,6 +49,14 @@ def cmd_encode(args) -> int:
         from orc_spark.engine import storage
 
         df = storage.read_orc(spark, args.input)
+    elif fmt == "warc":  # Common-Crawl response shards (sources.warc)
+        from orc_spark.sources import warc as warc_mod
+
+        df = warc_mod.read_warc(spark, args.input)
+    elif fmt == "wet":  # Common-Crawl extracted-text shards
+        from orc_spark.sources import warc as warc_mod
+
+        df = warc_mod.read_wet(spark, args.input)
     else:
         df = spark.read.parquet(args.input)
     n_partitions = args.partitions or pipeline.suggest_partitions(spark, df)
@@ -725,8 +733,10 @@ def main(argv: list[str] | None = None) -> int:
     enc = sub.add_parser("encode", help="encode a parquet table into stripes")
     enc.add_argument("input")
     enc.add_argument(
-        "--input-format", default="parquet", choices=["parquet", "orc"],
-        help="orc: admit an existing Apache ORC corpus directly",
+        "--input-format", default="parquet",
+        choices=["parquet", "orc", "warc", "wet"],
+        help="orc: admit an existing Apache ORC corpus; warc/wet: "
+        "Common-Crawl crawl shards (response html / extracted text)",
     )
     enc.add_argument("--out", required=True)
     enc.add_argument("--run-id", required=True)
