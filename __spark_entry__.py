@@ -946,6 +946,37 @@ def _q_metadata_group_minmax(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_metadata_value_counts(spark, sf_dir):
+    """r5 unclustered GROUP BY COUNT pushdown
+    (pipeline.metadata_value_counts): documents are encoded keyed by
+    doc_id, so `lang` is impure in every stripe — no zone-purity
+    shortcut exists. Each stripe footer instead carries its exact
+    (lang → count) histogram (engine/vcounts.py); the table-level
+    GROUP BY folds footers with zero data bytes, and the doc_id range
+    predicate routes only MIXED boundary stripes through the decode
+    path. Hash-checked: a histogram miscount, a lost NULL group, or a
+    boundary misroute shifts a language's total and mismatches."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mvc_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mvc-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4,
+        stripe_rows=512,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    return pipeline.metadata_value_counts(
+        spark, out, cfg.run_id, docs.schema, "lang",
+        [("doc_id", ">=", 100)],
+    ).orderBy("lang")
+
+
 def _q_metadata_topk(spark, sf_dir):
     """r5 top-k pushdown (pipeline.metadata_topk): newest-k rows by
     timestamp on a ts-clustered encode — the zone-threshold rule
@@ -3238,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_sum": _q_metadata_sum,
         "metadata_group_by": _q_metadata_group_by,
         "metadata_group_minmax": _q_metadata_group_minmax,
+        "metadata_value_counts": _q_metadata_value_counts,
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
         "metadata_group_ndv": _q_metadata_group_ndv,
@@ -3799,6 +3831,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "
             "MAX(ts) AS max_ts "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "metadata_value_counts": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM documents WHERE doc_id >= 100 "
+            "GROUP BY lang ORDER BY lang"
         ),
         "metadata_topk": (
             "SELECT event_id, ts, value FROM events "

@@ -508,6 +508,24 @@ def cmd_groupagg(args) -> int:
     return EXIT_OK
 
 
+def cmd_vcounts(args) -> int:
+    """Exact GROUP BY col, COUNT(*) on UNCLUSTERED low-cardinality
+    columns — per-stripe value-count histograms fold with zero data
+    bytes, histogram-less/MIXED stripes decode
+    (pipeline.metadata_value_counts)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    rows = pipeline.metadata_value_counts(
+        spark, args.out, args.run_id, schema, args.column,
+        predicate or None,
+    ).orderBy(args.column).collect()
+    print(json.dumps({"groups": [r.asDict() for r in rows]}, default=str))
+    return EXIT_OK
+
+
 def cmd_topk(args) -> int:
     """Exact ORDER BY col LIMIT k decoding only candidate stripes —
     zone-threshold top-k pushdown (pipeline.metadata_topk)."""
@@ -988,6 +1006,20 @@ def main(argv: list[str] | None = None) -> int:
     ga.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     ga.set_defaults(fn=cmd_groupagg)
+
+    vc = sub.add_parser(
+        "vcounts",
+        help="exact GROUP BY col, COUNT(*) on unclustered categorical "
+        "columns — footer value-count histograms, zero data bytes",
+    )
+    vc.add_argument("--out", required=True)
+    vc.add_argument("--run-id", required=True)
+    vc.add_argument("--column", required=True)
+    vc.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    vc.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"doc_id>=500\" (repeatable)")
+    vc.set_defaults(fn=cmd_vcounts)
 
     tk = sub.add_parser(
         "topk",

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 
 from ..codecs import column_checksum, encode_frame
 from . import ndv as ndv_mod
+from . import vcounts as vcounts_mod
 from . import quantiles as quantiles_mod
 from . import selector, zonemap
 
@@ -82,6 +83,11 @@ STRIPE_SCHEMA = StructType(
         # N/(K-1) rank-error bound; null = non-numeric / NaN-poisoned
         # / pre-upgrade rows
         StructField("qsk", BinaryType(), True),
+        # per-stripe EXACT value-count histogram (engine/vcounts.py)
+        # — metadata-only GROUP BY COUNT(*) over unclustered
+        # low-cardinality columns; null = declined (> VCS_CAP
+        # distinct, long-form text, floats) / pre-upgrade rows
+        StructField("vcs", BinaryType(), True),
         StructField("data", BinaryType(), False),
     ]
 )
@@ -115,6 +121,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("bloom", pa.binary()),
         ("ndv", pa.binary()),
         ("qsk", pa.binary()),
+        ("vcs", pa.binary()),
         ("data", pa.binary()),
     ]
 )
@@ -342,6 +349,11 @@ def encode_stage(
                     if status == "completed"
                     else None
                 )
+                rows["vcs"].append(
+                    vcounts_mod.stripe_value_counts(arr)
+                    if status == "completed"
+                    else None
+                )
                 rows["data"].append(blob)
                 if status == "completed":
                     # ORC nested-column statistics: one metadata-only
@@ -376,6 +388,9 @@ def encode_stage(
                         rows["ndv"].append(ndv_mod.stripe_hll(child))
                         rows["qsk"].append(
                             quantiles_mod.stripe_qsketch(child)
+                        )
+                        rows["vcs"].append(
+                            vcounts_mod.stripe_value_counts(child)
                         )
                         rows["data"].append(b"")
             yield pa.RecordBatch.from_pydict(rows, schema=_STRIPE_PA_SCHEMA)

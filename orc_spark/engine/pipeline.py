@@ -2114,6 +2114,172 @@ def metadata_group_aggregate(
     )
 
 
+def metadata_value_counts(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """EXACT ``SELECT column, COUNT(*) WHERE p GROUP BY column`` from
+    the per-stripe value-count histograms (engine/vcounts.py) — the
+    UNCLUSTERED complement of metadata_group_aggregate: a categorical
+    column on a url-keyed crawl is impure in every stripe, but each
+    stripe's footer carries its exact (value → count) map, so the
+    GROUP BY folds maps associatively with zero data bytes read.
+
+    Stripes that declined the histogram (> VCS_CAP distinct, long
+    text, floats, pre-upgrade rows) or are predicate-MIXED route to
+    the restricted decode path — exact either way, never estimated.
+    NULL is a group (SQL semantics): histogram stripes contribute
+    their footer null_count to it. Per-stripe coverage is gated loudly
+    in-fold (sum of counts + nulls must equal n_rows). Live deletes
+    raise (stats describe encoded rows).
+
+    Scale shape: the metadata half is one blob-free stripes scan →
+    explode of ≤ VCS_CAP pairs per stripe (Arrow-batched pandas UDF)
+    → groupBy(value); at 10^12 rows that is a metadata-table job ~5
+    orders of magnitude smaller than the data. Returns
+    (column, cnt).
+    """
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, ByteType, DateType, IntegerType,
+        LongType, ShortType, StringType, StructField as SF,
+        StructType as ST, TimestampType,
+    )
+
+    from . import vcounts as vcounts_mod
+
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — footer histograms "
+            "describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {column})
+    ltype = _nested_field_type(result_schema, column)
+    if ltype is None:
+        raise ValueError(f"column {column!r} not in result_schema")
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
+        )
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys, "n_rows",
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    tgt = meta.filter(F.col("column") == column).select(
+        *gkeys, "vcs",
+        F.coalesce("null_count", F.lit(0)).alias("_nulls"),
+        F.col("n_rows").alias("_trows"),
+    )
+    j = cls.join(tgt, gkeys, "left")
+    meta_ok = F.col("_keep") & F.col("_all") & F.col("vcs").isNotNull()
+
+    str_key = isinstance(ltype, StringType)
+    pair_t = ArrayType(
+        ST([
+            SF("v", StringType() if str_key else LongType(), True),
+            SF("c", LongType(), False),
+        ])
+    )
+
+    @F.pandas_udf(pair_t)
+    def _pairs(vcs, nulls, trows):
+        import pandas as pd
+
+        out = []
+        for blob, nn, tr in zip(vcs, nulls, trows):
+            _, pairs = vcounts_mod.parse_vcs(bytes(blob))
+            covered = sum(c for _, c in pairs) + int(nn)
+            if covered != int(tr):
+                raise ValueError(
+                    f"vcs histogram covers {covered} of {tr} rows — "
+                    "corrupt footer, refusing a wrong GROUP BY"
+                )
+            out.append(
+                [(str(v) if str_key else int(v), int(c)) for v, c in pairs]
+            )
+        return pd.Series(out)
+
+    def _leaf(src):
+        if isinstance(ltype, TimestampType):
+            return F.timestamp_micros(src)
+        if isinstance(ltype, DateType):
+            return F.date_from_unix_date(src.cast("int"))
+        if isinstance(ltype, BooleanType):
+            return src == 1
+        if isinstance(ltype, StringType):
+            return src
+        if isinstance(ltype, (ByteType, ShortType, IntegerType, LongType)):
+            return src.cast(ltype)
+        return src  # unreachable: such columns never store vcs
+
+    mrows = (
+        j.filter(meta_ok)
+        .withColumn("_p", _pairs("vcs", "_nulls", "_trows"))
+        .select(F.explode_outer("_p").alias("_pair"))
+    )
+    meta_part = (
+        mrows.select(
+            _leaf(F.col("_pair.v")).alias("_gkey"),
+            F.col("_pair.c").alias("cnt"),
+        )
+        .where(F.col("cnt").isNotNull())
+        .groupBy("_gkey").agg(F.sum("cnt").alias("cnt"))
+    )
+    null_part = (
+        j.filter(meta_ok & (F.col("_nulls") > 0))
+        .agg(F.sum("_nulls").alias("cnt"))
+        .select(F.lit(None).cast(ltype).alias("_gkey"), "cnt")
+        .where(F.col("cnt").isNotNull())
+    )
+    decode_groups = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+    chk = j.agg(
+        F.sum(F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)).alias("_nd"),
+        *_presence_aggs(predicate),
+    ).first()
+    _raise_missing(chk, predicate, run_id)
+    n_decode = int(chk._nd or 0)
+    parts = meta_part.unionByName(null_part)
+    if n_decode:
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in decode_groups.collect()
+            ]
+        else:
+            only = decode_groups
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need, predicate, only
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        dec_part = dec.groupBy(F.col(column).alias("_gkey")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts = parts.unionByName(dec_part)
+    return (
+        parts.groupBy("_gkey").agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumnRenamed("_gkey", column)
+    )
+
+
 def metadata_percentile(
     spark: SparkSession,
     out_dir: str,
