@@ -887,6 +887,79 @@ def _q_metadata_sum(spark, sf_dir):
     ).orderBy("pred")
 
 
+def _q_metadata_stddev(spark, sf_dir):
+    """r5 variance pushdown (pipeline.metadata_stddev): per-stripe
+    second central moments (zonemap._stripe_m2) merge via Chan's
+    parallel-variance algebra — exact VAR_POP/VAR_SAMP/STDDEV with
+    zero data bytes for ALL stripes, restricted decode for MIXED /
+    moment-less stripes. Hash-checked: the exact non-null count per
+    predicate; the float moments are self-checked in-query (var_ok:
+    metadata-path VAR_POP/VAR_SAMP/AVG within 1e-9 relative of the
+    row-level truth, and the metadata path must actually engage —
+    n_all > 0 — on the clustered predicates)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_msd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-msd-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "value", "event_type"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+
+    def _close(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        return abs(a - float(b)) <= 1e-9 * max(1.0, abs(float(b)))
+
+    cases = {
+        "all": None,
+        "range_clustered": [("event_id", ">=", 2000), ("event_id", "<", 8000)],
+        "type_eq": [("event_type", "==", "click")],
+    }
+    rows = []
+    for label, pred in sorted(cases.items()):
+        md = pipeline.metadata_stddev(
+            spark, out, cfg.run_id, events.schema, "value", pred
+        )
+        q = events
+        if pred:
+            q = q.filter(zonemap.predicate_expr(pred))
+        t = q.agg(
+            F2.count("value").alias("c"),
+            F2.avg("value").alias("a"),
+            F2.var_pop("value").alias("vp"),
+            F2.var_samp("value").alias("vs"),
+        ).first()
+        ok = (
+            md["count"] == int(t.c)
+            and _close(md["avg"], t.a)
+            and _close(md["var_pop"], t.vp)
+            and _close(md["var_samp"], t.vs)
+        )
+        # the clustered predicates must PROVE stripes, not decode all
+        # (an empty match at tiny SF proves by pruning everything:
+        # n_all == n_mixed == 0 and count == 0 is also metadata-only)
+        if label in ("all", "range_clustered"):
+            ok = ok and (
+                md["detail"]["n_all"] > 0
+                or (md["count"] == 0 and md["detail"]["n_mixed"] == 0)
+            )
+        rows.append((label, int(md["count"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "pred string, cnt bigint, var_ok boolean"
+    ).orderBy("pred")
+
+
 def _q_metadata_group_by(spark, sf_dir):
     """r5 GROUP BY pushdown (pipeline.metadata_group_aggregate): on an
     event_type-clustered encode, stripes single-valued in the key
@@ -3267,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
+        "metadata_stddev": _q_metadata_stddev,
         "metadata_group_by": _q_metadata_group_by,
         "metadata_group_minmax": _q_metadata_group_minmax,
         "metadata_value_counts": _q_metadata_value_counts,
@@ -3821,6 +3895,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'type_eq', CAST(SUM(event_id) AS BIGINT), "
             "COUNT(event_id), true FROM events WHERE event_type = 'click' "
             "ORDER BY pred"
+        ),
+        "metadata_stddev": (
+            "SELECT 'all' AS pred, COUNT(value) AS cnt, true AS var_ok "
+            "FROM events UNION ALL "
+            "SELECT 'range_clustered', COUNT(value), true FROM events "
+            "WHERE event_id >= 2000 AND event_id < 8000 UNION ALL "
+            "SELECT 'type_eq', COUNT(value), true FROM events "
+            "WHERE event_type = 'click' ORDER BY pred"
         ),
         "metadata_group_by": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, "

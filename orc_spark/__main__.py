@@ -491,6 +491,25 @@ def cmd_sum(args) -> int:
     return EXIT_OK
 
 
+def cmd_stddev(args) -> int:
+    """Exact VAR_POP/VAR_SAMP/STDDEV/AVG of one numeric column,
+    optionally WHERE predicate — per-stripe second central moments
+    merge via Chan's parallel-variance algebra, only boundary or
+    moment-less stripes decode (pipeline.metadata_stddev)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    predicate = [_parse_where(w) for w in args.where or []]
+    md = pipeline.metadata_stddev(
+        spark, args.out, args.run_id, schema, args.column,
+        predicate or None,
+    )
+    detail = md.pop("detail")
+    print(json.dumps({**md, **detail}))
+    return EXIT_OK
+
+
 def cmd_groupagg(args) -> int:
     """Exact GROUP BY count/sum/min/max — stripes single-valued in the
     group key answer from metadata, boundary/impure stripes decode
@@ -988,6 +1007,21 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--where", action="append", default=None,
                     help="conjunct, e.g. \"event_id>=500\" (repeatable)")
     sm.set_defaults(fn=cmd_sum)
+
+    sd = sub.add_parser(
+        "stddev",
+        help="exact VAR_POP/VAR_SAMP/STDDEV of a column (optional "
+        "WHERE) — per-stripe central moments merge via Chan's "
+        "parallel variance, boundaries decode",
+    )
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--run-id", required=True)
+    sd.add_argument("--column", required=True)
+    sd.add_argument("--schema-from", required=True,
+                    help="parquet path whose schema types the columns")
+    sd.add_argument("--where", action="append", default=None,
+                    help="conjunct, e.g. \"event_id>=500\" (repeatable)")
+    sd.set_defaults(fn=cmd_stddev)
 
     ga = sub.add_parser(
         "groupagg",

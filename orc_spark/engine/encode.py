@@ -71,6 +71,11 @@ STRIPE_SCHEMA = StructType(
         # finite; null = unsummable / pre-upgrade rows (decode instead)
         StructField("sum_int", LongType(), True),
         StructField("sum_num", DoubleType(), True),
+        # second central moment Σ(x-mean)² per stripe (zonemap
+        # _stripe_m2) — metadata-only VAR/STDDEV via Chan's parallel
+        # merge (pipeline.metadata_stddev); null = non-numeric /
+        # NaN-poisoned / pre-upgrade rows
+        StructField("m2", DoubleType(), True),
         # per-stripe bloom bitset for equality pruning (ORC bloom
         # filter index semantics); null = unsupported type / failed
         StructField("bloom", BinaryType(), True),
@@ -118,6 +123,7 @@ _STRIPE_PA_SCHEMA = pa.schema(
         ("stat_exact", pa.bool_()),
         ("sum_int", pa.int64()),
         ("sum_num", pa.float64()),
+        ("m2", pa.float64()),
         ("bloom", pa.binary()),
         ("ndv", pa.binary()),
         ("qsk", pa.binary()),
@@ -318,7 +324,7 @@ def encode_stage(
                     zstats = dict.fromkeys(
                         ("min_int", "max_int", "min_num", "max_num",
                          "min_str", "max_str", "null_count", "stat_exact",
-                         "sum_int", "sum_num")
+                         "sum_int", "sum_num", "m2")
                     )
                     bloom = None
                 ms = (time.perf_counter() - t0) * 1000.0

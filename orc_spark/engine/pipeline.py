@@ -11,6 +11,7 @@ away (≙ `orc run --resume`).
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass, field
 
@@ -1377,6 +1378,7 @@ def _classify_driver(
         "partition_id", "epoch", "stripe_idx", "column", "n_rows",
         "null_count", "sum_int", "sum_num",
         *[f"_k{j}" for j in range(n)], *[f"_a{j}" for j in range(n)],
+        "m2",  # appended LAST: the _k/_a flags index positionally at 8+j
     ]
     rows = proj.select(*sel).collect()  # single stage, no exchange
     # epoch completeness on the driver (mirrors _epoch_keep_filter)
@@ -1408,7 +1410,7 @@ def _classify_driver(
         if g is None:
             g = groups[key] = {
                 "n_rows": 0, "k": [None] * n, "a": [None] * n,
-                "sum_int": None, "sum_num": None, "nn": None,
+                "sum_int": None, "sum_num": None, "nn": None, "m2": None,
             }
         g["n_rows"] = max(g["n_rows"], int(r.n_rows))
         for j in range(n):
@@ -1423,6 +1425,7 @@ def _classify_driver(
             tgt_present = True
             g["sum_int"] = r.sum_int
             g["sum_num"] = r.sum_num
+            g["m2"] = r.m2
             g["nn"] = int(r.n_rows) - int(r.null_count or 0)
     for g in groups.values():
         g["keep"] = all(
@@ -1807,6 +1810,223 @@ def metadata_sum(
     else:
         total = meta_sum + dec_sum
     return total, total_nn, detail
+
+
+def metadata_stddev(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    predicate: list[tuple] | None = None,
+) -> dict:
+    """EXACT ``VAR_POP/VAR_SAMP/STDDEV(column) WHERE predicate`` from
+    per-stripe second central moments (stripe m2 = Σ(x−mean)²,
+    zonemap._stripe_m2) merged with Chan et al.'s parallel-variance
+    algebra — the variance analogue of metadata_sum, and the missing
+    piece of the ORC-statistics aggregate-pushdown family.
+
+    Fold: with per-component (nᵢ, sumᵢ, m2ᵢ) and the global mean
+    μ = Σsumᵢ / Σnᵢ, the exact total moment is
+    M2 = Σ m2ᵢ + Σ nᵢ·(μᵢ − μ)² — associative and numerically stable
+    (no Σx² cancellation). ALL stripes contribute footer stats; MIXED
+    groups — and stripes that declined a sum or moment (int64-overflow
+    risk, NaN poisoning, pre-upgrade rows) — decode and contribute one
+    (n, sum, m2) component via row-level VAR_POP. Nulls are skipped
+    (SQL semantics). Only genuine numeric leaves qualify; other types
+    raise. Live deletes raise.
+
+    Scale shape: two aggregates over the blob-free metadata table (the
+    second needs the global mean from the first) plus the shared
+    restricted boundary decode — at 10^12 rows a metadata-scale job,
+    never a data scan.
+
+    Returns dict(count, avg, var_pop, var_samp, stddev_pop,
+    stddev_samp, detail); the variance keys are None when count < 1
+    (< 2 for the sample forms), matching SQL.
+    """
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType,
+    )
+
+    leaf = _nested_field_type(result_schema, column)
+    if not isinstance(
+        leaf, (ByteType, ShortType, IntegerType, LongType,
+               FloatType, DoubleType)
+    ):
+        raise ValueError(
+            f"column {column!r} is {leaf} — VAR/STDDEV needs a numeric "
+            "leaf (int or float)"
+        )
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat moments "
+            "describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {column})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    pins = _temporal_pins(result_schema, predicate)
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    # components: list of (n, sum, m2) driver-side — ONE per metadata
+    # fold half + one for the decode residue (never per stripe)
+    fast = _classify_driver(
+        spark, out_dir, stripes, need, want_tops, predicate, pins,
+        target=column,
+    )
+    comp_meta: list[tuple[int, float, float]] = []
+    if fast is not None:
+        groups, present, tgt_present = fast
+        missing = sorted(
+            {predicate[j][0] for j in range(len(predicate))
+             if not present[j]}
+        )
+        if missing or not tgt_present:
+            bad = missing or [column]
+            raise ValueError(
+                f"no stats rows for column(s) {bad} in run {run_id!r} "
+                "— decode-and-aggregate instead"
+            )
+        n_meta = n_decode = 0
+        only = []
+        for k, g in groups.items():
+            if not g["keep"]:
+                continue
+            s = g["sum_int"] if g["sum_int"] is not None else g["sum_num"]
+            ok = (s is not None and g.get("m2") is not None) or g["nn"] == 0
+            if g["all_"] and ok:
+                n_meta += 1
+                if g["nn"]:
+                    comp_meta.append(
+                        (int(g["nn"]), float(s), float(g["m2"]))
+                    )
+            else:
+                only.append(k)
+        n_decode = len(only)
+        j = meta_ok = None
+    else:
+        meta = _epoch_keep_filter(
+            spark, stripes, want_tops
+        ).drop("data").filter(F.col("column").isin(need))
+        if predicate:
+            cls = _classify_pred_groups(meta, predicate, gkeys, pins=pins)
+        else:
+            cls = (
+                meta.groupBy(*gkeys)
+                .agg(F.max("n_rows").alias("n_rows"))
+                .select(
+                    *gkeys, "n_rows",
+                    F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+                )
+            )
+        tgt = meta.filter(F.col("column") == column).select(
+            *gkeys,
+            F.coalesce(
+                F.col("sum_num"), F.col("sum_int").cast("double")
+            ).alias("_s"),
+            F.col("m2"),
+            (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+        )
+        j = cls.join(tgt, gkeys, "left")
+        stats_ok = (
+            (F.col("_s").isNotNull() & F.col("m2").isNotNull())
+            | F.coalesce(F.col("_nn") == 0, F.lit(False))
+        )
+        meta_ok = F.col("_keep") & F.col("_all") & stats_ok
+        agg = j.agg(
+            F.sum(F.when(meta_ok, F.col("_s"))).alias("s"),
+            F.sum(F.when(meta_ok, F.col("_nn"))).alias("nn"),
+            F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_meta"),
+            F.sum(
+                F.when(F.col("_keep") & ~meta_ok, 1).otherwise(0)
+            ).alias("n_decode"),
+            F.count(F.col("_nn")).alias("_tp"),
+            *_presence_aggs(predicate),
+        ).first()
+        _raise_missing(agg, predicate, run_id)
+        if int(agg._tp or 0) == 0:
+            raise ValueError(
+                f"no stats rows for column(s) [{column!r}] in run "
+                f"{run_id!r} — decode-and-aggregate instead"
+            )
+        n_meta = int(agg.n_meta or 0)
+        n_decode = int(agg.n_decode or 0)
+        only = None
+    # decode residue as ONE component
+    comp_dec: tuple[int, float, float] | None = None
+    if n_decode:
+        if only is None:
+            mixed = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+            if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+                only = [
+                    (r.partition_id, r.epoch, r.stripe_idx)
+                    for r in mixed.collect()
+                ]
+            else:
+                only = mixed
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need, predicate, only
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        row = dec.agg(
+            F.count(column).alias("c"),
+            F.sum(F.col(column).cast("double")).alias("s"),
+            F.var_pop(F.col(column).cast("double")).alias("v"),
+        ).first()
+        if int(row.c):
+            comp_dec = (
+                int(row.c), float(row.s), float(row.v or 0.0) * int(row.c)
+            )
+    # --- Chan merge across components ---------------------------------
+    if fast is not None:
+        comps = comp_meta + ([comp_dec] if comp_dec else [])
+        total_n = sum(c[0] for c in comps)
+        total_s = sum(c[1] for c in comps)
+        mean = (total_s / total_n) if total_n else None
+        m2_total = (
+            sum(c[2] + c[0] * (c[1] / c[0] - mean) ** 2 for c in comps)
+            if total_n else None
+        )
+    else:
+        nn_meta = int(agg.nn or 0)
+        s_meta = float(agg.s) if agg.s is not None else 0.0
+        total_n = nn_meta + (comp_dec[0] if comp_dec else 0)
+        total_s = s_meta + (comp_dec[1] if comp_dec else 0.0)
+        mean = (total_s / total_n) if total_n else None
+        m2_total = None
+        if total_n:
+            # second metadata action: the correction term needs the
+            # global mean — still a blob-free metadata-table aggregate
+            corr = j.filter(meta_ok & (F.col("_nn") > 0)).agg(
+                F.sum("m2").alias("m2s"),
+                F.sum(
+                    F.col("_nn")
+                    * F.pow(F.col("_s") / F.col("_nn") - F.lit(mean), 2)
+                ).alias("adj"),
+            ).first()
+            m2_total = float(corr.m2s or 0.0) + float(corr.adj or 0.0)
+            if comp_dec:
+                c, s, m2 = comp_dec
+                m2_total += m2 + c * (s / c - mean) ** 2
+    detail = {"n_all": n_meta, "n_mixed": n_decode}
+    var_pop = (m2_total / total_n) if total_n else None
+    var_samp = (m2_total / (total_n - 1)) if total_n > 1 else None
+    return {
+        "count": total_n,
+        "avg": mean,
+        "var_pop": var_pop,
+        "var_samp": var_samp,
+        "stddev_pop": math.sqrt(var_pop) if var_pop is not None else None,
+        "stddev_samp": (
+            math.sqrt(var_samp) if var_samp is not None else None
+        ),
+        "detail": detail,
+    }
 
 
 def _group_purity_view(meta, result_schema, group_col: str, gkeys):

@@ -82,6 +82,23 @@ def nested_stat_children(arr: pa.Array, prefix: str = "") -> list:
     return out
 
 
+def _stripe_m2(arr) -> float | None:
+    """Second central moment Σ(x − mean)² of one stripe's non-null
+    values, in float64 — the per-stripe half of Chan's parallel
+    variance (the ORC-statistics analogue for metadata-only
+    VAR/STDDEV; stored exactly-or-absent like the sums). One numpy
+    pass; NaN/inf poisoning declines (None) rather than records a
+    useless stat."""
+    vals = arr.drop_null()
+    if len(vals) == 0:
+        return None
+    x = vals.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    with np.errstate(invalid="ignore", over="ignore"):  # inf-poisoned -> NaN -> decline
+        mean = x.mean()
+        m2 = float(np.square(x - mean).sum())
+    return m2 if np.isfinite(m2) else None
+
+
 def stripe_zone_stats(arr: pa.Array) -> dict:
     """Zone-map entry for one stripe: typed min/max + null count.
 
@@ -98,7 +115,7 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
         "min_str": None, "max_str": None,
         "null_count": int(arr.null_count),
         "stat_exact": True,
-        "sum_int": None, "sum_num": None,
+        "sum_int": None, "sum_num": None, "m2": None,
     }
     if len(arr) - arr.null_count == 0:
         return out
@@ -128,6 +145,12 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             bound = max(abs(out["min_int"]), abs(out["max_int"]))
             if bound * (len(arr) - arr.null_count) < (1 << 62):
                 out["sum_int"] = int(pc.sum(view).as_py())
+            # second central moment for metadata-only VAR/STDDEV
+            # (pipeline.metadata_stddev): recorded only for GENUINE
+            # int columns — variance of a timestamp/date/bool is not
+            # a SQL aggregate, and skipping them keeps the footer lean
+            if pa.types.is_integer(t):
+                out["m2"] = _stripe_m2(view)
         elif pa.types.is_floating(t):
             if pc.any(pc.is_nan(arr)).as_py():
                 return out  # NaN-poisoned: no numeric bounds are safe
@@ -137,6 +160,7 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             s = pc.sum(arr).as_py()
             if s is not None and np.isfinite(s):
                 out["sum_num"] = float(s)
+            out["m2"] = _stripe_m2(arr)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             mm = pc.min_max(arr)
             out["min_str"] = mm["min"].as_py()
