@@ -2793,6 +2793,35 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(seeded)
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    """Host-scoped boilerplate removal (CCNet frequent-lines pass):
+    a line is dropped iff it appears in >=5 distinct docs OF THE SAME
+    host. Seed: a per-host nav line (df=25 within its host - removed
+    everywhere) and a cross-host promo line on doc_id%7==0 (~3-4 docs
+    per host - kept, though globally frequent; this is the behavior a
+    global rule gets wrong)."""
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("nav menu for "), F.col("source"),
+            F.lit(" <p> "), F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" <p> global promo line")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.boilerplate_lines(seeded, host_col="host", min_df=5)
+
+
+_BOILER_SEED_SQL = (
+    "SELECT doc_id, source AS host, 'nav menu for ' || source || "
+    "' <p> ' || text || CASE WHEN doc_id % 7 = 0 THEN "
+    "' <p> global promo line' ELSE '' END AS text FROM documents"
+)
+
 _PARA_SEED_SQL = (
     "SELECT doc_id, 'shared nav ' || CAST(doc_id % 7 AS VARCHAR) || "
     "' <p> ' || text || ' <p> shared footer ' || "
@@ -3295,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": _q_json_extract_props,
         "normalized_dedup": _q_normalized_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
+        "boilerplate_lines": _q_boilerplate_lines,
         "dup_window_stats": _q_dup_window_stats,
         "substring_purge": _q_substring_purge,
         "minhash_dedup": _q_minhash_dedup,
@@ -3586,6 +3616,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.5,
         ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
+        "boilerplate_lines": dedup.boilerplate_lines_sql(
+            "(" + _BOILER_SEED_SQL + ") seeded", min_df=5
+        ),
         "paragraph_dedup": dedup.paragraph_dedup_sql(
             "(" + _PARA_SEED_SQL + ") seeded"
         ),

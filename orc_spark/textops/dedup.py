@@ -1219,3 +1219,106 @@ def dedup_against_sql(
         new_table=new_table, base_table=base_table, text=text_col,
         id=id_col, k=shingle_k, threshold=threshold,
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    sep: str = " <p> ",
+    min_df: int = 5,
+) -> DataFrame:
+    """Host-scoped boilerplate-line removal (the CCNet / RefinedWeb
+    "frequent lines" pass, distinct from :func:`paragraph_dedup`):
+    a line is boilerplate iff it appears in >= ``min_df`` DISTINCT
+    documents OF THE SAME HOST — nav bars, cookie banners, footers are
+    per-site templates, so the document-frequency count is scoped to
+    ``host_col``. Every occurrence of a boilerplate line is dropped
+    (not just the non-first ones); a line shared across many hosts but
+    rare within each survives, which the global first-occurrence rule
+    would wrongly delete. Documents losing every line vanish.
+
+    Scale plan: lines are reduced to md5 BEFORE any shuffle, so the
+    (host, line)-df aggregation and the join back move 16-byte keys,
+    never line text. Two shuffles keyed by (host, line-hash) — a
+    distinct + a map-side-combined count — then one hash-key join and
+    one doc_id shuffle for re-assembly; skew-safe because the df keys
+    ARE the skewed values being counted (a giant key means a frequent
+    line, whose group collapses to one row at the distinct).
+
+    Returns (doc_id, text); order by doc_id.
+    Reference parity: reference has no data plane; semantics follow
+    CCNet (Wenzek et al. 2020) para-dedup as adapted by RefinedWeb.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias(
+            "pos", "para"
+        ),
+    ).where(F.col("para") != "")
+    host_df = (
+        paras.select("host", F.md5("para").alias("ph"), "doc_id")
+        .distinct()
+        .groupBy("host", "ph")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    survivors = paras.join(
+        host_df,
+        (paras["host"] == host_df["host"])
+        & (F.md5(paras["para"]) == host_df["ph"]),
+        "left_anti",
+    )
+    return (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_lines_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    sep: str = " <p> ",
+    min_df: int = 5,
+) -> str:
+    """DuckDB twin of :func:`boilerplate_lines` (same split, same
+    host-scoped distinct-doc frequency rule, same full-occurrence
+    removal and in-order re-assembly)."""
+    import re as _re
+
+    esc = _re.escape(sep).replace("'", "''")
+    sep_lit = sep.replace("'", "''")
+    return f"""
+WITH paras AS (
+  SELECT {id_col} AS doc_id, {host_col} AS host,
+         unnest(generate_series(1, len(string_split_regex({text_col}, '{esc}')))) AS pos,
+         unnest(string_split_regex({text_col}, '{esc}')) AS para
+  FROM {table}
+),
+host_df AS (
+  SELECT host, md5(para) AS ph, COUNT(DISTINCT doc_id) AS df
+  FROM paras WHERE para != ''
+  GROUP BY host, md5(para)
+  HAVING COUNT(DISTINCT doc_id) >= {min_df}
+)
+SELECT doc_id, string_agg(para, '{sep_lit}' ORDER BY pos) AS text
+FROM paras p
+WHERE para != ''
+  AND NOT EXISTS (
+    SELECT 1 FROM host_df h WHERE h.host = p.host AND h.ph = md5(p.para)
+  )
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -148,6 +148,60 @@ class TestParagraphDedup:
         assert got == "z <p> a <p> m"  # original order, not sorted
 
 
+class TestBoilerplateLines:
+    def test_host_scoped_removal(self, spark):
+        from orc_spark.textops import dedup
+
+        # "nav" appears in 2 distinct docs on host a (boilerplate at
+        # min_df=2) and in only 1 doc on host b (kept there); "promo"
+        # appears once per host (globally common, host-locally rare).
+        df = spark.createDataFrame(
+            [
+                (1, "a", "nav <p> alpha <p> promo"),
+                (2, "a", "nav <p> beta"),
+                (3, "b", "nav <p> gamma <p> promo"),
+            ],
+            "doc_id long, host string, text string",
+        )
+        got = {
+            r.doc_id: r.text
+            for r in dedup.boilerplate_lines(df, min_df=2).collect()
+        }
+        assert got == {
+            1: "alpha <p> promo",
+            2: "beta",
+            3: "nav <p> gamma <p> promo",
+        }
+
+    def test_all_occurrences_dropped_and_doc_vanishes(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "h", "nav"), (2, "h", "nav"), (3, "h", "nav <p> body")],
+            "doc_id long, host string, text string",
+        )
+        got = {
+            r.doc_id: r.text
+            for r in dedup.boilerplate_lines(df, min_df=2).collect()
+        }
+        # unlike paragraph_dedup, even the FIRST occurrence is dropped
+        assert got == {3: "body"}
+
+    def test_repeat_within_one_doc_counts_once(self, spark):
+        from orc_spark.textops import dedup
+
+        df = spark.createDataFrame(
+            [(1, "h", "x <p> x <p> x"), (2, "h", "y")],
+            "doc_id long, host string, text string",
+        )
+        got = {
+            r.doc_id: r.text
+            for r in dedup.boilerplate_lines(df, min_df=2).collect()
+        }
+        # df("x") = 1 distinct doc, so it survives despite 3 copies
+        assert got == {1: "x <p> x <p> x", 2: "y"}
+
+
 class TestDupWindowStats:
     def test_hand_computed_counts(self, spark):
         from orc_spark.textops import dedup
