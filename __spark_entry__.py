@@ -2182,6 +2182,58 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).orderBy("content_sha")
 
 
+def _q_streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window rollup (append mode): per (7-day
+    window, event_type) COUNT + SUM emitted exactly once when the
+    watermark (max ts - 1 day) passes the window end; still-open
+    windows are withheld. The oracle recomputes the closed-window set
+    relationally: epoch-aligned 7-day buckets HAVING window_end <=
+    max(ts) - 1 day — so a dropped row, a double emission, or a
+    watermark that finalized an open window all hash-mismatch."""
+    from orc_spark.streaming import ingest
+
+    ev = _load(spark, sf_dir, "events").select(
+        # watermarks need TIMESTAMP (LTZ); the parquet column is NTZ.
+        # Session tz is UTC everywhere this runs, so the cast is the
+        # identity on wall-clock values and window alignment matches
+        # the oracle's UTC-epoch arithmetic.
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    in_dir = tempfile.mkdtemp(prefix="orcspark_winagg_in_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_winagg_ckpt_")
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+    out = ingest.windowed_event_counts(
+        spark, in_dir, ev.schema, ckpt, window="7 days", delay="1 day"
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+_WINDOW_COUNTS_SQL = """
+WITH b AS (
+  SELECT to_timestamp((CAST(epoch(ts) AS BIGINT) // 604800) * 604800)
+           AS window_start,
+         event_type, value FROM events
+),
+closed AS (
+  SELECT window_start, event_type,
+         COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM b GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, sum_value
+FROM closed
+WHERE window_start + INTERVAL 7 DAY
+      <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+ORDER BY window_start, event_type
+"""
+
+
 def _q_streaming_dedup_update(spark, sf_dir):
     """The scale-safe sibling of streaming_dedup (VERDICT r4 #3):
     update output mode + LSM-style delta sink, so each trigger writes
@@ -3403,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_update": _q_streaming_dedup_update,
+        "streaming_window_counts": _q_streaming_window_counts,
     }
 
 
@@ -3583,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_update": analysis.EXACT_DEDUP_SQL.format(
             table="documents"
         ),
+        "streaming_window_counts": _WINDOW_COUNTS_SQL,
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         # df_cap=None: the Spark side (LSH candidates + exact verify,
         # no DF cap) equals the exact pair set, so its oracle must be

@@ -339,3 +339,82 @@ def compact_dedup_updates(spark: SparkSession, output_dir: str) -> int:
     for d in delta_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(delta_dirs)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "7 days",
+    delay: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a growing event
+    directory — the canonical Structured-Streaming stateful op the
+    north rule's streaming seam needs beyond dedup: per (window, key)
+    COUNT + SUM(value) in APPEND output mode, so a window row is
+    emitted exactly once, when the event-time watermark
+    (max event time seen − ``delay``) passes its end. Windows still
+    open when the backlog drains are withheld — exactly the contract a
+    downstream consumer of finalized rollups wants.
+
+    Determinism contract (what the oracle checks): after an
+    availableNow drain the cumulative append output is precisely the
+    windows with ``window_end <= max(ts) − delay``, regardless of how
+    the source batched files — emission time varies with batching,
+    emission SET does not, provided no row is late enough to be
+    dropped (the caller lands files in coarse time order; within-run
+    late rows above the watermark aggregate normally).
+
+    Scale plan: the aggregation state is one row per (window, key) —
+    bounded by keys × open windows, never rows; the watermark expires
+    closed-window state, so state size is flat over an unbounded
+    stream. One shuffle per micro-batch keyed by (window, key), map-
+    side partial-aggregated. At cluster scale swap availableNow for
+    trigger(processingTime=...) and a durable checkpoint dir; the
+    memory sink below becomes a parquet/Kafka sink (append mode is
+    sink-agnostic).
+
+    Returns the emitted rows as a batch DataFrame
+    (window_start, <key_col>, n_events, sum_value).
+    """
+    from pyspark.sql import functions as F
+
+    name = "windowed_events_" + os.path.basename(checkpoint_dir).replace(
+        "-", "_"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -201,6 +201,42 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     assert all(s < "2024-01-11" for s in got), got
 
 
+def test_windowed_event_counts_emits_closed_windows_only(spark, tmp_path):
+    """The library entry point (memory sink, availableNow): cumulative
+    append output equals exactly the windows whose end is at or below
+    max(ts) - delay; the open tail window is withheld and sums are
+    exact."""
+    import datetime
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+    rows = [
+        (datetime.datetime(2024, 1, d), t, float(d))
+        for d in range(1, 15)
+        for t in ("a", "b")
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = ingest.windowed_event_counts(
+        spark, in_dir, df.schema, ckpt, window="7 days", delay="1 day"
+    )
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    # windows: [12-28,01-04) days 1-3, [01-04,01-11) days 4-10,
+    # [01-11,01-18) days 11-14; watermark = Jan 14 - 1d = Jan 13, so
+    # only the first two windows closed
+    assert got == {
+        ("2023-12-28T00:00:00", "a"): (3, 6.0),
+        ("2023-12-28T00:00:00", "b"): (3, 6.0),
+        ("2024-01-04T00:00:00", "a"): (7, 49.0),
+        ("2024-01-04T00:00:00", "b"): (7, 49.0),
+    }, got
+
+
 def _dir_bytes(path) -> int:
     import os
 
