@@ -2845,6 +2845,43 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(seeded)
 
 
+def _q_script_profile(spark, sf_dir):
+    """Unicode-script composition (CC script filter): per-script char
+    counts + dominant script + clean-single-script flag. Seed: every
+    7th doc becomes pure Cyrillic (dominant flips); others get small
+    Cyrillic/Han/Arabic tails on doc_id 3/4/5 residues (mixed-script
+    counts, clean flag under the 5% rule). Java \\p{IsX} and RE2
+    \\p{X} agree on every seeded char."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            did % 7 == 0, F.repeat(F.lit("статья обзор "), 40)
+        ).otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(did % 3 == 0, F.lit(" пример")).otherwise(F.lit("")),
+                F.when(did % 4 == 0, F.lit(" 例子文本")).otherwise(F.lit("")),
+                F.when(did % 5 == 0, F.lit(" مثال")).otherwise(F.lit("")),
+            )
+        ).alias("text"),
+    )
+    return analysis.script_profile(seeded)
+
+
+_SCRIPT_SEED_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+    "repeat('статья обзор ', 40) ELSE text || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' пример' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' 例子文本' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' مثال' ELSE '' END END AS text "
+    "FROM documents"
+)
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     """Host-scoped boilerplate removal (CCNet frequent-lines pass):
     a line is dropped iff it appears in >=5 distinct docs OF THE SAME
@@ -3377,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
+        "script_profile": _q_script_profile,
         "dup_window_stats": _q_dup_window_stats,
         "substring_purge": _q_substring_purge,
         "minhash_dedup": _q_minhash_dedup,
@@ -3670,6 +3708,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.5,
         ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
+        "script_profile": analysis.script_profile_sql(
+            "(" + _SCRIPT_SEED_SQL + ") seeded"
+        ),
         "boilerplate_lines": dedup.boilerplate_lines_sql(
             "(" + _BOILER_SEED_SQL + ") seeded", min_df=5
         ),

@@ -2012,3 +2012,84 @@ SELECT ex.id AS {id_col}, COUNT(*) AS n_grams,
 FROM ex JOIN lr ON ex.b = lr.b
 GROUP BY 1 ORDER BY 1
 """
+
+
+_SCRIPTS = [
+    # (name, Java/ICU class for Spark, RE2 class for DuckDB)
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    clean_ratio: float = 0.05,
+) -> DataFrame:
+    """Unicode-script composition per document — the script-level
+    sibling of :func:`language_id` that CC pipelines run BEFORE any
+    language model: per-script character counts (Latin, Cyrillic, Han,
+    Arabic), the dominant script (max count; ties break alphabetically;
+    'none' when no scripted character appears), and a clean-single-
+    script flag (every non-dominant scripted character under
+    ``clean_ratio`` of scripted chars) that catches mixed-script spam
+    and mojibake that byte-level heuristics miss.
+
+    Scale plan: pure JVM regexp_count expressions (one pass per script
+    class inside whole-stage codegen), zero shuffles, zero Python —
+    map-only like token_stats. Reference parity: the reference has no
+    data plane; semantics follow CCNet/fastText-style script filters.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(java_cls)).alias(f"n_{name}")
+        for name, java_cls, _ in _SCRIPTS
+    ]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    names = [n for n, _, _ in _SCRIPTS]
+    greatest = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.lit("none")
+    for n in sorted(names, reverse=True):
+        dom = F.when(
+            (greatest > 0) & (F.col(f"n_{n}") == greatest), F.lit(n)
+        ).otherwise(dom)
+    total = sum(F.col(f"n_{n}") for n in names)
+    clean = (greatest > 0) & (
+        (total - greatest) <= F.lit(clean_ratio) * total
+    )
+    return (
+        out.withColumn("dominant", dom)
+        .withColumn("clean_script", clean)
+        .orderBy("doc_id")
+    )
+
+
+def script_profile_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id",
+    clean_ratio: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`script_profile` (RE2 script classes; same
+    counts, dominance rule, tie-break, and clean flag)."""
+    cnt = {
+        name: f"len(regexp_extract_all({text_col}, '{re2}'))"
+        for name, _, re2 in _SCRIPTS
+    }
+    names = sorted(cnt)  # alphabetical tie-break: first match wins
+    sel = ",\n       ".join(f"{cnt[n]} AS n_{n}" for n, _, _ in _SCRIPTS)
+    greatest = "GREATEST(" + ", ".join(f"n_{n}" for n in cnt) + ")"
+    dom_cases = "\n         ".join(
+        f"WHEN n_{n} = g AND g > 0 THEN '{n}'" for n in names
+    )
+    total = " + ".join(f"n_{n}" for n in cnt)
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id,
+       {sel}
+  FROM {table}
+),
+g AS (SELECT *, {greatest} AS g, {total} AS total FROM c)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
+       CASE {dom_cases} ELSE 'none' END AS dominant,
+       (g > 0 AND (total - g) <= {clean_ratio} * total) AS clean_script
+FROM g ORDER BY doc_id
+"""

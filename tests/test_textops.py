@@ -512,3 +512,35 @@ def test_dedup_against_drops_seeded_copies_only(spark):
     # fresh docs survive unless they genuinely near-dup a base doc —
     # count survivors against the exact rule
     assert len(kept_ids) >= 90
+
+
+def test_script_profile_dominance_and_clean_flag(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                    # pure latin, clean
+            (2, "привет мир"),                     # pure cyrillic
+            (3, "hello привет мир дорогой"),       # cyrillic-dominant mix
+            (4, "1234 !!!"),                       # no scripted chars
+            (5, "a" * 100 + " б"),                 # 1% foreign: still clean
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in analysis.script_profile(df).collect()}
+    assert rows[1].dominant == "latin" and rows[1].clean_script
+    assert rows[2].dominant == "cyrillic" and rows[2].clean_script
+    assert rows[3].dominant == "cyrillic" and not rows[3].clean_script
+    assert rows[4].dominant == "none" and not rows[4].clean_script
+    assert rows[5].dominant == "latin" and rows[5].clean_script
+    assert rows[3].n_latin == 5 and rows[3].n_cyrillic == 16
+
+
+def test_script_profile_tie_breaks_alphabetically(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [(1, "ab пр")], "doc_id long, text string"
+    )  # 2 latin, 2 cyrillic -> cyrillic < latin alphabetically
+    row = analysis.script_profile(df).collect()[0]
+    assert row.dominant == "cyrillic"
