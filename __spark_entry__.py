@@ -433,6 +433,72 @@ def _q_bloom_point_lookup(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_join_pruned_decode(spark, sf_dir):
+    """Star join over TWO encoded runs, stripe-pruned on BOTH sides:
+    lineitem (fact) and orders (dim) are encoded clustered by their
+    order keys; a key-range predicate reaches each run's fused
+    metadata job, so both decodes read only matching stripe groups,
+    and Catalyst broadcasts the small decoded dim into the fact join
+    (no fact-side shuffle before the aggregate). The conservative
+    residual filters make each side exactly its SQL WHERE; the oracle
+    is the plain two-table join."""
+    from orc_spark.engine import pipeline, zonemap
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = int(od.agg(F.max("o_orderkey")).first()[0]) // 10
+    uid = uuid.uuid4().hex[:8]
+    out_f = tempfile.mkdtemp(prefix="orcspark_entry_jf_")
+    out_d = tempfile.mkdtemp(prefix="orcspark_entry_jd_")
+    cfg_f = pipeline.EncodeJobConfig(
+        out_dir=out_f, run_id=f"entry-jf-{uid}", key="l_orderkey",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+        n_partitions=8, cluster_by="l_orderkey",
+    )
+    cfg_d = pipeline.EncodeJobConfig(
+        out_dir=out_d, run_id=f"entry-jd-{uid}", key="o_orderkey",
+        columns=["o_orderkey", "o_orderpriority"],
+        n_partitions=8, cluster_by="o_orderkey",
+    )
+    pipeline.run_encode_job(spark, li, cfg_f)
+    pipeline.run_encode_job(spark, od, cfg_d)
+    pred_f = [("l_orderkey", "<=", hi)]
+    pred_d = [("o_orderkey", "<=", hi)]
+    fact = pipeline.decode_job(
+        spark, out_f, cfg_f.run_id, li.schema, predicate=pred_f
+    ).filter(zonemap.predicate_expr(pred_f))
+    dim = pipeline.decode_job(
+        spark, out_d, cfg_d.run_id, od.schema, predicate=pred_d
+    ).filter(zonemap.predicate_expr(pred_d))
+    return (
+        fact.join(
+            F.broadcast(dim), fact["l_orderkey"] == dim["o_orderkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_PRUNED_SQL = """
+WITH hi AS (SELECT max(o_orderkey) // 10 AS hi FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey, hi
+WHERE l_orderkey <= hi.hi AND o_orderkey <= hi.hi
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _q_in_list_decode(spark, sf_dir):
     """IN-list predicated decode (zonemap `in` conjunct + multi-value
     bloom probe — ORC SearchArgument IN semantics, public spec): a
@@ -3472,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_group_percentile": _q_metadata_group_percentile,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "in_list_decode": _q_in_list_decode,
+        "join_pruned_decode": _q_join_pruned_decode,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -3850,6 +3917,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MAX(event_id) // 7 FROM events), "
             "(SELECT MAX(event_id) // 11 FROM events))"
         ),
+        "join_pruned_decode": _JOIN_PRUNED_SQL,
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",

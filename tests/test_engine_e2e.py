@@ -493,3 +493,63 @@ def test_metadata_aggregate_exact_or_loud(spark, tmp_path):
     assert _main([
         "agg", "--out", out2, "--run-id", "nan", "--columns", "event_id",
     ]) == 0
+
+
+def test_join_pruned_decode_prunes_both_sides_and_broadcasts(spark, tmp_path):
+    """Star join over two encoded runs: the key-range predicate prunes
+    stripe groups on BOTH runs, the decoded dim side broadcasts, and
+    the joined aggregate equals the plain-DataFrame join."""
+    from orc_spark.engine import zonemap
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = int(od.agg(F.max("o_orderkey")).first()[0]) // 10
+    cfg_f = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "f"), run_id="jf", key="l_orderkey",
+        n_partitions=4, cluster_by="l_orderkey", stripe_rows=512,
+    )
+    cfg_d = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "d"), run_id="jd", key="o_orderkey",
+        n_partitions=4, cluster_by="o_orderkey", stripe_rows=128,
+    )
+    pipeline.run_encode_job(spark, li, cfg_f)
+    pipeline.run_encode_job(spark, od, cfg_d)
+    pred_f = [("l_orderkey", "<=", hi)]
+    pred_d = [("o_orderkey", "<=", hi)]
+    fact = pipeline.decode_job(
+        spark, cfg_f.out_dir, "jf", li.schema, predicate=pred_f
+    ).filter(zonemap.predicate_expr(pred_f))
+    dim = pipeline.decode_job(
+        spark, cfg_d.out_dir, "jd", od.schema, predicate=pred_d
+    ).filter(zonemap.predicate_expr(pred_d))
+    got = (
+        fact.join(F.broadcast(dim), fact["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    want = (
+        li.filter(F.col("l_orderkey") <= hi)
+        .join(od.filter(F.col("o_orderkey") <= hi),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # both runs actually pruned: 10% key range over clustered layouts
+    for out_dir, run_id, pred in (
+        (cfg_f.out_dir, "jf", pred_f),
+        (cfg_d.out_dir, "jd", pred_d),
+    ):
+        stripes = pipeline.read_stripes(spark, out_dir, run_id)
+        total = stripes.count()
+        kept = zonemap.prune_stripes(stripes, pred).count()
+        assert kept < total * 0.6, (run_id, kept, total)
+    # and the dim side reached the join as a broadcast
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
