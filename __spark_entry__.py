@@ -2911,6 +2911,35 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(seeded)
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease (words / [.!?]+ sentences / vowel-group
+    syllables, identical regexps both engines). Seed: punctuated
+    tails on doc_id%4 residues so sentence counts vary (the synthetic
+    word-stream corpus has no punctuation of its own)."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(". Short tail. Done.")).otherwise(
+                F.when(F.col("doc_id") % 4 == 1,
+                       F.lit("! One more query?")).otherwise(F.lit(""))
+            ),
+        ).alias("text"),
+    )
+    return analysis.readability(seeded)
+
+
+_READABILITY_SEED_SQL = (
+    "SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN "
+    "'. Short tail. Done.' WHEN doc_id % 4 = 1 THEN "
+    "'! One more query?' ELSE '' END AS text FROM documents"
+)
+
+
 def _q_script_profile(spark, sf_dir):
     """Unicode-script composition (CC script filter): per-script char
     counts + dominant script + clean-single-script flag. Seed: every
@@ -3481,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "script_profile": _q_script_profile,
+        "readability": _q_readability,
         "dup_window_stats": _q_dup_window_stats,
         "substring_purge": _q_substring_purge,
         "minhash_dedup": _q_minhash_dedup,
@@ -3775,6 +3805,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.5,
         ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
+        "readability": analysis.readability_sql(
+            "(" + _READABILITY_SEED_SQL + ") seeded"
+        ),
         "script_profile": analysis.script_profile_sql(
             "(" + _SCRIPT_SEED_SQL + ") seeded"
         ),

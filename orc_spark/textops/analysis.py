@@ -2093,3 +2093,63 @@ SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic,
        (g > 0 AND (total - g) <= {clean_ratio} * total) AS clean_script
 FROM g ORDER BY doc_id
 """
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document — the readability gate some
+    curation pipelines layer over gopher_rules (very low scores flag
+    keyword-stuffed or machine-generated pages). Words are whitespace
+    tokens, sentences are [.!?]+ runs (floored at 1 so punctuation-free
+    fragments still score), syllables are approximated by [aeiouy]+
+    vowel groups — the standard cheap estimator; both engines run the
+    identical regexps so scores are bit-comparable.
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Scale plan: three JVM regexp_count expressions in one codegen
+    stage, zero shuffles, zero Python — map-only like token_stats.
+    """
+    t = F.col(text_col)
+    words = F.greatest(
+        F.lit(1), F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("double")
+    sentences = F.greatest(
+        F.lit(1), F.regexp_count(t, F.lit(r"[.!?]+"))
+    ).cast("double")
+    syllables = F.greatest(
+        F.lit(1), F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def readability_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`readability` (identical regexps, floors,
+    operation order)."""
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id,
+         GREATEST(1, len(regexp_extract_all(trim({text_col}), '\\S+')))::DOUBLE AS w,
+         GREATEST(1, len(regexp_extract_all({text_col}, '[.!?]+')))::DOUBLE AS s,
+         GREATEST(1, len(regexp_extract_all(lower({text_col}), '[aeiouy]+')))::DOUBLE AS y
+  FROM {table}
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
+FROM c ORDER BY doc_id
+"""

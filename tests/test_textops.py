@@ -544,3 +544,22 @@ def test_script_profile_tie_breaks_alphabetically(spark):
     )  # 2 latin, 2 cyrillic -> cyrillic < latin alphabetically
     row = analysis.script_profile(df).collect()[0]
     assert row.dominant == "cyrillic"
+
+
+def test_readability_known_score(spark):
+    from orc_spark.textops import analysis
+
+    # "the cat sat. the dog ran!" -> 6 words, 2 sentences,
+    # 6 vowel groups: 206.835 - 1.015*3 - 84.6*1 = 119.19
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!")], "doc_id long, text string"
+    )
+    row = analysis.readability(df).collect()[0]
+    assert (row.n_words, row.n_sentences, row.n_syllables) == (6, 2, 6)
+    assert abs(row.flesch - 119.19) < 1e-9
+
+    # punctuation-free fragment floors sentences at 1
+    row2 = analysis.readability(
+        spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    ).collect()[0]
+    assert row2.n_sentences == 1
