@@ -433,6 +433,53 @@ def _q_bloom_point_lookup(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_partitioned_export(spark, sf_dir):
+    """Hive-partitioned publish (storage.export_partitioned): decode a
+    run and write dest/lang=<v>/ directories with dynamic partition
+    overwrite; the read back filters lang IN ('en','de'), which Spark
+    prunes to those two directories at PLANNING time (no other file is
+    opened — the pytest asserts inputFiles). The oracle recomputes the
+    per-lang rollup relationally, so a lost partition, a double
+    publish, or rows landing in the wrong directory all mismatch."""
+    from orc_spark.engine import pipeline, storage
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_pe_")
+    dest = tempfile.mkdtemp(prefix="orcspark_entry_pedest_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-pe-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "lang", "n_chars"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    storage.export_partitioned(
+        spark, out, cfg.run_id, docs.schema, "lang", dest
+    )
+    back = spark.read.parquet(dest).filter(
+        F.col("lang").isin("en", "de")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PARTITIONED_EXPORT_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _q_join_pruned_decode(spark, sf_dir):
     """Star join over TWO encoded runs, stripe-pruned on BOTH sides:
     lineitem (fact) and orders (dim) are encoded clustered by their
@@ -3569,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": _q_bloom_point_lookup,
         "in_list_decode": _q_in_list_decode,
         "join_pruned_decode": _q_join_pruned_decode,
+        "partitioned_export": _q_partitioned_export,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -3951,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MAX(event_id) // 11 FROM events))"
         ),
         "join_pruned_decode": _JOIN_PRUNED_SQL,
+        "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",

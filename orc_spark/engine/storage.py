@@ -177,3 +177,51 @@ def exists(target: str, spark: SparkSession | None = None) -> bool:
         assert spark is not None
         return spark.catalog.tableExists(target[len(ICEBERG_PREFIX) :])
     return os.path.exists(target)
+
+
+def export_partitioned(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    partition_col: str,
+    dest: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """Decode a run and publish it as a Hive-partitioned parquet
+    table (``dest/<partition_col>=<value>/...``) — the layout every
+    downstream Spark/Trino/Hive consumer prunes natively: a filter on
+    the partition column (or a joined dim's values, via dynamic
+    partition pruning) skips whole directories at planning time,
+    before any file is opened.
+
+    dynamic-partition-overwrite mode: re-exporting replaces only the
+    partitions present in this run, so per-language re-publishes don't
+    clobber sibling partitions — the parquet-dir analogue of Iceberg's
+    REPLACE PARTITIONS, and like every write here it routes through
+    this facade so an Iceberg catalog swap is config, not code.
+
+    Scale shape: the decode's stripe-group exchange already co-locates
+    rows; the partitioned write adds one shuffle keyed by the
+    partition column (repartition below) so each task writes one file
+    per partition instead of tasks x partitions small files — the
+    classic small-files defense. Low-cardinality partition columns
+    (lang, source, date) are the supported shape, same as Hive.
+
+    Returns {"partitions": n, "rows": n}.
+    """
+    from . import pipeline as pipeline_mod
+
+    df = pipeline_mod.decode_job(
+        spark, out_dir, run_id, result_schema, columns=columns
+    )
+    writer_df = df.repartition(partition_col)
+    (
+        writer_df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    n_parts = back.select(partition_col).distinct().count()
+    return {"partitions": int(n_parts), "rows": int(back.count())}

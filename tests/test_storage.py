@@ -133,3 +133,51 @@ def test_export_cli_roundtrip(spark, tmp_path, capsys):
     assert rep2["partitions_encoded"] == 4
     dec = pipeline.decode_job(spark, out2, "back", docs.schema)
     assert dec.join(docs, ["doc_id", "lang", "n_chars"]).count() == docs.count()
+
+
+def test_export_partitioned_prunes_and_overwrites_dynamically(spark, tmp_path):
+    """Partition-filtered reads open only matching lang= directories;
+    a re-export of a subset run replaces only ITS partitions."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, storage
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "run")
+    dest = str(tmp_path / "pub")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="pe", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    info = storage.export_partitioned(
+        spark, out, "pe", docs.schema, "lang", dest
+    )
+    assert info["rows"] == docs.count()
+    assert info["partitions"] == docs.select("lang").distinct().count()
+
+    # planning-time pruning: the lang filter lands in PartitionFilters
+    # (directory-level skip), not PushedFilters (row-group level)
+    filtered = spark.read.parquet(dest).filter(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "= en)" in pf[0], plan[:2000]
+    assert filtered.count() == docs.filter(F.col("lang") == "en").count()
+
+    # dynamic overwrite: re-export an en-only run; other partitions stay
+    en_only = docs.filter(F.col("lang") == "en")
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "run2"), run_id="pe2", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, en_only, cfg2)
+    storage.export_partitioned(
+        spark, cfg2.out_dir, "pe2", docs.schema, "lang", dest
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()  # de/es/fr/zh untouched
+    assert back.filter(F.col("lang") == "de").count() == docs.filter(
+        F.col("lang") == "de"
+    ).count()
