@@ -2064,6 +2064,40 @@ def _q_orc_interchange(spark, sf_dir):
     )
 
 
+def _q_jsonl_ingest(spark, sf_dir):
+    """JSONL admission (sources.jsonl — the Dolma/FineWeb interchange
+    format): documents round-trip through gzipped JSON-Lines with an
+    ENFORCED schema (no inference scan), one seeded corrupt line is
+    counted-not-dropped (PERMISSIVE + _corrupt_record), and the clean
+    rows flow through the ordinary encode pipeline and back. The
+    oracle recomputes the decoded projection from the source table,
+    so JSON escaping, the gzip hop, the corrupt-line exclusion, and
+    the encode round-trip must all be lossless per doc_id."""
+    from orc_spark.engine import pipeline
+    from orc_spark.sources import jsonl as jsonl_mod
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src_dir = tempfile.mkdtemp(prefix="orcspark_entry_jsonl_")
+    jsonl_mod.write_jsonl(docs.repartition(4, "doc_id"), src_dir)
+    # seed one corrupt line in its own (uncompressed) shard
+    with open(os.path.join(src_dir, "part-corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "truncated...\n')
+    clean, n_corrupt = jsonl_mod.read_jsonl(spark, src_dir, docs.schema)
+    if n_corrupt != 1:
+        raise AssertionError(f"expected 1 corrupt line, saw {n_corrupt}")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_jsonl_store_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="jsonl", key="doc_id",
+        columns=["doc_id", "text", "lang"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, clean, cfg)
+    return pipeline.decode_job(
+        spark, out, "jsonl", clean.schema
+    ).orderBy("doc_id")
+
+
 def _q_warc_ingest(spark, sf_dir):
     """r5 WARC admission (sources.warc — ISO 28500 / Common-Crawl
     response records, the north rule's native input format): documents
@@ -3632,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_reencode": _q_rollback_reencode,
         "orc_interchange": _q_orc_interchange,
         "warc_ingest": _q_warc_ingest,
+        "jsonl_ingest": _q_jsonl_ingest,
         "changelog_read": _q_changelog_read,
         "wap_publish": _q_wap_publish,
         "failure_categories": _q_failure_categories,
@@ -3812,6 +3847,9 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2021-06-01 00:00:00' "
             "+ INTERVAL (doc_id % 86400) SECOND AS warc_ts, "
             "text FROM documents"
+        ),
+        "jsonl_ingest": (
+            "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
         ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,
         "streaming_ingest": _STREAMING_INGEST_SQL,

@@ -1,0 +1,52 @@
+"""JSONL source/sink: enforced schema, corrupt-line accounting, gzip
+round trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from orc_spark.sources import jsonl
+
+
+def test_jsonl_roundtrip_gzip_and_corrupt_counting(spark, tmp_path):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    dest = str(tmp_path / "corpus")
+    jsonl.write_jsonl(docs.repartition(2, "doc_id"), dest)
+    # gzipped part files, one per partition
+    parts = glob.glob(os.path.join(dest, "part-*.json.gz"))
+    assert len(parts) == 2, parts
+
+    with open(os.path.join(dest, "extra.json"), "w") as fh:
+        fh.write('{"doc_id": 900000007, "text": "ok line", "lang": "en"}\n')
+        fh.write("not json at all\n")
+        fh.write('{"doc_id": "not-a-number", "text": 3}\n')
+
+    schema_before = docs.schema.jsonValue()
+    clean, n_corrupt = jsonl.read_jsonl(spark, dest, docs.schema)
+    assert docs.schema.jsonValue() == schema_before  # caller schema unmutated
+    assert n_corrupt == 2
+    assert clean.count() == docs.count() + 1
+    # the original rows survive byte-identically
+    a = docs.orderBy("doc_id").collect()
+    b = (
+        clean.filter(F.col("doc_id") != 900000007)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_jsonl_trusted_read_skips_corrupt_job(spark, tmp_path):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    dest = str(tmp_path / "t")
+    jsonl.write_jsonl(docs.coalesce(1), dest, compression=None)
+    df, n = jsonl.read_jsonl(spark, dest, docs.schema, count_corrupt=False)
+    assert n == 0 and df.count() == docs.count()
+    assert "_corrupt_record" not in df.columns
