@@ -2381,6 +2381,59 @@ ORDER BY window_start, event_type
 """
 
 
+def _q_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization (session_window + watermark, append
+    mode): dynamic per-user session windows merge in state and emit
+    exactly once when the watermark (max ts - 1 day) passes session
+    end (last event + 4h gap). Oracle: gaps-and-islands in exact
+    integer microseconds, closed-session filter s_end <= max - delay."""
+    from orc_spark.streaming import ingest
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    in_dir = tempfile.mkdtemp(prefix="orcspark_sess_in_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_sess_ckpt_")
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+    out = ingest.streaming_sessionize(
+        spark, in_dir, ev.schema, ckpt, gap="4 hours", delay="1 day"
+    )
+    return out.select(
+        "user_id",
+        F.col("s_start").cast("timestamp_ntz").alias("s_start"),
+        F.col("s_end").cast("timestamp_ntz").alias("s_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "s_start")
+
+
+_STREAM_SESSION_SQL = """
+WITH b AS (
+  SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev_us IS NULL
+                     OR us - prev_us >= 14400000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+),
+agg AS (
+  SELECT user_id, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 4 HOUR AS s_end,
+         COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, s_start, s_end, n_events, sum_value
+FROM agg, (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events) w
+WHERE s_end <= w.wm
+ORDER BY user_id, s_start
+"""
+
+
 def _q_streaming_dedup_update(spark, sf_dir):
     """The scale-safe sibling of streaming_dedup (VERDICT r4 #3):
     update output mode + LSM-style delta sink, so each trigger writes
@@ -3674,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_update": _q_streaming_dedup_update,
         "streaming_window_counts": _q_streaming_window_counts,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -3858,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
             table="documents"
         ),
         "streaming_window_counts": _WINDOW_COUNTS_SQL,
+        "streaming_sessionize": _STREAM_SESSION_SQL,
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         # df_cap=None: the Spark side (LSH candidates + exact verify,
         # no DF cap) equals the exact pair set, so its oracle must be

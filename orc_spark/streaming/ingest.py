@@ -418,3 +418,72 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "4 hours",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the
+    DYNAMIC-window sibling of :func:`windowed_event_counts`: a session
+    is a maximal run of one user's events each within ``gap`` of the
+    previous; its window GROWS as events arrive (state merges
+    overlapping candidate windows), and append mode emits the session
+    exactly once, when the watermark passes its end (last event +
+    gap). Open sessions are withheld.
+
+    Determinism contract (what the oracle checks): after an
+    availableNow drain, the cumulative output is exactly the sessions
+    with ``end <= max(ts) − delay``, where sessions are the
+    gaps-and-islands partition of each user's timeline with a new
+    session at every inter-event gap >= ``gap`` — relationally
+    recomputable, so a dropped merge, a premature emission, or a
+    session split at the wrong boundary all hash-mismatch.
+
+    Scale plan: state is one row per OPEN session (bounded by active
+    users, not events — closed sessions expire with the watermark);
+    each micro-batch shuffles once on ``user_col`` (session merge is
+    key-local). The batch twin is textops/temporal.sessionize — same
+    islands, no emission gating.
+
+    Returns (user_id, s_start, s_end, n_events, sum_value).
+    """
+    from pyspark.sql import functions as F
+
+    name = "sessions_" + os.path.basename(checkpoint_dir).replace("-", "_")
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -333,3 +333,50 @@ def test_incremental_dedup_update_cost_tracks_novelty(spark, tmp_path):
         for r in dedup.exact_dedup(whole.unionByName(third)).collect()
     }
     assert got3 == expect3
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches merges in state (one row,
+    not two); the open tail session is withheld."""
+    import datetime
+    import os
+    import time
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long, value double"
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    # user 1: events at 00:00, 01:00 (file A) and 01:30 (file B) — one
+    # session [00:00, 01:30+gap); then 09:00 (new session, still open
+    # at watermark max-2h = 07:00)
+    file_a = [(t(0), 1, 1.0), (t(1), 1, 2.0)]
+    file_b = [(t(1, 30), 1, 4.0), (t(9), 1, 8.0)]
+    spark.createDataFrame(file_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    # pin file order: the second file must be the newer one
+    time.sleep(1.1)
+    spark.createDataFrame(file_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    newest = max(
+        (os.path.join(in_dir, f) for f in os.listdir(in_dir)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+
+    df = spark.createDataFrame(file_a + file_b, schema)
+    out = ingest.streaming_sessionize(
+        spark, in_dir, df.schema, ckpt, gap="1 hour", delay="2 hours"
+    )
+    rows = [
+        (r.s_start.isoformat(), r.s_end.isoformat(), r.n_events, r.sum_value)
+        for r in out.orderBy("s_start").collect()
+    ]
+    # merged session: start 00:00, end = 01:30 + 1h = 02:30, 3 events
+    assert rows == [
+        ("2024-01-01T00:00:00", "2024-01-01T02:30:00", 3, 7.0)
+    ], (rows, newest)
