@@ -1132,6 +1132,56 @@ def _q_metadata_group_minmax(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q_metadata_group_stddev(spark, sf_dir):
+    """r5 grouped variance pushdown (metadata_group_stddev): per-type
+    value dispersion — on a type-clustered encode, group-pure stripes
+    answer VAR/AVG from footer (n, sum, m2) moments via distributed
+    Chan merging; boundary + predicate-MIXED stripes decode. The
+    event_id range predicate forces both halves to participate.
+    Hash-checked: a moment misfold, a purity misclassification, or a
+    mean/correction slip shifts a group's variance and mismatches."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    lo = int(events.agg(F.max("event_id")).first()[0]) // 4
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mgs_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-mgs-{uuid.uuid4().hex[:8]}",
+        key="event_id",
+        columns=["event_id", "event_type", "value"],
+        n_partitions=4,
+        stripe_rows=512,
+        cluster_by="event_type",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    out_df = pipeline.metadata_group_stddev(
+        spark, out, cfg.run_id, events.schema, "event_type", "value",
+        [("event_id", ">=", lo)],
+    )
+    return out_df.select(
+        "event_type",
+        "n_vals",
+        F.round("avg", 6).alias("avg_r"),
+        F.round("var_pop", 4).alias("var_pop_r"),
+        F.round("var_samp", 4).alias("var_samp_r"),
+    ).orderBy("event_type")
+
+
+_METADATA_GROUP_STDDEV_SQL = """
+WITH lo AS (SELECT max(event_id) // 4 AS lo FROM events)
+SELECT event_type, COUNT(value) AS n_vals,
+       ROUND(AVG(value), 6) AS avg_r,
+       ROUND(VAR_POP(value), 4) AS var_pop_r,
+       ROUND(VAR_SAMP(value), 4) AS var_samp_r
+FROM events, lo WHERE event_id >= lo.lo
+GROUP BY event_type HAVING COUNT(value) > 0
+ORDER BY event_type
+"""
+
+
 def _q_metadata_value_counts(spark, sf_dir):
     """r5 unclustered GROUP BY COUNT pushdown
     (pipeline.metadata_value_counts): documents are encoded keyed by
@@ -3693,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_stddev": _q_metadata_stddev,
         "metadata_group_by": _q_metadata_group_by,
         "metadata_group_minmax": _q_metadata_group_minmax,
+        "metadata_group_stddev": _q_metadata_group_stddev,
         "metadata_value_counts": _q_metadata_value_counts,
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
@@ -4285,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
             "MAX(ts) AS max_ts "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "metadata_group_stddev": _METADATA_GROUP_STDDEV_SQL,
         "metadata_value_counts": (
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM documents WHERE doc_id >= 100 "

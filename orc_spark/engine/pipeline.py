@@ -2334,6 +2334,181 @@ def metadata_group_aggregate(
     )
 
 
+def metadata_group_stddev(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    group_col: str,
+    agg_col: str,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
+    """EXACT ``SELECT group_col, COUNT(agg) , AVG, VAR_POP, VAR_SAMP
+    WHERE p GROUP BY group_col`` with group-PURE stripes answered from
+    per-stripe (n, sum, m2) footer moments — the grouped completion of
+    :func:`metadata_stddev`, closing the aggregate-pushdown family
+    (count/sum/min/max/ndv/percentile/variance × {global, grouped}).
+
+    Each pure + predicate-ALL stripe with exact sum AND moment stats
+    contributes one Chan component (nᵢ, sumᵢ, m2ᵢ) tagged with its
+    single group key; impure / MIXED / stat-less stripes decode
+    through the restricted path and contribute row-level components
+    per group. The merge is the same two-pass parallel-variance
+    algebra as metadata_stddev, but DISTRIBUTED per group: totals →
+    per-group mean, then M2 = Σm2ᵢ + Σnᵢ(μᵢ−μ)² — associative and
+    cancellation-free, never Σx².
+
+    Groups whose predicate-matching rows are all NULL in ``agg_col``
+    are omitted (count of non-null values is 0 — pair oracles with
+    ``HAVING COUNT(agg_col) > 0``); NULL group keys route through the
+    decode half (purity requires a null-free key stripe) and come back
+    as SQL's NULL group. Live deletes raise.
+
+    Scale shape: the component table is metadata-sized (≤ one row per
+    stripe) plus the boundary decode; the two groupBys shuffle
+    component rows keyed by group — at 10^12 rows this is ~5 orders
+    of magnitude under a data scan, same as metadata_group_aggregate.
+
+    Returns (group_col, n_vals, avg, var_pop, var_samp).
+    """
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType,
+    )
+
+    leaf = _nested_field_type(result_schema, agg_col)
+    if not isinstance(
+        leaf, (ByteType, ShortType, IntegerType, LongType,
+               FloatType, DoubleType)
+    ):
+        raise ValueError(
+            f"column {agg_col!r} is {leaf} — VAR/STDDEV needs a numeric "
+            "leaf (int or float)"
+        )
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat moments "
+            "describe the encoded rows; compact the run first"
+        )
+    predicate = predicate or []
+    pcols = sorted({c for c, _, _ in predicate})
+    need = sorted(set(pcols) | {group_col, agg_col})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in need}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(need)
+    )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    if predicate:
+        cls = _classify_pred_groups(
+            meta, predicate, gkeys,
+            pins=_temporal_pins(result_schema, predicate),
+        )
+    else:
+        cls = (
+            meta.groupBy(*gkeys)
+            .agg(F.max("n_rows").alias("n_rows"))
+            .select(
+                *gkeys, "n_rows",
+                F.lit(True).alias("_keep"), F.lit(True).alias("_all"),
+            )
+        )
+    gview, gtype = _group_purity_view(meta, result_schema, group_col, gkeys)
+    tgt = meta.filter(F.col("column") == agg_col).select(
+        *gkeys,
+        F.coalesce(
+            F.col("sum_num"), F.col("sum_int").cast("double")
+        ).alias("_s"),
+        F.col("m2"),
+        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    )
+    j = (
+        cls.join(gview, gkeys, "left")
+        .withColumn("_pure", F.coalesce("_pure", F.lit(False)))
+        .join(tgt, gkeys, "left")
+    )
+    stats_ok = (
+        (F.col("_s").isNotNull() & F.col("m2").isNotNull())
+        | F.coalesce(F.col("_nn") == 0, F.lit(False))
+    )
+    meta_ok = F.col("_keep") & F.col("_all") & F.col("_pure") & stats_ok
+    pres = j.agg(
+        F.count(F.col("_nn")).alias("_tp"), *_presence_aggs(predicate)
+    ).first()
+    _raise_missing(pres, predicate, run_id)
+    if int(pres._tp or 0) == 0:
+        raise ValueError(
+            f"no stats rows for column(s) [{agg_col!r}] in run "
+            f"{run_id!r} — decode-and-aggregate instead"
+        )
+    comp_meta = (
+        j.filter(meta_ok & (F.col("_nn") > 0))
+        .select(
+            F.col("_gval").alias("_g"),
+            F.col("_nn").cast("double").alias("_n"),
+            F.col("_s"),
+            F.col("m2").alias("_m2"),
+        )
+    )
+    mixed = j.filter(F.col("_keep") & ~meta_ok).select(*gkeys)
+    n_decode = mixed.count()
+    comps = comp_meta
+    if n_decode:
+        only: object = mixed
+        if n_decode <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, need, predicate, only
+        )
+        if predicate:
+            dec = dec.filter(zonemap.predicate_expr(predicate))
+        av = F.col(agg_col).cast("double")
+        comp_dec = (
+            dec.groupBy(F.col(group_col).alias("_g"))
+            .agg(
+                F.count(av).cast("double").alias("_n"),
+                F.sum(av).alias("_s"),
+                (F.var_pop(av) * F.count(av)).alias("_m2"),
+            )
+            .filter(F.col("_n") > 0)
+        )
+        comps = comp_meta.unionByName(comp_dec)
+    # two-pass Chan merge, distributed per group
+    tot = (
+        comps.groupBy("_g")
+        .agg(F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts"))
+        .withColumn("_mu", F.col("_ts") / F.col("_tn"))
+        .withColumnRenamed("_g", "_gt")
+    )
+    merged = (
+        # null-safe equality: SQL's NULL group must survive the join
+        comps.join(tot, comps["_g"].eqNullSafe(tot["_gt"]))
+        .drop("_gt")
+        .groupBy("_g")
+        .agg(
+            F.first("_tn").alias("_tn"),
+            F.first("_mu").alias("_mu"),
+            F.sum(
+                F.col("_m2")
+                + F.col("_n") * F.pow(F.col("_s") / F.col("_n") - F.col("_mu"), 2)
+            ).alias("_M2"),
+        )
+    )
+    return merged.select(
+        F.col("_g").alias(group_col.replace(".", "_")),
+        F.col("_tn").cast("long").alias("n_vals"),
+        F.col("_mu").alias("avg"),
+        (F.col("_M2") / F.col("_tn")).alias("var_pop"),
+        F.when(
+            F.col("_tn") > 1, F.col("_M2") / (F.col("_tn") - 1)
+        ).alias("var_samp"),
+    )
+
+
 def metadata_value_counts(
     spark: SparkSession,
     out_dir: str,

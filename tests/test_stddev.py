@@ -196,3 +196,111 @@ def test_missing_predicate_column_raises(spark, encoded):
             spark, cfg.out_dir, cfg.run_id, df.schema, "value",
             [("nope_col", ">=", 1)],
         )
+
+
+class TestGroupStddev:
+    def _mk(self, spark, tmp_path, cluster, rows=None, name="g1"):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        if rows is None:
+            rows = [
+                (i, ["a", "b", "c"][i % 3 if i < 900 else 0],
+                 float((i * 37) % 101)) for i in range(1200)
+            ]
+        df = spark.createDataFrame(
+            rows, "event_id long, kind string, value double"
+        )
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / name), run_id=name, key="event_id",
+            n_partitions=2, stripe_rows=128,
+            cluster_by="kind" if cluster else None,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        return df, cfg
+
+    def _want(self, df, pred=None):
+        from pyspark.sql import functions as F
+
+        d = df
+        if pred is not None:
+            d = d.filter(pred)
+        rows = (
+            d.groupBy("kind")
+            .agg(
+                F.count("value").alias("n"),
+                F.avg("value").alias("avg"),
+                F.var_pop("value").alias("vp"),
+                F.var_samp("value").alias("vs"),
+            )
+            .filter(F.col("n") > 0)
+            .collect()
+        )
+        return {
+            r.kind: (r.n, round(r.avg, 9), round(r.vp, 6),
+                     None if r.vs is None else round(r.vs, 6))
+            for r in rows
+        }
+
+    def _got(self, spark, df, cfg, pred=None):
+        out = pipeline.metadata_group_stddev(
+            spark, cfg.out_dir, cfg.run_id, df.schema, "kind", "value",
+            pred,
+        )
+        return {
+            r.kind: (r.n_vals, round(r.avg, 9), round(r.var_pop, 6),
+                     None if r.var_samp is None else round(r.var_samp, 6))
+            for r in out.collect()
+        }
+
+    def test_clustered_matches_and_pushes_down(
+        self, spark, tmp_path, monkeypatch
+    ):
+        df, cfg = self._mk(spark, tmp_path, cluster=True)
+        decoded: list = []
+        orig = pipeline._restricted_decode
+
+        def spy(spark_, out_dir, run_id, schema, cols, pred, only):
+            decoded.append(
+                only if isinstance(only, list) else "df"
+            )
+            return orig(spark_, out_dir, run_id, schema, cols, pred, only)
+
+        monkeypatch.setattr(pipeline, "_restricted_decode", spy)
+        assert self._got(spark, df, cfg) == self._want(df)
+        total = pipeline.read_stripes(
+            spark, cfg.out_dir, cfg.run_id
+        ).select("partition_id", "stripe_idx").distinct().count()
+        # boundary stripes only: far fewer decodes than stripes exist
+        n_dec = sum(len(x) for x in decoded if isinstance(x, list))
+        assert decoded == [] or n_dec < total / 2, (n_dec, total)
+
+    def test_unclustered_still_exact(self, spark, tmp_path):
+        df, cfg = self._mk(spark, tmp_path, cluster=False, name="g2")
+        assert self._got(spark, df, cfg) == self._want(df)
+
+    def test_predicate_and_null_groups(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (i, None if i % 5 == 0 else ["x", "y"][i % 2],
+             None if i % 7 == 0 else float(i % 50))
+            for i in range(600)
+        ]
+        df, cfg = self._mk(
+            spark, tmp_path, cluster=True, rows=rows, name="g3"
+        )
+        pred = [("event_id", ">=", 150)]
+        got = self._got(spark, df, cfg, pred)
+        want = self._want(df, F.col("event_id") >= 150)
+        assert got == want
+        assert None in got  # SQL NULL group present
+
+    def test_all_null_group_omitted(self, spark, tmp_path):
+        rows = [(i, "dead", None) for i in range(200)] + [
+            (1000 + i, "live", float(i)) for i in range(200)
+        ]
+        df, cfg = self._mk(
+            spark, tmp_path, cluster=True, rows=rows, name="g4"
+        )
+        got = self._got(spark, df, cfg)
+        assert set(got) == {"live"}
