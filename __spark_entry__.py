@@ -2484,6 +2484,47 @@ ORDER BY user_id, s_start
 """
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (attribution shape): even events
+    are 'impressions', odd events 'clicks'; a click joins every
+    impression of the same user it follows within 1 hour. Inner-join
+    emission is batching-independent, so the oracle is the plain
+    relational self-join with the identical range condition."""
+    from orc_spark.streaming import ingest
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_id"
+    )
+    l_dir = tempfile.mkdtemp(prefix="orcspark_ivj_l_")
+    r_dir = tempfile.mkdtemp(prefix="orcspark_ivj_r_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_ivj_ckpt_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(l_dir)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(r_dir)
+    out = ingest.streaming_interval_join(
+        spark, l_dir, r_dir, ev.schema, ckpt, within="1 hour"
+    )
+    return out.select(
+        "user_id", "l_id", "r_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+    ).orderBy("user_id", "l_id", "r_id")
+
+
+_STREAM_IVJOIN_SQL = """
+SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
+       a.ts AS l_ts, b.ts AS r_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ORDER BY a.user_id, l_id, r_id
+"""
+
+
 def _q_streaming_dedup_update(spark, sf_dir):
     """The scale-safe sibling of streaming_dedup (VERDICT r4 #3):
     update output mode + LSM-style delta sink, so each trigger writes
@@ -3779,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_update": _q_streaming_dedup_update,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_interval_join": _q_streaming_interval_join,
     }
 
 
@@ -3964,6 +4006,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_window_counts": _WINDOW_COUNTS_SQL,
         "streaming_sessionize": _STREAM_SESSION_SQL,
+        "streaming_interval_join": _STREAM_IVJOIN_SQL,
         "media_dimensions": _MEDIA_DIMENSIONS_SQL,
         # df_cap=None: the Spark side (LSH candidates + exact verify,
         # no DF cap) equals the exact pair set, so its oracle must be

@@ -487,3 +487,80 @@ def streaming_sessionize(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    within: str = "1 hour",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INTERVAL join — the attribution shape (click
+    within ``within`` after impression, same key): two unbounded
+    sources join on key + event-time range, each side buffered in
+    watermarked state until no future match is possible, every
+    qualifying pair emitted exactly once. This is the last of the four
+    Structured-Streaming stateful classes the engine exercises
+    (windowed agg, session windows, keyed dedup state, and now
+    two-sided join state).
+
+    Determinism contract: an INNER interval join's output SET after an
+    availableNow drain is batching-independent — pairs are emitted
+    when both sides have arrived, and the time-range condition plus
+    the watermarks only bound STATE, not the result. The oracle is the
+    plain relational self-join with the same range condition.
+
+    Scale plan: one shuffle per side keyed by ``key_col``; join state
+    holds only rows younger than watermark + range (both sides
+    evict), so state is bounded by the event rate x the interval, not
+    the stream length.
+
+    Returns (key, l_id, r_id, l_ts, r_ts).
+    """
+    from pyspark.sql import functions as F
+
+    name = "ivjoin_" + os.path.basename(checkpoint_dir).replace("-", "_")
+    left = (
+        spark.readStream.schema(schema).parquet(left_dir)
+        .select(
+            F.col(key_col).alias("l_key"),
+            F.col(id_col).alias("l_id"),
+            F.col(ts_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", delay)
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(right_dir)
+        .select(
+            F.col(key_col).alias("r_key"),
+            F.col(id_col).alias("r_id"),
+            F.col(ts_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", delay)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts "
+            f"AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+        "inner",
+    ).select(
+        F.col("l_key").alias(key_col), "l_id", "r_id", "l_ts", "r_ts"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

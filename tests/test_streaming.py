@@ -380,3 +380,41 @@ def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
     assert rows == [
         ("2024-01-01T00:00:00", "2024-01-01T02:30:00", 3, 7.0)
     ], (rows, newest)
+
+
+def test_streaming_interval_join_matches_within_range_only(spark, tmp_path):
+    """Pairs emit iff same key and right ts in [left ts, left ts +
+    interval]; cross-batch pairs match via join state."""
+    import datetime
+    import time
+
+    l_dir = str(tmp_path / "l")
+    r_dir = str(tmp_path / "r")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long, event_id long"
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    # left: impression u1@01:00, u2@02:00
+    spark.createDataFrame(
+        [(t(1), 1, 10), (t(2), 2, 20)], schema
+    ).coalesce(1).write.mode("append").parquet(l_dir)
+    # right file 1: u1 click in range (01:30), u1 click out of range
+    # (03:00), u2 click before the impression (01:30 — no match)
+    spark.createDataFrame(
+        [(t(1, 30), 1, 11), (t(3), 1, 12), (t(1, 30), 2, 21)], schema
+    ).coalesce(1).write.mode("append").parquet(r_dir)
+    time.sleep(1.1)
+    # right file 2 (second batch): u2 click in range at 02:45
+    spark.createDataFrame(
+        [(t(2, 45), 2, 22)], schema
+    ).coalesce(1).write.mode("append").parquet(r_dir)
+
+    df = spark.createDataFrame([(t(0), 0, 0)], schema)
+    out = ingest.streaming_interval_join(
+        spark, l_dir, r_dir, df.schema, ckpt, within="1 hour",
+        delay="10 hours",
+    )
+    got = sorted((r.user_id, r.l_id, r.r_id) for r in out.collect())
+    assert got == [(1, 10, 11), (2, 20, 22)], got
