@@ -3202,6 +3202,20 @@ _SCRIPT_SEED_SQL = (
 )
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """Deterministic mixture sampling to a token budget (DoReMi-style
+    domain weights resolved to a keep-set): weights 3:1:4 over three
+    allowlisted sources against a 4000-token budget — two domains hit
+    the rate cap (never oversample past the corpus), one samples at
+    ~0.4; all other domains drop (a mixture is an allowlist)."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    return analysis.token_budget_sample(
+        docs, 4000, {"src0": 3.0, "src1": 1.0, "src5": 4.0}
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     """Host-scoped boilerplate removal (CCNet frequent-lines pass):
     a line is dropped iff it appears in >=5 distinct docs OF THE SAME
@@ -3734,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
+        "token_budget_sample": _q_token_budget_sample,
         "script_profile": _q_script_profile,
         "readability": _q_readability,
         "dup_window_stats": _q_dup_window_stats,
@@ -4045,6 +4060,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "script_profile": analysis.script_profile_sql(
             "(" + _SCRIPT_SEED_SQL + ") seeded"
+        ),
+        "token_budget_sample": analysis.token_budget_sample_sql(
+            "documents", 4000, {"src0": 3.0, "src1": 1.0, "src5": 4.0}
         ),
         "boilerplate_lines": dedup.boilerplate_lines_sql(
             "(" + _BOILER_SEED_SQL + ") seeded", min_df=5

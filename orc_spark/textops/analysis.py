@@ -2153,3 +2153,119 @@ SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
        ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
 FROM c ORDER BY doc_id
 """
+
+
+MIX_SAMPLE_BUCKETS = 1_000_000
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture sampling to a token budget — the
+    pretraining data-mix primitive (the Pile/DoReMi-style weighted
+    domain mixture, resolved to an actual keep-set): given target
+    domain weights and a total token budget, each domain d gets
+    target_d = budget · w_d / Σw tokens, sampled at
+    rate_d = min(1, target_d / tokens_d) by the same salted md5
+    bucket as :func:`hash_split` — so the keep-set is STABLE under
+    re-runs and incremental crawls, PORTABLE across engines
+    (bit-identical cut arithmetic), and never oversamples a domain
+    past its corpus (rate caps at 1; the budget shortfall is
+    reported by the caller comparing kept vs target, not silently
+    redistributed). Domains absent from ``weights`` are dropped —
+    an explicit mixture IS an allowlist.
+
+    Scale plan: one map-side-combined groupBy over the (bounded)
+    domain set for token totals, broadcast back; the keep decision is
+    a JVM expression — no per-doc shuffle beyond the tiny totals agg.
+
+    Returns kept rows (id, domain, n_tokens); order by id.
+    """
+    toks = token_count(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        toks.alias("n_tokens"),
+    )
+    totals = base.groupBy("domain").agg(
+        F.sum("n_tokens").cast("double").alias("_dom_toks")
+    )
+    wsum = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items())
+          for x in (F.lit(k), F.lit(float(v)))]
+    )
+    w = wmap[F.col("domain")]
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_tokens)) * w / F.lit(wsum))
+        / F.col("_dom_toks"),
+    )
+    # least() skips NULLs in both engines, so an absent weight would
+    # silently sample at rate 1.0 — gate on the weight itself instead
+    cut = F.when(
+        w.isNotNull(),
+        F.floor(rate * F.lit(MIX_SAMPLE_BUCKETS)).cast("long"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % MIX_SAMPLE_BUCKETS
+    return (
+        base.join(F.broadcast(totals), "domain")
+        .withColumn("_cut", cut)
+        .filter(F.col("_cut").isNotNull() & (bucket < F.col("_cut")))
+        .select("id", "domain", "n_tokens")
+        .orderBy("id")
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    budget_tokens: int,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` — identical token
+    count, totals, IEEE cut arithmetic, and md5 bucket."""
+    wsum = float(sum(weights.values()))
+    wcase = "CASE domain " + " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(weights.items())
+    ) + " ELSE NULL END"
+    bucket = (
+        f"(('0x' || substr(md5('{salt}:' || CAST(id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {MIX_SAMPLE_BUCKETS})"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {domain_col} AS domain,
+         len(regexp_extract_all(trim({text_col}), '\\S+')) AS n_tokens
+  FROM {table}
+),
+totals AS (
+  SELECT domain, CAST(SUM(n_tokens) AS DOUBLE) AS dom_toks
+  FROM base GROUP BY domain
+),
+rated AS (
+  SELECT b.*, CASE WHEN ({wcase}) IS NOT NULL THEN
+         FLOOR(LEAST(1.0,
+           ({float(budget_tokens)!r} * ({wcase}) / {wsum!r}) / t.dom_toks
+         ) * {MIX_SAMPLE_BUCKETS})::BIGINT END AS cut
+  FROM base b JOIN totals t USING (domain)
+)
+SELECT id, domain, n_tokens FROM rated
+WHERE cut IS NOT NULL AND {bucket} < cut
+ORDER BY id
+"""

@@ -563,3 +563,30 @@ def test_readability_known_score(spark):
         spark.createDataFrame([(1, "word")], "doc_id long, text string")
     ).collect()[0]
     assert row2.n_sentences == 1
+
+
+def test_token_budget_sample_mixture_semantics(spark):
+    from orc_spark.textops import analysis
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], "w " * 10) for i in range(300)
+    ]  # 100 docs x 10 tokens per domain
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = analysis.token_budget_sample(
+        df, 1000, {"a": 3.0, "b": 1.0}
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    # c has no weight: dropped entirely
+    assert set(by_dom) <= {"a", "b"}
+    # a's target = 750 of its 1000 tokens -> rate .75; b: 250 -> .25
+    n_a, n_b = len(by_dom.get("a", [])), len(by_dom.get("b", []))
+    assert 55 <= n_a <= 95, n_a
+    assert 10 <= n_b <= 45, n_b
+    # deterministic: same salt, same keep-set
+    again = analysis.token_budget_sample(df, 1000, {"a": 3.0, "b": 1.0})
+    assert [r.id for r in again.collect()] == [r.id for r in out]
+    # rate caps at 1: a huge budget keeps every weighted doc
+    full = analysis.token_budget_sample(df, 10**9, {"a": 1.0})
+    assert full.count() == 100
