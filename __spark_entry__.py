@@ -641,6 +641,45 @@ def _q_vacuum_reclaim(spark, sf_dir):
     return pipeline.decode_job(spark, out, "vac", df.schema, cols)
 
 
+def _q_type_promotion_decode(spark, sf_dir):
+    """Iceberg-style type promotion on read (int->long, float->double
+    — the allowed widenings): a run encoded under a NARROW schema
+    decodes under the widened one; the in-task Arrow cast rides the
+    existing decode plan (zero new nodes). The oracle applies the
+    identical narrow-then-widen cast chain relationally, so a lossy
+    hop anywhere (float precision, int truncation) mismatches."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from orc_spark.engine import pipeline
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("value").cast("float").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_tp_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-tp-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "value"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    wide = StructType([
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, wide
+    ).orderBy("event_id")
+
+
+_TYPE_PROMOTION_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CAST(value AS REAL) AS DOUBLE) AS value
+FROM events ORDER BY event_id
+"""
+
+
 def _q_schema_evolution(spark, sf_dir):
     """Schema evolution on decode (Iceberg add-column read semantics):
     the run encoded only (doc_id, lang); the decode requests the WIDER
@@ -3784,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
+        "type_promotion_decode": _q_type_promotion_decode,
         "zonemap_prune": _q_zonemap_prune,
         "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
@@ -4187,6 +4227,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "vacuum_reclaim": "SELECT doc_id, text, lang FROM documents",
+        "type_promotion_decode": _TYPE_PROMOTION_SQL,
         "schema_evolution": (
             "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars "
             "FROM documents"

@@ -553,3 +553,48 @@ def test_join_pruned_decode_prunes_both_sides_and_broadcasts(spark, tmp_path):
     # and the dim side reached the join as a broadcast
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_type_promotion_decode_widens_and_rejects_narrowing(spark, tmp_path):
+    """int32/float32 runs decode under the widened (long/double)
+    schema bit-faithfully; narrowing (long run read as int) is NOT a
+    silent truncation — Arrow's checked cast raises in the task."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_id").cast("int").alias("event_id"),
+        F.col("value").cast("float").alias("value"),
+    )
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "n"), run_id="tp", key="event_id",
+        n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    wide = StructType(
+        [StructField("event_id", LongType()), StructField("value", DoubleType())]
+    )
+    got = pipeline.decode_job(spark, cfg.out_dir, "tp", wide)
+    assert dict(got.dtypes) == {"event_id": "bigint", "value": "double"}
+    want = ev.select(
+        F.col("event_id").cast("long"), F.col("value").cast("double")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # narrowing: encode a long that exceeds int32, read as int -> loud
+    big = spark.range(1).select(
+        (F.col("id") + 5_000_000_000).alias("event_id")
+    )
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "w"), run_id="big", key="event_id",
+        n_partitions=1,
+    )
+    pipeline.run_encode_job(spark, big, cfg2)
+    narrow = StructType([StructField("event_id", IntegerType())])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pipeline.decode_job(spark, cfg2.out_dir, "big", narrow).collect()
