@@ -480,6 +480,57 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed publish (storage.export_bucketed):
+    lineitem and orders decode out of their runs into catalog tables
+    bucketed 8-ways on the order key; the rollup join then runs with
+    ZERO Exchange (bucket i joins bucket i in one task — the pytest
+    asserts the plan). The oracle recomputes the rollup relationally,
+    so a bucket misroute or a dropped bucket mismatches."""
+    from orc_spark.engine import pipeline, storage
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    uid = uuid.uuid4().hex[:8]
+    runs = {}
+    for tag, df, key in (("f", li, "l_orderkey"), ("d", od, "o_orderkey")):
+        out = tempfile.mkdtemp(prefix=f"orcspark_entry_bj{tag}_")
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"entry-bj{tag}-{uid}", key=key,
+            columns=df.columns, n_partitions=4,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        dest = tempfile.mkdtemp(prefix=f"orcspark_entry_bjt{tag}_")
+        name = f"orcspark_bj_{tag}_{uid}"
+        storage.export_bucketed(
+            spark, out, cfg.run_id, df.schema, key, name, dest,
+            n_buckets=8,
+        )
+        runs[tag] = name
+    fact, dim = spark.table(runs["f"]), spark.table(runs["d"])
+    return (
+        fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _q_join_pruned_decode(spark, sf_dir):
     """Star join over TWO encoded runs, stripe-pruned on BOTH sides:
     lineitem (fact) and orders (dim) are encoded clustered by their
@@ -3851,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_list_decode": _q_in_list_decode,
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
+        "bucketed_join": _q_bucketed_join,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -4246,6 +4298,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
+        "bucketed_join": _BUCKETED_JOIN_SQL,
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",

@@ -225,3 +225,49 @@ def export_partitioned(
     back = spark.read.parquet(dest)
     n_parts = back.select(partition_col).distinct().count()
     return {"partitions": int(n_parts), "rows": int(back.count())}
+
+
+def export_bucketed(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    bucket_col: str,
+    table_name: str,
+    path: str,
+    n_buckets: int = 32,
+    columns: list[str] | None = None,
+) -> None:
+    """Decode a run and publish it as a BUCKETED parquet table
+    (catalog table, external at ``path``): rows are hash-clustered
+    into ``n_buckets`` files per partition on ``bucket_col`` and
+    sorted within buckets, so a join or aggregation between two
+    tables bucketed the same way runs with ZERO Exchange — Spark
+    reads bucket i of both sides into the same task. This is the
+    co-located-join story the north rule's "pre-partitioning for
+    co-located joins" asks for, expressed in Spark's own layout
+    (works from every SQL engine that reads the catalog).
+
+    The bucket count is a real knob: at 100 TB pick n_buckets so one
+    bucket of the FACT table fits an executor's memory; dims bucketed
+    with the same (count, column) join shuffle-free forever after —
+    the shuffle is paid once at publish, amortized over every later
+    join.
+
+    External table (LOCATION=``path``): dropping the catalog entry
+    never deletes data, and the warehouse dir stays empty — same
+    facade contract as every other writer here (Iceberg swap =
+    config).
+    """
+    from . import pipeline as pipeline_mod
+
+    df = pipeline_mod.decode_job(
+        spark, out_dir, run_id, result_schema, columns=columns
+    )
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(int(n_buckets), bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )

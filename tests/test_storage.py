@@ -181,3 +181,53 @@ def test_export_partitioned_prunes_and_overwrites_dynamically(spark, tmp_path):
     assert back.filter(F.col("lang") == "de").count() == docs.filter(
         F.col("lang") == "de"
     ).count()
+
+
+def test_export_bucketed_joins_without_exchange(spark, tmp_path):
+    """Two runs published bucketed on the same (count, column) join
+    with zero Exchange; results equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, storage
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    names = {}
+    for tag, df, key in (("f", li, "l_orderkey"), ("d", od, "o_orderkey")):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / tag), run_id=tag, key=key,
+            n_partitions=2,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        name = f"test_bk_{tag}"
+        storage.export_bucketed(
+            spark, cfg.out_dir, tag, df.schema, key, name,
+            str(tmp_path / f"tbl_{tag}"), n_buckets=4,
+        )
+        names[tag] = name
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(names["f"]).join(
+                spark.table(names["d"]),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:1500]
+            assert "Bucketed: true" in plan
+            got = j.groupBy("o_orderpriority").count().collect()
+            want = (
+                li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority").count().collect()
+            )
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for n in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
