@@ -3170,6 +3170,36 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_index(spark, sf_dir):
+    """Persisted IVF index (build once, query forever): the quantized
+    table lands partitioned by list id, a probe reads only the nprobe
+    nearest directories (planning-time partition pruning — the pytest
+    asserts it), and the query path runs zero Python. Scored in-query
+    against brute force with the same pinned-recall oracle style as
+    ann_ivf; identical seeds make build deterministic."""
+    from orc_spark.textops import similarity
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").first().embedding
+    ]
+    bf = {r.id for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    index_dir = tempfile.mkdtemp(prefix="orcspark_entry_ivfidx_")
+    similarity.ivf_build_index(spark, emb, index_dir, n_lists=8)
+    iv = [
+        r.id
+        for r in similarity.ivf_query_index(
+            spark, index_dir, q, k=10, nprobe=6
+        ).collect()
+    ]
+    return spark.createDataFrame(
+        [(8, 6, 10, len(iv), len(set(iv) & bf))],
+        "nlist int, nprobe int, k int, n_results int, n_in_exact_topk int",
+    )
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011) recall self-check:
     deterministic codebooks (seeded per-subvector k-means on a fixed
@@ -3853,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
         "ann_pq": _q_ann_pq,
         "semantic_purge": _q_semantic_purge,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -4125,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": dedup.simhash_pairs_sql("documents", max_hamming=3),
         "ann_lsh": _ANN_BRUTE_FORCE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "ann_ivf_index": _ANN_IVF_SQL,
         "ann_pq": _ANN_PQ_SQL,
         "semantic_purge": similarity.semantic_purge_sql(
             "embeddings", threshold=0.4

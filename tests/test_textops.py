@@ -590,3 +590,34 @@ def test_token_budget_sample_mixture_semantics(spark):
     # rate caps at 1: a huge budget keeps every weighted doc
     full = analysis.token_budget_sample(df, 10**9, {"a": 1.0})
     assert full.count() == 100
+
+
+def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index equals the in-query IVF result, and a
+    probe's scan carries the list filter as a PARTITION filter
+    (directory skip), not a data filter."""
+    import numpy as np
+
+    from orc_spark.textops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").first().embedding
+    ]
+    idx = str(tmp_path / "ivf")
+    cent = similarity.ivf_build_index(spark, emb, idx, n_lists=4)
+    got = similarity.ivf_query_index(spark, idx, q, k=5, nprobe=2)
+    want = similarity.ivf_topk(emb, q, cent, k=5, nprobe=2)
+    assert [r.id for r in got.collect()] == [r.id for r in want.collect()]
+
+    qn = np.asarray(q)
+    d = ((cent - qn[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:2]]
+    cand = spark.read.parquet(idx + "/vectors").filter(
+        F.col("_ivf_list").isin(probe)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_ivf_list" in pf[0], plan[:1500]
