@@ -3170,6 +3170,25 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_hash_embed(spark, sf_dir):
+    """Feature-hashing vectorizer (signed hashing trick): model-free
+    64-dim unit embeddings from raw text, bucket/sign by the same md5
+    integer math in both engines. The Spark side round-trips through
+    the DENSE array (map_from_entries + transform) and re-explodes to
+    the sparse form the oracle computes — so bucket routing, sign
+    bias, normalization, AND the dense assembly all hash-check."""
+    from orc_spark.textops import similarity
+
+    docs = _load(spark, sf_dir, "documents")
+    dense = similarity.hash_embed(docs)
+    return (
+        dense.select("id", F.posexplode("embedding").alias("bucket", "w"))
+        .where(F.col("w") != 0.0)
+        .select("id", "bucket", F.round("w", 6).alias("w_r"))
+        .orderBy("id", "bucket")
+    )
+
+
 def _q_ann_ivf_index(spark, sf_dir):
     """Persisted IVF index (build once, query forever): the quantized
     table lands partitioned by list id, a probe reads only the nprobe
@@ -3884,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
+        "hash_embed": _q_hash_embed,
         "ann_pq": _q_ann_pq,
         "semantic_purge": _q_semantic_purge,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -4157,6 +4177,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ANN_BRUTE_FORCE_SQL,
         "ann_ivf": _ANN_IVF_SQL,
         "ann_ivf_index": _ANN_IVF_SQL,
+        "hash_embed": similarity.hash_embed_sparse_sql("documents"),
         "ann_pq": _ANN_PQ_SQL,
         "semantic_purge": similarity.semantic_purge_sql(
             "embeddings", threshold=0.4

@@ -628,3 +628,111 @@ def ivf_query_index(
         F.col("_ivf_list").isin(probe)
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = HASH_EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing vectorizer (Weinberger et al. 2009, the
+    "hashing trick"): every whitespace token lands in bucket
+    md5(token) % dim with a second md5 nibble choosing ±1 (the signed
+    variant that keeps collisions unbiased), weights are summed per
+    bucket and L2-normalized — a deterministic, model-free text
+    embedding that makes the engine's ANN / near-dup / clustering
+    stack usable on corpora that ship no embedding column. Portable by
+    construction: the bucket and sign arithmetic is the same md5
+    integer math both engines run bit-identically.
+
+    Scale plan: explode + two JVM md5 expressions + one (id, bucket)
+    map-side-combined groupBy + one per-doc window for the norm —
+    shuffles carry (id, bucket, weight), never token strings. No
+    Python anywhere.
+
+    Returns (id, embedding array<double> of ``dim``, unit L2 norm;
+    docs with no tokens are dropped).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    counts = (
+        toks.select("id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").alias("w"))
+        .where(F.col("w") != 0.0)
+    )
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id")))
+    unit = counts.select(
+        "id", "bucket", (F.col("w") / norm).alias("w")
+    )
+    dense = (
+        unit.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))
+            ).alias("m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    return dense
+
+
+def hash_embed_sparse_sql(
+    table: str,
+    dim: int = HASH_EMBED_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`hash_embed`'s SPARSE form (id, bucket,
+    unit-normalized weight) — identical md5 bucket/sign arithmetic;
+    the dense array assembly is Spark-side packaging of these exact
+    numbers (tests assert the two forms agree)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest(regexp_extract_all(trim(COALESCE({text_col}, '')), '\\S+')) AS tok
+  FROM {table}
+),
+b AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {dim} AS INT) AS bucket,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM toks WHERE tok != ''
+),
+c AS (
+  SELECT id, bucket, SUM(sgn) AS w FROM b GROUP BY 1, 2
+  HAVING SUM(sgn) != 0
+),
+n AS (
+  SELECT id, bucket, w / sqrt(SUM(w * w) OVER (PARTITION BY id)) AS w
+  FROM c
+)
+SELECT id, bucket, ROUND(w, 6) AS w_r FROM n ORDER BY id, bucket
+"""

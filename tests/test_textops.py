@@ -621,3 +621,33 @@ def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
     plan = cand._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "_ivf_list" in pf[0], plan[:1500]
+
+
+def test_hash_embed_unit_norm_and_ann_composability(spark):
+    import math
+
+    from orc_spark.textops import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark rows columns spark"),
+            (2, "spark rows columns spark"),   # identical text
+            (3, "completely different words here"),
+            (4, ""),                            # no tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.embedding for r in similarity.hash_embed(df, dim=16).collect()}
+    assert set(out) == {1, 2, 3}
+    for v in out.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12
+        assert len(v) == 16
+    assert out[1] == out[2]          # deterministic
+    assert out[1] != out[3]
+    # composes with the ANN stack: identical doc is the top cosine hit
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "vec_id long, embedding array<double>"
+    )
+    top = similarity.brute_force_topk(emb, out[1], k=2).collect()
+    assert {top[0].id, top[1].id} == {1, 2}
+    assert abs(top[0].cosine - 1.0) < 1e-9
