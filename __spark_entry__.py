@@ -3062,6 +3062,44 @@ def _q_dedup_against(spark, sf_dir):
     )
     return (
         dedup.dedup_against(seeded, base, threshold=0.5, df_cap=None)
+        # tail shared with _q_dedup_index_probe (same seed, same oracle)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_dedup_index_probe(spark, sf_dir):
+    """Persisted dedup index (build once, probe per increment): the
+    base corpus's md5 shingle sets + df-capped inverted index land as
+    parquet; the same seeded crawl increment as `dedup_against` then
+    probes WITHOUT rescanning the base. Same oracle as dedup_against —
+    the stored path must reproduce the recomputed path exactly."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F2.col("doc_id") < 250)
+    fresh = docs.filter(F2.col("doc_id") >= 250)
+    seed_src = docs.select(
+        (F2.col("doc_id") + 250).alias("doc_id"),
+        F2.col("text").alias("_base_text"),
+    )
+    seeded = (
+        fresh.join(seed_src, "doc_id", "left")
+        .select(
+            "doc_id",
+            F2.when(
+                (F2.col("doc_id") % 40 == 1)
+                & F2.col("_base_text").isNotNull(),
+                F2.col("_base_text"),
+            ).otherwise(F2.col("text")).alias("text"),
+        )
+    )
+    index_dir = tempfile.mkdtemp(prefix="orcspark_entry_dix_")
+    dedup.dedup_index_build(spark, base, index_dir, df_cap=None)
+    return (
+        dedup.dedup_index_probe(spark, index_dir, seeded, threshold=0.5)
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -3896,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "near_dup_purge": _q_near_dup_purge,
         "dedup_against": _q_dedup_against,
+        "dedup_index_probe": _q_dedup_index_probe,
         "dsir_weights": _q_dsir_weights,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_dedup": _q_simhash_dedup,
@@ -4192,6 +4231,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_against": dedup.dedup_against_sql(
             # the same seeded increment, rebuilt in SQL
+            "(SELECT n.doc_id, CASE WHEN n.doc_id % 40 = 1 "
+            "AND b.text IS NOT NULL THEN b.text ELSE n.text END AS text "
+            "FROM documents n LEFT JOIN documents b "
+            "ON b.doc_id = n.doc_id - 250 WHERE n.doc_id >= 250) seeded_new",
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 250) base",
+            threshold=0.5,
+        ),
+        "dedup_index_probe": dedup.dedup_against_sql(
+            # identical seed + semantics as dedup_against: the stored
+            # index must reproduce the recomputed path bit-for-bit
             "(SELECT n.doc_id, CASE WHEN n.doc_id % 40 = 1 "
             "AND b.text IS NOT NULL THEN b.text ELSE n.text END AS text "
             "FROM documents n LEFT JOIN documents b "

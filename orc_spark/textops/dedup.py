@@ -1322,3 +1322,102 @@ WHERE para != ''
   )
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def dedup_index_build(
+    spark,
+    base_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    df_cap: int | None = DEFAULT_SHINGLE_DF_CAP,
+    mode: str = "overwrite",
+) -> dict:
+    """Build and PERSIST the cross-corpus dedup index that
+    :func:`dedup_against` recomputes per call: the base corpus's
+    shingle sets (md5-hashed — 16-byte keys, never shingle text) and
+    the df-capped inverted index, as two parquet tables under
+    ``index_dir``. Pay the corpus scan ONCE; every later crawl
+    increment probes in time proportional to ITS size. ``mode=
+    "append"`` admits newly-kept docs into the index after a probe —
+    the incremental-corpus loop.
+
+    Scale plan: one explode + one (shingle)-keyed groupBy for the df
+    cap; both tables are written without any driver-side state. The
+    stop-shingle cap bounds the worst probe join key exactly as in
+    ngram_jaccard_pairs.
+
+    Returns {"docs": n, "postings": n}.
+    """
+    b = base_df.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_k), F.md5)
+        ).alias("sh_b"),
+    )
+    b.write.mode(mode).parquet(index_dir + "/sets")
+    inv = b.select("id_b", F.explode("sh_b").alias("s"))
+    if df_cap is not None:
+        rare = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        inv = inv.join(rare, "s", "left_semi")
+    inv.write.mode(mode).parquet(index_dir + "/inverted")
+    sets = spark.read.parquet(index_dir + "/sets")
+    post = spark.read.parquet(index_dir + "/inverted")
+    return {"docs": int(sets.count()), "postings": int(post.count())}
+
+
+def dedup_index_probe(
+    spark,
+    index_dir: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Gate a crawl increment against a PERSISTED dedup index (the
+    stored twin of :func:`dedup_against`): new docs' md5 shingles join
+    the stored inverted index for candidates, exact Jaccard over the
+    stored + fresh shingle sets drops near-duplicates. The base corpus
+    is never rescanned — probe cost scales with the increment.
+
+    Returns the kept rows of ``new_df`` (all original columns).
+    """
+    n = new_df.select(
+        F.col(id_col).alias("id_n"),
+        F.array_distinct(
+            F.transform(shingles(text_col, shingle_k), F.md5)
+        ).alias("sh_n"),
+    )
+    inv_b = spark.read.parquet(index_dir + "/inverted")
+    sets_b = spark.read.parquet(index_dir + "/sets")
+    inv_n = n.select("id_n", F.explode("sh_n").alias("s"))
+    cand = (
+        inv_n.join(inv_b, "s")
+        .select("id_n", "id_b")
+        .dropDuplicates(["id_n", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_b"))
+    contaminated = (
+        cand.join(n, "id_n")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "_j",
+            inter
+            / (F.size("sh_n") + F.size("sh_b") - inter).cast("double"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(F.col("id_n").alias("_cid"))
+        .distinct()
+    )
+    return new_df.join(
+        contaminated,
+        F.col(id_col) == F.col("_cid"),
+        "left_anti",
+    )

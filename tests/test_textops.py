@@ -651,3 +651,38 @@ def test_hash_embed_unit_norm_and_ann_composability(spark):
     top = similarity.brute_force_topk(emb, out[1], k=2).collect()
     assert {top[0].id, top[1].id} == {1, 2}
     assert abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_dedup_index_build_probe_and_append(spark, tmp_path):
+    """The persisted index reproduces dedup_against; append mode
+    admits kept docs so the NEXT increment is gated against them."""
+    from orc_spark.textops import dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    inc1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),   # dup of 1 -> dropped
+         (11, "totally novel content right here")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    info = dedup.dedup_index_build(spark, base, idx, df_cap=None)
+    assert info["docs"] == 2 and info["postings"] > 0
+    kept1 = dedup.dedup_index_probe(spark, idx, inc1)
+    assert [r.doc_id for r in kept1.orderBy("doc_id").collect()] == [11]
+    # matches the recompute-everything path
+    want = dedup.dedup_against(inc1, base, df_cap=None)
+    assert sorted(r.doc_id for r in want.collect()) == [11]
+
+    # admit the survivors, then a copy of doc 11 must be caught
+    dedup.dedup_index_build(spark, kept1, idx, df_cap=None, mode="append")
+    inc2 = spark.createDataFrame(
+        [(20, "totally novel content right here"),
+         (21, "yet another fresh document body")],
+        "doc_id long, text string",
+    )
+    kept2 = dedup.dedup_index_probe(spark, idx, inc2)
+    assert [r.doc_id for r in kept2.orderBy("doc_id").collect()] == [21]
