@@ -761,6 +761,40 @@ def _q_schema_evolution(spark, sf_dir):
     )
 
 
+def _q_default_evolution(spark, sf_dir):
+    """Column defaults on schema evolution (Iceberg v3 initial-default
+    read semantics): the added column reads a CONSTANT for rows that
+    predate it — here a quality tier 'unscored' and a score of -1 —
+    instead of null. Same decode plan as schema_evolution; the fill
+    array is constant instead of null. Oracle: typed literals."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from orc_spark.engine import pipeline
+
+    df = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_de_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-de-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    wider = StructType(
+        list(df.schema.fields)
+        + [StructField("tier", StringType()), StructField("score", LongType())]
+    )
+    return pipeline.decode_job(
+        spark, out, cfg.run_id, wider,
+        columns=["doc_id", "lang", "tier", "score"],
+        allow_missing_columns=True,
+        missing_defaults={"tier": "unscored", "score": -1},
+    ).orderBy("doc_id")
+
+
 def _q_null_inequality_decode(spark, sf_dir):
     """r4 predicate ops — IS NOT NULL pruning on the per-stripe
     null_count and != pruning on provably single-valued stripes
@@ -3965,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
         "type_promotion_decode": _q_type_promotion_decode,
+        "default_evolution": _q_default_evolution,
         "zonemap_prune": _q_zonemap_prune,
         "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
@@ -4385,6 +4420,10 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": (
             "SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars "
             "FROM documents"
+        ),
+        "default_evolution": (
+            "SELECT doc_id, lang, 'unscored' AS tier, "
+            "CAST(-1 AS BIGINT) AS score FROM documents ORDER BY doc_id"
         ),
         "bloom_point_lookup": (
             "SELECT event_id, value FROM events "

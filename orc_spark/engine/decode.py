@@ -32,6 +32,7 @@ def decode_stage(
     columns: list[str] | None = None,
     colocated: bool = False,
     fill_missing: list[str] | None = None,
+    missing_defaults: dict | None = None,
     verify_checksums: bool = False,
     residual: list | None = None,
     apply_deletes: bool = False,
@@ -62,8 +63,11 @@ def decode_stage(
     ``fill_missing`` names requested columns that have NO stripes in
     this run (added to the table schema after the run was encoded);
     they are rebuilt as all-null arrays of the schema type — Iceberg
-    add-column read semantics. Callers (decode_job) compute the list
-    from the stripe metadata.
+    add-column read semantics. ``missing_defaults`` optionally maps
+    such a column to a constant instead (Iceberg v3 initial-default
+    semantics: rows from BEFORE the column existed read the default,
+    not null). Callers (decode_job) compute the list from the stripe
+    metadata.
 
     ``apply_deletes=True`` — the stripes DF carries a ``_delete_vecs``
     column (array<binary> of packed little-endian row bitmaps, joined
@@ -160,10 +164,17 @@ def decode_stage(
                         if c not in missing
                     }
                     n = len(next(iter(decoded.values())))
+                    defaults = missing_defaults or {}
+
+                    def _fill(c, n):
+                        if defaults.get(c) is None:
+                            return pa.nulls(n, type=arrow_types[c])
+                        return pa.array(
+                            [defaults[c]] * n, type=arrow_types[c]
+                        )
+
                     arrays = [
-                        decoded[c]
-                        if c not in missing
-                        else pa.nulls(n, type=arrow_types[c])
+                        decoded[c] if c not in missing else _fill(c, n)
                         for c in all_cols
                     ]
                     names = list(all_cols)

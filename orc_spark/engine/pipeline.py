@@ -471,6 +471,7 @@ def decode_job(
     columns: list[str] | None = None,
     predicate: list[tuple] | None = None,
     allow_missing_columns: bool = False,
+    missing_defaults: dict | None = None,
     verify_checksums: bool = False,
     as_of_epoch: int | None = None,
     as_of_tag: str | None = None,
@@ -683,7 +684,8 @@ def decode_job(
         )
     return decode_mod.decode_stage(
         stripes, out_schema, columns, colocated,
-        fill_missing=fill or None, verify_checksums=verify_checksums,
+        fill_missing=fill or None, missing_defaults=missing_defaults,
+        verify_checksums=verify_checksums,
         # row-level residual inside the decode task (conservative);
         # callers' zonemap.predicate_expr stays the exactness gate
         residual=predicate,

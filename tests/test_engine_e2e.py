@@ -598,3 +598,41 @@ def test_type_promotion_decode_widens_and_rejects_narrowing(spark, tmp_path):
 
     with _pytest.raises(Exception):
         pipeline.decode_job(spark, cfg2.out_dir, "big", narrow).collect()
+
+
+def test_missing_defaults_fill_constants_not_nulls(spark, tmp_path):
+    """Iceberg v3 initial-default read: added columns fill with the
+    default for pre-existing rows; columns without a default stay
+    null; present columns are untouched."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="de", key="doc_id",
+        n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    wider = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("tier", StringType()),
+            StructField("w", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    got = pipeline.decode_job(
+        spark, cfg.out_dir, "de", wider,
+        columns=["doc_id", "lang", "tier", "w", "n"],
+        allow_missing_columns=True,
+        missing_defaults={"tier": "bronze", "w": 0.5},
+    )
+    row = got.orderBy("doc_id").first()
+    assert row.tier == "bronze" and row.w == 0.5 and row.n is None
+    assert got.filter(
+        (F.col("tier") != "bronze") | F.col("n").isNotNull()
+    ).count() == 0
+    assert got.count() == df.count()
