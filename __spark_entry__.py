@@ -795,6 +795,44 @@ def _q_default_evolution(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_rename_evolution(spark, sf_dir):
+    """Rename-on-read (Iceberg rename semantics): the run stored
+    (doc_id, lang); the table now calls them (document_id, language).
+    decode_job's read_aliases maps names down for the decode AND the
+    predicate — the filter arrives in the NEW name and still prunes
+    against the stored column's zone stats. Oracle: aliased SELECT."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from orc_spark.engine import pipeline, zonemap
+
+    df = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_re_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out,
+        run_id=f"entry-re-{uuid.uuid4().hex[:8]}",
+        key="doc_id",
+        columns=["doc_id", "lang"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    renamed = StructType([
+        StructField("document_id", LongType()),
+        StructField("language", StringType()),
+    ])
+    pred = [("document_id", ">=", 100)]
+    return (
+        pipeline.decode_job(
+            spark, out, cfg.run_id, renamed,
+            predicate=pred,
+            read_aliases={"document_id": "doc_id", "language": "lang"},
+        )
+        .filter(zonemap.predicate_expr(pred))
+        .orderBy("document_id")
+    )
+
+
 def _q_null_inequality_decode(spark, sf_dir):
     """r4 predicate ops — IS NOT NULL pruning on the per-stripe
     null_count and != pruning on provably single-valued stripes
@@ -4000,6 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "type_promotion_decode": _q_type_promotion_decode,
         "default_evolution": _q_default_evolution,
+        "rename_evolution": _q_rename_evolution,
         "zonemap_prune": _q_zonemap_prune,
         "zorder_prune": _q_zorder_prune,
         "null_inequality_decode": _q_null_inequality_decode,
@@ -4424,6 +4463,10 @@ def oracle_sql() -> dict[str, str]:
         "default_evolution": (
             "SELECT doc_id, lang, 'unscored' AS tier, "
             "CAST(-1 AS BIGINT) AS score FROM documents ORDER BY doc_id"
+        ),
+        "rename_evolution": (
+            "SELECT doc_id AS document_id, lang AS language "
+            "FROM documents WHERE doc_id >= 100 ORDER BY document_id"
         ),
         "bloom_point_lookup": (
             "SELECT event_id, value FROM events "

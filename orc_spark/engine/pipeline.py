@@ -476,6 +476,7 @@ def decode_job(
     as_of_epoch: int | None = None,
     as_of_tag: str | None = None,
     apply_deletes: bool = True,
+    read_aliases: dict | None = None,
     _emit_positions: bool = False,
     _only_groups: list | None = None,
 ) -> DataFrame:
@@ -519,7 +520,52 @@ def decode_job(
     the table after this run was encoded — Iceberg add-column read
     semantics). Default False: a missing column is a hard error, as
     silently reading nulls for a misspelled name would be worse.
+
+    ``read_aliases`` — rename-on-read ({new_name: stored_name}):
+    decode stored columns under the current table names, predicates
+    and defaults included (Iceberg rename semantics, by explicit map
+    since stripes are keyed by name rather than field id).
     """
+    if read_aliases:
+        # Rename-on-read (Iceberg rename semantics by mapping, since
+        # this layout keys stripes by name, not field id): decode
+        # under the STORED names, then alias to the requested ones.
+        # Predicates arrive in requested names and map down too.
+        from pyspark.sql.types import StructField, StructType
+
+        req_cols = columns or [f.name for f in result_schema.fields]
+        stored = {c: read_aliases.get(c, c) for c in req_cols}
+        if len(set(stored.values())) != len(stored):
+            raise ValueError(f"read_aliases collide: {read_aliases}")
+        by_name = {f.name: f for f in result_schema.fields}
+        storage_schema = StructType(
+            [
+                StructField(
+                    stored.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in result_schema.fields
+            ]
+        )
+        inner = decode_job(
+            spark, out_dir, run_id, storage_schema,
+            columns=[stored[c] for c in req_cols],
+            predicate=(
+                [(stored.get(c, c), op, v) for c, op, v in predicate]
+                if predicate else None
+            ),
+            allow_missing_columns=allow_missing_columns,
+            missing_defaults=(
+                {stored.get(c, c): v for c, v in missing_defaults.items()}
+                if missing_defaults else None
+            ),
+            verify_checksums=verify_checksums,
+            as_of_epoch=as_of_epoch, as_of_tag=as_of_tag,
+            apply_deletes=apply_deletes,
+            _emit_positions=_emit_positions, _only_groups=_only_groups,
+        )
+        return inner.select(
+            *[F.col(stored[c]).alias(c) for c in req_cols]
+        )
     colocated = _stripe_files_fit_one_task_each(spark, out_dir)
     if columns is not None:
         # Project result_schema onto the requested columns IN THEIR

@@ -636,3 +636,43 @@ def test_missing_defaults_fill_constants_not_nulls(spark, tmp_path):
         (F.col("tier") != "bronze") | F.col("n").isNotNull()
     ).count() == 0
     assert got.count() == df.count()
+
+
+def test_read_aliases_rename_with_predicate_and_collision_guard(
+    spark, tmp_path
+):
+    """Rename-on-read: stored names decode under new names, predicates
+    in new names prune, collisions raise."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from orc_spark.engine import zonemap
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="rn", key="event_id",
+        n_partitions=2, cluster_by="event_id", stripe_rows=256,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    renamed = StructType(
+        [StructField("eid", LongType()), StructField("uid", LongType())]
+    )
+    pred = [("eid", "<=", 100)]
+    got = pipeline.decode_job(
+        spark, cfg.out_dir, "rn", renamed, predicate=pred,
+        read_aliases={"eid": "event_id", "uid": "user_id"},
+    ).filter(zonemap.predicate_expr(pred))
+    want = ev.filter(F.col("event_id") <= 100).select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("uid")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.columns == ["eid", "uid"]
+
+    with pytest.raises(ValueError, match="collide"):
+        pipeline.decode_job(
+            spark, cfg.out_dir, "rn", renamed,
+            read_aliases={"eid": "event_id", "uid": "event_id"},
+        )
