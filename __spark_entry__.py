@@ -1753,6 +1753,17 @@ def _q_lang_distribution(spark, sf_dir):
     )
 
 
+def _q_funnel(spark, sf_dir):
+    """First-touch funnel over the event stream: signup -> view ->
+    click -> purchase, each step advancing on the EARLIEST event
+    strictly after the user's previous step. K-1 user-keyed joins of
+    ever-shrinking reach sets; the oracle is the identical CTE chain."""
+    from orc_spark.textops import temporal
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal.funnel(ev, ["signup", "view", "click", "purchase"])
+
+
 def _q_weekly_events(spark, sf_dir):
     """Weekly trend buckets — reference stats.go:439-477 semantics
     (Monday-truncated weeks, last 5 by recency)."""
@@ -4072,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_documents": _q_skew_report_documents,
         "lang_distribution": _q_lang_distribution,
         "weekly_events": _q_weekly_events,
+        "funnel": _q_funnel,
         "event_type_percentiles": _q_event_type_percentiles,
         "metrics_report": _q_metrics_report,
         "codec_selection": _q_codec_selection,
@@ -4394,6 +4406,9 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": analysis.sequence_pack_sql("documents"),
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
+        "funnel": temporal.funnel_sql(
+            "events", ["signup", "view", "click", "purchase"]
+        ),
         "latest_snapshot": temporal.latest_snapshot_events_sql("events"),
         "json_extract_props": analysis.json_extract_props_sql(
             "events", paths={"k": "$.k"}

@@ -258,3 +258,91 @@ def latest_snapshot_events_sql(table: str) -> str:
         "SELECT event_id, ts, user_id, event_type, value, props "
         "FROM r WHERE rn = 1 ORDER BY event_id"
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel (the product-analytics primitive):
+    how many users completed step 1, then step 2 STRICTLY AFTER their
+    first qualifying step-1 event, and so on — each user advances by
+    the EARLIEST event that continues their sequence (the standard
+    first-touch funnel; no within-window variant keeps the semantics
+    exactly relational).
+
+    Scale plan: step k is one filter + one user-keyed join against
+    the step-(k-1) reach set + one min-aggregate — K-1 key-local
+    shuffles total, each carrying one row per surviving user, never
+    events. Monotone: reach sets only shrink, so later steps join
+    ever-smaller sides (AQE broadcasts them when small enough).
+
+    Returns (step_idx, step, n_users) — users whose sequence reached
+    each step; order by step_idx.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reach = None
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if reach is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(reach, "_u")
+                .where(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        reach = cur
+        counts.append((i, step, reach))
+    spark = df.sparkSession
+    out = None
+    for i, step, r in counts:
+        row = r.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step_idx")
+
+
+def funnel_sql(
+    table: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel` — the identical earliest-
+    continuation CTE chain."""
+    ctes = []
+    for i, step in enumerate(steps):
+        esc = step.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {user_col} AS u, MIN({ts_col}) AS t "
+                f"FROM {table} WHERE {type_col} = '{esc}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{user_col} AS u, MIN(e.{ts_col}) AS t "
+                f"FROM {table} e JOIN s{i-1} p ON e.{user_col} = p.u "
+                f"WHERE e.{type_col} = '{esc}' AND e.{ts_col} > p.t "
+                "GROUP BY 1)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s.replace(chr(39), chr(39)*2)}' AS step, "
+        f"(SELECT COUNT(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + selects + " ORDER BY step_idx"
+    )

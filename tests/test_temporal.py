@@ -179,3 +179,32 @@ class TestLatestSnapshot:
             .executedPlan().toString()
         # rank<=1 must pre-filter below the exchange at scale
         assert "WindowGroupLimit" in plan
+
+
+def test_funnel_strict_order_and_earliest_continuation(spark):
+    import datetime
+
+    from orc_spark.textops import temporal
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 completes a->b->c in order
+        (1, t(0), "a"), (1, t(5), "b"), (1, t(9), "c"),
+        # u2 has b BEFORE a, then no b after -> stops at a
+        (2, t(0), "b"), (2, t(3), "a"),
+        # u3: a, then c before b -> c must NOT count; later c does
+        (3, t(0), "a"), (3, t(1), "c"), (3, t(2), "b"), (3, t(4), "c"),
+        # u4: only b -> contributes nothing (never did a)
+        (4, t(0), "b"),
+        # u5: two a's; earliest anchors; b between them still counts
+        (5, t(0), "a"), (5, t(1), "b"), (5, t(2), "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: r.n_users
+        for r in temporal.funnel(df, ["a", "b", "c"]).collect()
+    }
+    # a: u1,u2,u3,u5; b-after-a: u1,u3,u5; c-after-b: u1,u3
+    assert got == {"a": 4, "b": 3, "c": 2}, got
