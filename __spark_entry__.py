@@ -1764,6 +1764,17 @@ def _q_funnel(spark, sf_dir):
     return temporal.funnel(ev, ["signup", "view", "click", "purchase"])
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: users cohorted by the Monday
+    week of their first event; each cell counts distinct members
+    active k weeks later. Oracle: identical truncation + integer-day
+    offset arithmetic."""
+    from orc_spark.textops import temporal
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal.cohort_retention(ev)
+
+
 def _q_weekly_events(spark, sf_dir):
     """Weekly trend buckets — reference stats.go:439-477 semantics
     (Monday-truncated weeks, last 5 by recency)."""
@@ -4084,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "weekly_events": _q_weekly_events,
         "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         "event_type_percentiles": _q_event_type_percentiles,
         "metrics_report": _q_metrics_report,
         "codec_selection": _q_codec_selection,
@@ -4409,6 +4421,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": temporal.funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),
+        "cohort_retention": temporal.cohort_retention_sql("events"),
         "latest_snapshot": temporal.latest_snapshot_events_sql("events"),
         "json_extract_props": analysis.json_extract_props_sql(
             "events", paths={"k": "$.k"}

@@ -346,3 +346,72 @@ def funnel_sql(
     return (
         "WITH " + ",\n".join(ctes) + "\n" + selects + " ORDER BY step_idx"
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention (the product-analytics companion of
+    :func:`funnel`): users are cohorted by the Monday-truncated week
+    of their FIRST event; cell (cohort, k) counts distinct cohort
+    members active in cohort-week + k. Standard triangle layout,
+    bounded at ``max_weeks`` offsets.
+
+    Scale plan: one user-keyed min-aggregate for cohort assignment,
+    one broadcast-scale join back (one row per user), one
+    (cohort, offset)-keyed distinct-count — shuffles carry user rows,
+    never raw events twice. Offsets beyond ``max_weeks`` are dropped,
+    bounding output at weeks x max_weeks cells.
+
+    Returns (cohort_week, week_offset, n_users); order by both.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    firsts = (
+        df.select(F.col(user_col).alias("_u"), wk.alias("_w"))
+        .groupBy("_u")
+        .agg(F.min("_w").alias("_cohort"))
+    )
+    acts = df.select(F.col(user_col).alias("_u"), wk.alias("_w")).join(
+        firsts, "_u"
+    )
+    off = (
+        F.datediff(F.col("_w"), F.col("_cohort")) / 7
+    ).cast("long")
+    return (
+        acts.select("_u", "_cohort", off.alias("week_offset"))
+        .where(F.col("week_offset") <= max_weeks)
+        .groupBy(
+            F.to_date("_cohort").alias("cohort_week"), "week_offset"
+        )
+        .agg(F.count_distinct("_u").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 8,
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` — identical Monday
+    truncation, integer-day offset arithmetic, and cap."""
+    return f"""
+WITH firsts AS (
+  SELECT {user_col} AS u, MIN(date_trunc('week', {ts_col})) AS cohort
+  FROM {table} GROUP BY 1
+),
+acts AS (
+  SELECT e.{user_col} AS u, f.cohort,
+         (date_diff('day', f.cohort, date_trunc('week', e.{ts_col})) // 7)
+           AS week_offset
+  FROM {table} e JOIN firsts f ON e.{user_col} = f.u
+)
+SELECT CAST(cohort AS DATE) AS cohort_week, week_offset,
+       COUNT(DISTINCT u) AS n_users
+FROM acts WHERE week_offset <= {max_weeks}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

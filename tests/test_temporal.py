@@ -208,3 +208,30 @@ def test_funnel_strict_order_and_earliest_continuation(spark):
     }
     # a: u1,u2,u3,u5; b-after-a: u1,u3,u5; c-after-b: u1,u3
     assert got == {"a": 4, "b": 3, "c": 2}, got
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime
+
+    from orc_spark.textops import temporal
+
+    def d(day, h=12):
+        return datetime.datetime(2024, 1, day, h)
+
+    rows = [
+        (1, d(1)), (1, d(8)), (1, d(16)),   # w0 cohort, active w0,1,2
+        (2, d(2)), (2, d(9)),               # w0 cohort, active w0,1
+        (3, d(8)),                          # w1 cohort, active w0 only
+        (1, d(3)),                          # extra same-week event: no dup
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in temporal.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }, got
