@@ -473,7 +473,8 @@ def _q_partitioned_export(spark, sf_dir):
 
 
 _PARTITIONED_EXPORT_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents WHERE lang IN ('en', 'de')
 GROUP BY lang ORDER BY lang
