@@ -598,6 +598,46 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def _q_dnf_decode(spark, sf_dir):
+    """OR-of-ANDs predicated decode (pipeline.decode_job_dnf): WHERE
+    event_id <= max/10 OR event_id >= 9*max/10 on a key-clustered run
+    — each branch's zone keep-set computes separately, the union
+    decodes once, the middle 80% of stripes never decompress. The
+    conservative DNF residual makes the result exactly the SQL WHERE;
+    the oracle is the plain disjunctive SELECT."""
+    from orc_spark.engine import pipeline, zonemap
+
+    events = _load(spark, sf_dir, "events").select("event_id", "value")
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    lo, hi = mx // 10, 9 * mx // 10
+    out = tempfile.mkdtemp(prefix="orcspark_entry_dnf_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-dnf-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "value"], n_partitions=4,
+        stripe_rows=512, cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    branches = [
+        [("event_id", "<=", lo)],
+        [("event_id", ">=", hi)],
+    ]
+    return (
+        pipeline.decode_job_dnf(
+            spark, out, cfg.run_id, events.schema, branches
+        )
+        .filter(zonemap.predicate_dnf_expr(branches))
+        .orderBy("event_id")
+    )
+
+
+_DNF_DECODE_SQL = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, value FROM events, m
+WHERE event_id <= m.mx // 10 OR event_id >= 9 * m.mx // 10
+ORDER BY event_id
+"""
+
+
 def _q_in_list_decode(spark, sf_dir):
     """IN-list predicated decode (zonemap `in` conjunct + multi-value
     bloom probe — ORC SearchArgument IN semantics, public spec): a
@@ -4087,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_group_percentile": _q_metadata_group_percentile,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "in_list_decode": _q_in_list_decode,
+        "dnf_decode": _q_dnf_decode,
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
@@ -4509,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MAX(event_id) // 7 FROM events), "
             "(SELECT MAX(event_id) // 11 FROM events))"
         ),
+        "dnf_decode": _DNF_DECODE_SQL,
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,

@@ -1149,6 +1149,62 @@ def upsert_rows(
     }
 
 
+def decode_job_dnf(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    branches: list,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Predicated decode for a DISJUNCTION of conjunct lists — the
+    DNF completion of decode_job's AND-only predicate: ``WHERE
+    (a AND b) OR (c AND d)`` prunes at the stripe level as the UNION
+    of each branch's zone-map keep-set (sound by construction: a
+    stripe pruned by EVERY branch can satisfy no branch), then decodes
+    each surviving group exactly once. Callers apply
+    ``zonemap.predicate_dnf_expr(branches)`` to the decoded rows, the
+    same conservative-residual contract as the conjunctive path.
+
+    Scale shape: one blob-free metadata scan evaluates all branches
+    (prune_stripes per branch over the same epoch-kept view — Spark
+    caches nothing here because the metadata is tiny relative to
+    data); the union keep-set routes through decode_job's _only_groups
+    literal/semi-join pushdown, so small unions still become
+    `partition_id isin` filters at the parquet scan.
+    """
+    if not branches or not all(branches):
+        raise ValueError("DNF predicate needs >= 1 non-empty branch")
+    want_tops = {
+        c.partition(".")[0]
+        for c in (columns or [f.name for f in result_schema.fields])
+    }
+    pcols = {
+        c.partition(".")[0] for br in branches for c, _, _ in br
+    }
+    all_stripes = read_stripes(spark, out_dir, run_id)
+    meta = _epoch_keep_filter(
+        spark, all_stripes, want_tops | pcols
+    ).drop("data")
+    keep = None
+    for br in branches:
+        g = zonemap.prune_stripes(
+            meta, br, pins=_temporal_pins(result_schema, br)
+        ).select("partition_id", "epoch", "stripe_idx").distinct()
+        keep = g if keep is None else keep.unionByName(g)
+    keep = keep.distinct()
+    rows = keep.limit(zonemap._PUSHDOWN_MAX_GROUPS + 1).collect()
+    only: object
+    if len(rows) <= zonemap._PUSHDOWN_MAX_GROUPS:
+        only = [(r.partition_id, r.epoch, r.stripe_idx) for r in rows]
+    else:
+        only = keep
+    return decode_job(
+        spark, out_dir, run_id, result_schema, columns=columns,
+        _only_groups=only,
+    )
+
+
 def metadata_aggregate(
     spark: SparkSession, out_dir: str, run_id: str, columns: list[str]
 ) -> DataFrame:

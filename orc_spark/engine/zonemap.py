@@ -1399,3 +1399,16 @@ def bloom_keep_expr(value, op: str = "==") -> "Column | None":
             return pd.Series(bloom_membership(blooms, pairs, domain))
 
     return maybe_contains(F.col("bloom"))
+
+
+def predicate_dnf_expr(branches: list) -> Column:
+    """Residual row filter for a DISJUNCTION of conjunct lists
+    (OR-of-ANDs): ``predicate_expr(b1) OR predicate_expr(b2) OR ...``.
+    Pairs with pipeline.decode_job_dnf the way predicate_expr pairs
+    with decode_job."""
+    if not branches:
+        return F.lit(True)
+    cond = F.lit(False)
+    for br in branches:
+        cond = cond | predicate_expr(br)
+    return cond

@@ -1047,3 +1047,62 @@ def test_contains_token_cli_parse():
     assert _parse_where("text contains dup") == (
         "text", "contains_token", "dup"
     )
+
+
+def test_dnf_decode_prunes_union_and_stays_exact(spark, tmp_path):
+    """OR branches prune as the UNION of keep-sets: middle stripes of
+    a clustered layout never decode; rows equal the plain OR filter;
+    mixed-column branches stay conservative-correct."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="dnf", key="event_id",
+        n_partitions=2, stripe_rows=64, cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+
+    branches = [
+        [("event_id", "<=", mx // 20)],
+        [("event_id", ">=", mx - mx // 20), ("event_type", "==", "click")],
+    ]
+    got = pipeline.decode_job_dnf(
+        spark, cfg.out_dir, "dnf", ev.schema, branches
+    ).filter(zonemap.predicate_dnf_expr(branches))
+    want = ev.filter(
+        (F.col("event_id") <= mx // 20)
+        | (
+            (F.col("event_id") >= mx - mx // 20)
+            & (F.col("event_type") == "click")
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the union keep-set is a small fraction of the stripes
+    stripes = pipeline.read_stripes(spark, cfg.out_dir, "dnf")
+    total = stripes.select(
+        "partition_id", "stripe_idx"
+    ).distinct().count()
+    kept = 0
+    seen = set()
+    for br in branches:
+        for r in zonemap.prune_stripes(stripes, br).select(
+            "partition_id", "stripe_idx"
+        ).distinct().collect():
+            seen.add((r.partition_id, r.stripe_idx))
+    kept = len(seen)
+    assert kept < total * 0.5, (kept, total)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        pipeline.decode_job_dnf(
+            spark, cfg.out_dir, "dnf", ev.schema, [[("a", "==", 1)], []]
+        )
