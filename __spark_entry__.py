@@ -3514,6 +3514,17 @@ _SCRIPT_SEED_SQL = (
 )
 
 
+def _q_fuzzy_value_pairs(spark, sf_dir):
+    """Edit-distance-1 key canonicalization over the source domain
+    (symmetric-delete blocking, candidates only pay the verify). The
+    oracle is the exact DEFINITION — all distinct pairs at levenshtein
+    <= 1 — so the blocking must be provably complete, not just sound."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    return analysis.fuzzy_value_pairs(docs, "source")
+
+
 def _q_token_budget_sample(spark, sf_dir):
     """Deterministic mixture sampling to a token budget (DoReMi-style
     domain weights resolved to a keep-set): weights 3:1:4 over three
@@ -4061,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "boilerplate_lines": _q_boilerplate_lines,
         "token_budget_sample": _q_token_budget_sample,
+        "fuzzy_value_pairs": _q_fuzzy_value_pairs,
         "script_profile": _q_script_profile,
         "readability": _q_readability,
         "dup_window_stats": _q_dup_window_stats,
@@ -4394,6 +4406,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "script_profile": analysis.script_profile_sql(
             "(" + _SCRIPT_SEED_SQL + ") seeded"
+        ),
+        "fuzzy_value_pairs": analysis.fuzzy_value_pairs_sql(
+            "documents", "source"
         ),
         "token_budget_sample": analysis.token_budget_sample_sql(
             "documents", 4000, {"src0": 3.0, "src1": 1.0, "src5": 4.0}

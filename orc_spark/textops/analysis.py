@@ -2269,3 +2269,84 @@ SELECT id, domain, n_tokens FROM rated
 WHERE cut IS NOT NULL AND {bucket} < cut
 ORDER BY id
 """
+
+
+def fuzzy_value_pairs(
+    df: DataFrame,
+    col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """Edit-distance-1 pairs over a column's DISTINCT values — the
+    key-canonicalization primitive (near-identical hosts, codes, ids
+    that should merge before a groupBy). NOT an all-pairs scan: two
+    strings within one edit share a member of their deletion
+    neighborhood ({s} ∪ {s minus char i} — Bocek et al.'s fast
+    similarity blocking, the symmetric-delete idea behind SymSpell),
+    so candidates come from an equi-join on md5(variant) and only
+    candidates pay a verify. Values longer than ``max_len`` are
+    excluded (neighborhood size is len+1; the cap bounds the explode).
+
+    Scale plan: distinct -> explode(len+1 variants, md5-hashed) ->
+    one variant-keyed equi-join -> dropDuplicates -> levenshtein
+    verify on candidates only. The variant join is the only shuffle
+    that grows with the domain; a uniform key domain has tiny variant
+    buckets, and a pathological shared variant is bounded by the cap.
+
+    Returns (val_a, val_b, dist) with val_a < val_b; order by both.
+    """
+    vals = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull() & (F.length("v") <= max_len))
+        .distinct()
+    )
+    variants = vals.select(
+        "v",
+        F.explode(
+            F.array_union(
+                F.array(F.md5("v")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("v")),
+                    # v with char i deleted: v[1..i-1] || v[i+1..]
+                    lambda i: F.md5(
+                        F.concat(
+                            F.col("v").substr(F.lit(1), i - 1),
+                            F.col("v").substr(i + 1, F.length("v") - i),
+                        )
+                    ),
+                ),
+            )
+        ).alias("h"),
+    )
+    a = variants.select(F.col("v").alias("val_a"), "h")
+    b = variants.select(F.col("v").alias("val_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("val_a") < F.col("val_b"))
+        .select("val_a", "val_b")
+        .dropDuplicates(["val_a", "val_b"])
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("val_a", "val_b")
+        )
+        .where(F.col("dist") <= 1)
+        .orderBy("val_a", "val_b")
+    )
+
+
+def fuzzy_value_pairs_sql(table: str, col: str, max_len: int = 64) -> str:
+    """DuckDB twin of :func:`fuzzy_value_pairs` — the blocking is an
+    implementation detail, so the oracle is the exact definition: all
+    distinct-value pairs at levenshtein distance <= 1. (Sound AND
+    complete blocking is exactly what this cross-check proves.)"""
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST({col} AS VARCHAR) AS v FROM {table}
+  WHERE {col} IS NOT NULL AND len(CAST({col} AS VARCHAR)) <= {max_len}
+)
+SELECT a.v AS val_a, b.v AS val_b,
+       CAST(levenshtein(a.v, b.v) AS INT) AS dist
+FROM vals a JOIN vals b ON a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 1
+ORDER BY val_a, val_b
+"""

@@ -686,3 +686,24 @@ def test_dedup_index_build_probe_and_append(spark, tmp_path):
     )
     kept2 = dedup.dedup_index_probe(spark, idx, inc2)
     assert [r.doc_id for r in kept2.orderBy("doc_id").collect()] == [21]
+
+
+def test_fuzzy_value_pairs_blocking_complete_at_distance_one(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [("kitten",), ("sitten",), ("sittn",), ("mitten",), ("banana",),
+         ("bananas",), ("banan",), ("x" * 65,), ("x" * 65 + "y",), (None,)],
+        "source string",
+    )
+    got = {
+        (r.val_a, r.val_b)
+        for r in analysis.fuzzy_value_pairs(df, "source").collect()
+    }
+    # substitutions, deletions, insertions at distance exactly <= 1;
+    # the 65-char values are over max_len and excluded; null ignored
+    assert got == {
+        ("kitten", "mitten"), ("kitten", "sitten"),
+        ("sitten", "sittn"), ("mitten", "sitten"),
+        ("banana", "bananas"), ("banan", "banana"),
+    }, got
