@@ -199,6 +199,20 @@ def cmd_decode(args) -> int:
     columns = args.columns.split(",") if args.columns else None
     schema = original.select(columns).schema if columns else original.schema
     predicate = [_parse_where(w) for w in args.where or []]
+    if getattr(args, "or_where", None):
+        # DNF: each --or-where is one OR branch of semicolon-joined
+        # conjuncts; --where conjuncts (if any) AND into every branch
+        branches = [
+            predicate + [_parse_where(w) for w in b.split(";") if w]
+            for b in args.or_where
+        ]
+        dec = pipeline.decode_job_dnf(
+            spark, args.out, args.run_id, schema, branches,
+            columns=columns,
+        ).filter(zonemap.predicate_dnf_expr(branches))
+        dec.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+        return EXIT_OK
     dec = pipeline.decode_job(
         spark, args.out, args.run_id, schema,
         columns=columns, predicate=predicate or None,
@@ -826,6 +840,14 @@ def main(argv: list[str] | None = None) -> int:
         "--where", action="append",
         help="conjunct like 'event_id>=2500' — zone-map pruned, then "
         "row-filtered (repeatable)",
+    )
+    dec.add_argument(
+        "--or-where", action="append",
+        help="one OR branch of ';'-joined conjuncts (repeatable): "
+        "--or-where 'id<=10' --or-where 'id>=90;kind=click' decodes "
+        "WHERE (id<=10) OR (id>=90 AND kind=click); any --where "
+        "conjuncts AND into every branch; stripe pruning is the union "
+        "of branch keep-sets",
     )
     dec.add_argument(
         "--allow-missing-columns", action="store_true",

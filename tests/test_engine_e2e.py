@@ -676,3 +676,41 @@ def test_read_aliases_rename_with_predicate_and_collision_guard(
             spark, cfg.out_dir, "rn", renamed,
             read_aliases={"eid": "event_id", "uid": "event_id"},
         )
+
+
+def test_cli_decode_or_where(spark, tmp_path, capsys):
+    """--or-where branches decode as a disjunction; --where ANDs into
+    every branch."""
+    import json
+
+    from orc_spark.__main__ import main as _main
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src.parquet")
+    ev.write.parquet(src)
+    out = str(tmp_path / "run")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="ow", key="event_id", n_partitions=2,
+        cluster_by="event_id", stripe_rows=128,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    dest = str(tmp_path / "decoded")
+    assert _main([
+        "decode", "--out", out, "--run-id", "ow",
+        "--schema-from", src, "--output", dest,
+        "--where", "event_type=click",
+        "--or-where", "event_id<=50",
+        "--or-where", "event_id>=900",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    want = ev.filter(
+        (F.col("event_type") == "click")
+        & ((F.col("event_id") <= 50) | (F.col("event_id") >= 900))
+    )
+    assert rep["rows"] == want.count()
+    got = spark.read.parquet(dest)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
