@@ -598,6 +598,41 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def _q_metadata_count_dnf(spark, sf_dir):
+    """DNF COUNT pushdown (metadata_count_dnf): COUNT(*) WHERE
+    event_id <= max/10 OR event_id >= 9*max/10 answered from zone
+    metadata for every interior stripe — a group any branch proves ALL
+    counts with zero data bytes; only the <= 4 boundary stripes
+    decode. The query returns the count plus the evidence split so a
+    misrouted group shifts the hash."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select("event_id", "value")
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    lo, hi = mx // 10, 9 * mx // 10
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mcd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-mcd-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "value"], n_partitions=4,
+        stripe_rows=512, cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    n, detail = pipeline.metadata_count_dnf(
+        spark, out, cfg.run_id, events.schema,
+        [[("event_id", "<=", lo)], [("event_id", ">=", hi)]],
+    )
+    if detail["rows_from_metadata"] <= 0:
+        raise AssertionError(f"DNF count never used metadata: {detail}")
+    return spark.createDataFrame([(int(n),)], "n_rows long")
+
+
+_METADATA_COUNT_DNF_SQL = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT COUNT(*) AS n_rows FROM events, m
+WHERE event_id <= m.mx // 10 OR event_id >= 9 * m.mx // 10
+"""
+
+
 def _q_dnf_decode(spark, sf_dir):
     """OR-of-ANDs predicated decode (pipeline.decode_job_dnf): WHERE
     event_id <= max/10 OR event_id >= 9*max/10 on a key-clustered run
@@ -4140,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": _q_bloom_point_lookup,
         "in_list_decode": _q_in_list_decode,
         "dnf_decode": _q_dnf_decode,
+        "metadata_count_dnf": _q_metadata_count_dnf,
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
@@ -4566,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MAX(event_id) // 11 FROM events))"
         ),
         "dnf_decode": _DNF_DECODE_SQL,
+        "metadata_count_dnf": _METADATA_COUNT_DNF_SQL,
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,

@@ -1916,6 +1916,102 @@ def metadata_sum(
     return total, total_nn, detail
 
 
+def metadata_count_dnf(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    branches: list,
+) -> tuple[int, dict]:
+    """EXACT ``COUNT(*) WHERE (b1) OR (b2) OR ...`` — the DNF
+    completion of :func:`metadata_count`: every stripe group is
+    classified per BRANCH (zonemap keep/ALL proofs), and
+
+    - any branch ALL  ⇒ every row matches that branch ⇒ the whole
+      group counts from metadata (n_rows, zero data bytes);
+    - every branch NONE ⇒ 0;
+    - otherwise the group decodes (union of branch columns only) and
+      counts row-level under the DNF residual.
+
+    Sound + exact by the same argument as the conjunctive path; no
+    inclusion-exclusion is needed because groups, not predicates, are
+    the unit of accounting. On a clustered column an OR of K ranges
+    decodes at most the 2K boundary stripes.
+
+    Returns (count, {"n_all": ..., "n_mixed": ...,
+    "rows_from_metadata": ...}).
+    """
+    if not branches or not all(branches):
+        raise ValueError("DNF count needs >= 1 non-empty branch")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat counts "
+            "describe the encoded rows; compact the run first"
+        )
+    pcols = sorted({c for br in branches for c, _, _ in br})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in pcols}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(pcols)
+    )
+    present = {
+        r.column for r in meta.select("column").distinct().collect()
+    }
+    missing = sorted(set(pcols) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for predicate column(s) {missing} in run "
+            f"{run_id!r} — decode-and-aggregate instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    joined = None
+    hit_cols = []
+    for bi, br in enumerate(branches):
+        cls_b = _classify_pred_groups(
+            meta, br, gkeys, pins=_temporal_pins(result_schema, br)
+        ).select(
+            *gkeys,
+            F.col("n_rows").alias(f"_nr{bi}"),
+            (F.col("_keep") & F.col("_all")).alias(f"_ba{bi}"),
+            F.col("_keep").alias(f"_bk{bi}"),
+        )
+        hit_cols.append(bi)
+        joined = cls_b if joined is None else joined.join(cls_b, gkeys)
+    any_all = F.lit(False)
+    any_keep = F.lit(False)
+    for bi in hit_cols:
+        any_all = any_all | F.col(f"_ba{bi}")
+        any_keep = any_keep | F.col(f"_bk{bi}")
+    agg = joined.agg(
+        F.sum(F.when(any_all, F.col("_nr0"))).alias("meta_rows"),
+        F.sum(F.when(any_all, 1).otherwise(0)).alias("n_all"),
+        F.sum(F.when(any_keep & ~any_all, 1).otherwise(0)).alias("n_mixed"),
+    ).first()
+    meta_rows = int(agg.meta_rows or 0)
+    n_mixed = int(agg.n_mixed or 0)
+    mixed_count = 0
+    if n_mixed:
+        mixed = joined.filter(any_keep & ~any_all).select(*gkeys)
+        only: object = mixed
+        if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, pcols, None, only
+        )
+        mixed_count = dec.filter(
+            zonemap.predicate_dnf_expr(branches)
+        ).count()
+    return meta_rows + mixed_count, {
+        "n_all": int(agg.n_all or 0),
+        "n_mixed": n_mixed,
+        "rows_from_metadata": meta_rows,
+    }
+
+
 def metadata_stddev(
     spark: SparkSession,
     out_dir: str,

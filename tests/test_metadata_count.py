@@ -1001,3 +1001,53 @@ def test_cli_plan_missing_column_errors(spark, tmp_path):
             "plan", "--out", out, "--run-id", "p1",
             "--schema-from", src, "--where", "idd>=100",
         ])
+
+
+def test_metadata_count_dnf_matches_and_uses_metadata(spark, tmp_path):
+    """DNF count: equals the plain OR filter on clustered AND hash
+    layouts; on the clustered layout most rows come from metadata;
+    overlapping branches are not double-counted."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    for cluster in (True, False):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / f"c{cluster}"), run_id="d",
+            key="event_id", n_partitions=2, stripe_rows=64,
+            cluster_by="event_id" if cluster else None,
+        )
+        pipeline.run_encode_job(spark, ev, cfg)
+        branches = [
+            [("event_id", "<=", mx // 4)],
+            # overlaps branch 1 on purpose:
+            [("event_id", "<=", mx // 8), ("event_type", "==", "click")],
+            [("event_id", ">=", mx - mx // 10)],
+        ]
+        n, detail = pipeline.metadata_count_dnf(
+            spark, cfg.out_dir, "d", ev.schema, branches
+        )
+        want = ev.filter(
+            (F.col("event_id") <= mx // 4)
+            | (
+                (F.col("event_id") <= mx // 8)
+                & (F.col("event_type") == "click")
+            )
+            | (F.col("event_id") >= mx - mx // 10)
+        ).count()
+        assert n == want, (cluster, n, want, detail)
+        if cluster:
+            assert detail["rows_from_metadata"] > want * 0.5, detail
+
+    # missing column is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no stats rows"):
+        pipeline.metadata_count_dnf(
+            spark, str(tmp_path / "cTrue"), "d", ev.schema,
+            [[("nope", ">=", 1)]],
+        )
