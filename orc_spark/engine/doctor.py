@@ -141,6 +141,41 @@ def diagnose_run(spark: SparkSession, out_dir: str, run_id: str | None = None) -
             entry["advice"] = advice
         else:
             entry["advice"] = ["all stripes completed at the latest epoch"]
+        # layout advisory: a fragmented run (many small stripes from
+        # incremental appends / resumes) taxes every later read — the
+        # stripe count is metadata the ledger already holds, so the
+        # check is free. Thresholds are deliberately coarse: this is
+        # an advisory, not a gate.
+        from . import pipeline as pipeline_mod
+
+        try:
+            frag = (
+                pipeline_mod.read_stripes(spark, out_dir, rid)
+                .drop("data")
+                .filter(F.col("status") == "completed")
+                .groupBy("partition_id", "epoch", "stripe_idx")
+                .agg(F.max("n_rows").alias("n"))
+                .agg(
+                    F.count(F.lit(1)).alias("groups"),
+                    F.expr("percentile(n, 0.5)").alias("med"),
+                )
+                .first()
+            )
+        except Exception:  # stripes dir absent (ledger-only state)
+            frag = None
+        if frag and frag.groups and frag.groups >= 16 and (
+            frag.med or 0
+        ) < 4096:
+            entry["fragmentation"] = {
+                "stripe_groups": int(frag.groups),
+                "median_rows": int(frag.med),
+            }
+            entry.setdefault("advice", []).append(
+                f"fragmented layout: {int(frag.groups)} stripe groups "
+                f"with median {int(frag.med)} rows — `compact` rewrites "
+                "them at full stripe size (decode scans and metadata "
+                "jobs shrink proportionally)"
+            )
         from . import deletes as deletes_mod
 
         dstats = deletes_mod.delete_stats(spark, out_dir, rid)

@@ -535,3 +535,28 @@ def test_snapshot_tags_resolve_and_time_travel(spark, docs, tmp_path):
     # re-tagging moves the name (replace-tag semantics)
     assert lin.write_tag(spark, out, "fl", "wave0", epoch=1) == 1
     assert lin.resolve_tag(out, "fl", "wave0") == 1
+
+
+def test_doctor_flags_fragmented_layout(spark, docs, tmp_path):
+    """Many tiny stripes (incremental appends) draw a compaction
+    advisory; a healthy full-stripe layout does not."""
+    from orc_spark.engine import doctor, pipeline
+
+    out = str(tmp_path / "frag")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="fr", key="doc_id", n_partitions=4,
+        stripe_rows=16,  # 500 docs -> ~32 groups of ~16 rows
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    diag = doctor.diagnose_run(spark, out, "fr")
+    entry = diag["runs"]["fr"]
+    assert "fragmentation" in entry, entry
+    assert any("compact" in a for a in entry["advice"])
+
+    out2 = str(tmp_path / "ok")
+    cfg2 = pipeline.EncodeJobConfig(
+        out_dir=out2, run_id="ok", key="doc_id", n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, docs, cfg2)
+    entry2 = doctor.diagnose_run(spark, out2, "ok")["runs"]["ok"]
+    assert "fragmentation" not in entry2, entry2
