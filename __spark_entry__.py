@@ -3275,6 +3275,50 @@ def _q_dedup_index_probe(spark, sf_dir):
     )
 
 
+def _q_link_components(spark, sf_dir):
+    """Connected components of the host LINK graph — the clustering
+    loop generalized past near-dup text (pairs_fn is the seam, VERDICT
+    r4 #4): deterministic src-host -> hub edges partition 20 crawl
+    hosts into 3 residue components; min-label propagation must agree
+    with the oracle's exact recursive-CTE reachability."""
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("host."), F.col("source")).alias("id_a"),
+        F.concat(
+            F.lit("hub"),
+            (F.substring("source", 4, 10).cast("int") % 3).cast("string"),
+        ).alias("id_b"),
+    ).distinct()
+    return dedup.near_dup_clusters(edges, pairs_fn=lambda d: d)
+
+
+_LINK_COMPONENTS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'host.' || source AS id_a,
+         'hub' || CAST(CAST(substr(source, 4) AS INT) % 3 AS VARCHAR) AS id_b
+  FROM documents
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id
+)
+SELECT comp.id, comp.cluster_id, sizes.n_members
+FROM comp JOIN sizes USING (cluster_id) ORDER BY comp.id
+"""
+
+
 def _q_near_dup_purge(spark, sf_dir):
     """Training-corpus purge list: lower-quality member of each
     near-dup pair (oracle-backed composition of Jaccard x quality)."""
@@ -4119,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_probe": _q_dedup_index_probe,
         "dsir_weights": _q_dsir_weights,
         "near_dup_clusters": _q_near_dup_clusters,
+        "link_components": _q_link_components,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
@@ -4437,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.5,
         ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
+        "link_components": _LINK_COMPONENTS_SQL,
         "readability": analysis.readability_sql(
             "(" + _READABILITY_SEED_SQL + ") seeded"
         ),
