@@ -1840,6 +1840,18 @@ def _q_funnel(spark, sf_dir):
     return temporal.funnel(ev, ["signup", "view", "click", "purchase"])
 
 
+def _q_gap_fill(spark, sf_dir):
+    """Daily-grid resample with forward fill: every (user, day) of the
+    global span carries that user's latest same-day value, else the
+    last earlier value, else null. Deterministic day representative
+    (ts desc, event_id desc). Oracle: same grid, same IGNORE NULLS
+    window fill."""
+    from orc_spark.textops import temporal
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal.gap_fill_daily(ev)
+
+
 def _q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle: users cohorted by the Monday
     week of their first event; each cell counts distinct members
@@ -4231,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_events": _q_weekly_events,
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        "gap_fill": _q_gap_fill,
         "event_type_percentiles": _q_event_type_percentiles,
         "metrics_report": _q_metrics_report,
         "codec_selection": _q_codec_selection,
@@ -4561,6 +4574,7 @@ def oracle_sql() -> dict[str, str]:
             "events", ["signup", "view", "click", "purchase"]
         ),
         "cohort_retention": temporal.cohort_retention_sql("events"),
+        "gap_fill": temporal.gap_fill_daily_sql("events"),
         "latest_snapshot": temporal.latest_snapshot_events_sql("events"),
         "json_extract_props": analysis.json_extract_props_sql(
             "events", paths={"k": "$.k"}

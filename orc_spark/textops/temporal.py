@@ -415,3 +415,108 @@ SELECT CAST(cohort AS DATE) AS cohort_week, week_offset,
 FROM acts WHERE week_offset <= {max_weeks}
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resample with forward fill — the time-series
+    completion primitive (metrics dashboards, feature matrices):
+    every (user, day) cell of the GLOBAL date span gets the value of
+    that user's latest event that day, else the last known earlier
+    value, else null (days before the user's first event). The
+    day-level representative is deterministic: latest ts, event id as
+    tiebreak.
+
+    Scale plan: the grid is users x days built from ONE tiny min/max
+    aggregate + sequence/explode (no driver loop); the day
+    representative is a user-day window rank; the fill is
+    last(ignorenulls) over the user's date-ordered window — three
+    user-keyed shuffles, rows bounded by users x days, events scanned
+    once.
+
+    Returns (user_id, day, value, filled) where filled marks
+    carried-forward cells; order by user, day.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col))
+    span = df.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    users = df.select(F.col(user_col).alias("u")).distinct()
+    grid = users.crossJoin(span).select(
+        "u", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        df.withColumn("_rn", F.row_number().over(
+            Window.partitionBy(F.col(user_col), day).orderBy(
+                F.desc(ts_col), F.desc(id_col)
+            )
+        ))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(user_col).alias("u"),
+            day.alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("u")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["u", "day"], "left")
+        .select(
+            F.col("u").alias(user_col),
+            "day",
+            F.last("_v", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("_v").isNull().alias("filled"),
+        )
+        .orderBy(user_col, "day")
+    )
+
+
+def gap_fill_daily_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`gap_fill_daily` — same global span grid,
+    same deterministic day representative, same IGNORE NULLS fill."""
+    return f"""
+WITH span AS (
+  SELECT CAST(MIN({ts_col}) AS DATE) AS d0,
+         CAST(MAX({ts_col}) AS DATE) AS d1 FROM {table}
+),
+users AS (SELECT DISTINCT {user_col} AS u FROM {table}),
+grid AS (
+  SELECT u, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM users, span
+),
+daily AS (
+  SELECT u, day, v FROM (
+    SELECT {user_col} AS u, CAST({ts_col} AS DATE) AS day,
+           {value_col} AS v,
+           row_number() OVER (
+             PARTITION BY {user_col}, CAST({ts_col} AS DATE)
+             ORDER BY {ts_col} DESC, {id_col} DESC) AS rn
+    FROM {table}
+  ) WHERE rn = 1
+)
+SELECT g.u AS {user_col}, g.day,
+       last_value(d.v IGNORE NULLS) OVER (
+         PARTITION BY g.u ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       d.v IS NULL AS filled
+FROM grid g LEFT JOIN daily d ON g.u = d.u AND g.day = d.day
+ORDER BY {user_col}, g.day
+"""

@@ -235,3 +235,34 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }, got
+
+
+def test_gap_fill_daily_semantics(spark):
+    import datetime
+
+    from orc_spark.textops import temporal
+
+    def t(day, h):
+        return datetime.datetime(2024, 1, day, h)
+
+    rows = [
+        # u1: two events day1 (latest wins), none day2, one day3
+        (1, t(1, 9), 1, 10.0), (2, t(1, 18), 1, 20.0), (3, t(3, 1), 1, 30.0),
+        # u2: first event day2 -> day1 is null (nothing to carry)
+        (4, t(2, 5), 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r.user_id, r.day.isoformat()): (r.value, r.filled)
+        for r in temporal.gap_fill_daily(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (20.0, False),   # latest same-day event
+        (1, "2024-01-02"): (20.0, True),    # carried forward
+        (1, "2024-01-03"): (30.0, False),
+        (2, "2024-01-01"): (None, True),    # before first event
+        (2, "2024-01-02"): (5.0, False),
+        (2, "2024-01-03"): (5.0, True),
+    }, got
