@@ -3169,6 +3169,21 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pandas merge_asof
+    semantics): a matched click older than 1 hour is discarded — the
+    error keeps nulls, as if unmatched. Exact integer-microsecond
+    staleness test on both engines."""
+    from orc_spark.textops import temporal
+
+    ev = _load(spark, sf_dir, "events")
+    return temporal.asof_join(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+        tolerance_sec=3600,
+    )
+
+
 def _q_normalized_dedup(spark, sf_dir):
     from orc_spark.textops import analysis
 
@@ -4157,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "asof_tolerance": _q_asof_tolerance,
         "latest_snapshot": _q_latest_snapshot,
         "json_extract_props": _q_json_extract_props,
         "normalized_dedup": _q_normalized_dedup,
@@ -4580,6 +4596,7 @@ def oracle_sql() -> dict[str, str]:
             "events", paths={"k": "$.k"}
         ),
         "asof_join": temporal.asof_join_events_sql("events"),
+        "asof_tolerance": temporal.asof_join_tolerance_sql("events"),
         "winnow_fingerprints": analysis.winnow_fingerprints_sql(
             "documents", k=5, w=4
         ),

@@ -132,6 +132,7 @@ def asof_join(
     ts_col: str = "ts",
     right_id_col: str = "event_id",
     right_carry: tuple[str, ...] = ("value",),
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with the
     same key and ``right.ts <= left.ts`` (LEFT semantics: unmatched
@@ -149,6 +150,11 @@ def asof_join(
     Output: left columns prefixed ``l_`` (id/ts), matched right id/ts
     prefixed ``r_``, carried right columns prefixed ``r_``, and
     ``lag_sec`` (left.ts - right.ts, exact microseconds / 1e6).
+
+    ``tolerance_sec`` (pandas merge_asof semantics): a match older
+    than the tolerance is DISCARDED — the left row keeps nulls, as if
+    no right row existed. The carry itself is unchanged; staleness is
+    applied to the matched pair, exactly reproducible relationally.
     """
     lcols = [
         F.col(key_col).alias("k"),
@@ -185,16 +191,27 @@ def asof_join(
     out = both.select("k", "ts", "is_right", "l_id", *carried).where(
         F.col("is_right") == 0
     )
+    lag_us = _micros(F.col("ts")) - _micros(F.col("m_ts"))
+    if tolerance_sec is not None:
+        # stale match -> no match (exact integer-microsecond test)
+        fresh = lag_us <= F.lit(int(tolerance_sec * 1_000_000))
+        out = out.select(
+            "k", "ts", "is_right", "l_id",
+            F.when(fresh, F.col("m_id")).alias("m_id"),
+            F.when(fresh, F.col("m_ts")).alias("m_ts"),
+            *[
+                F.when(fresh, F.col(f"m_{c}")).alias(f"m_{c}")
+                for c in right_carry
+            ],
+        )
+        lag_us = _micros(F.col("ts")) - _micros(F.col("m_ts"))
     return out.select(
         F.col("l_id"),
         F.col("k").alias("key"),
         F.col("ts").alias("l_ts"),
         F.col("m_id").alias("r_id"),
         F.col("m_ts").alias("r_ts"),
-        F.round(
-            (_micros(F.col("ts")) - _micros(F.col("m_ts"))) / F.lit(1_000_000.0),
-            6,
-        ).alias("lag_sec"),
+        F.round(lag_us / F.lit(1_000_000.0), 6).alias("lag_sec"),
         *[F.col(f"m_{c}").alias(f"r_{c}") for c in right_carry],
     ).orderBy("l_id")
 
@@ -519,4 +536,34 @@ SELECT g.u AS {user_col}, g.day,
        d.v IS NULL AS filled
 FROM grid g LEFT JOIN daily d ON g.u = d.u AND g.day = d.day
 ORDER BY {user_col}, g.day
+"""
+
+
+def asof_join_tolerance_sql(
+    table: str,
+    left_type: str = "error",
+    right_type: str = "click",
+    tolerance_sec: int = 3600,
+) -> str:
+    """DuckDB twin of the tolerance variant: native ASOF LEFT JOIN,
+    then matches staler than the tolerance null out (exact integer
+    microseconds, same test as the Spark side)."""
+    tol_us = int(tolerance_sec) * 1_000_000
+    return f"""
+WITH l AS (SELECT * FROM {table} WHERE event_type = '{left_type}'),
+r AS (SELECT * FROM {table} WHERE event_type = '{right_type}'),
+j AS (
+  SELECT l.event_id AS l_id, l.user_id AS key, l.ts AS l_ts,
+         r.event_id AS rid, r.ts AS rts, r.value AS rvalue,
+         epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+  FROM l ASOF LEFT JOIN r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT l_id, key, l_ts,
+       CASE WHEN lag_us <= {tol_us} THEN rid END AS r_id,
+       CASE WHEN lag_us <= {tol_us} THEN rts END AS r_ts,
+       CASE WHEN lag_us <= {tol_us}
+            THEN ROUND(lag_us / 1000000.0, 6) END AS lag_sec,
+       CASE WHEN lag_us <= {tol_us} THEN rvalue END AS r_value
+FROM j ORDER BY l_id
 """

@@ -266,3 +266,33 @@ def test_gap_fill_daily_semantics(spark):
         (2, "2024-01-02"): (5.0, False),
         (2, "2024-01-03"): (5.0, True),
     }, got
+
+
+def test_asof_tolerance_discards_stale_matches(spark):
+    import datetime
+
+    from orc_spark.textops import temporal
+
+    def t(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(10, t(5), 1), (11, t(12), 1)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(20, t(4, 30), 1, 7.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    # without tolerance both lefts match the 04:30 click
+    base = {r.l_id: r.r_id for r in temporal.asof_join(left, right).collect()}
+    assert base == {10: 20, 11: 20}
+    # 1h tolerance: the 12:00 error's match (7.5h stale) is discarded
+    tol = {
+        r.l_id: (r.r_id, r.lag_sec, r.r_value)
+        for r in temporal.asof_join(
+            left, right, tolerance_sec=3600
+        ).collect()
+    }
+    assert tol[10] == (20, 1800.0, 7.0)
+    assert tol[11] == (None, None, None)
