@@ -633,6 +633,40 @@ WHERE event_id <= m.mx // 10 OR event_id >= 9 * m.mx // 10
 """
 
 
+def _q_metadata_sum_dnf(spark, sf_dir):
+    """DNF SUM pushdown (metadata_sum_dnf): SUM(n_chars) over a
+    two-sided doc_id range disjunction on a key-clustered run —
+    interior groups fold their exact footer int sums (int64 end to
+    end), boundary groups decode under the DNF residual. Evidence
+    guard: fails if metadata contributed nothing."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    lo, hi = mx // 10, 9 * mx // 10
+    out = tempfile.mkdtemp(prefix="orcspark_entry_msd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-msd-{uuid.uuid4().hex[:8]}",
+        key="doc_id", columns=["doc_id", "n_chars"], n_partitions=4,
+        stripe_rows=64, cluster_by="doc_id",
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    total, detail = pipeline.metadata_sum_dnf(
+        spark, out, cfg.run_id, docs.schema, "n_chars",
+        [[("doc_id", "<=", lo)], [("doc_id", ">=", hi)]],
+    )
+    if not detail["from_metadata"]:
+        raise AssertionError(f"DNF sum never used metadata: {detail}")
+    return spark.createDataFrame([(int(total),)], "total_chars long")
+
+
+_METADATA_SUM_DNF_SQL = """
+WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents, m
+WHERE doc_id <= m.mx // 10 OR doc_id >= 9 * m.mx // 10
+"""
+
+
 def _q_dnf_decode(spark, sf_dir):
     """OR-of-ANDs predicated decode (pipeline.decode_job_dnf): WHERE
     event_id <= max/10 OR event_id >= 9*max/10 on a key-clustered run
@@ -4249,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_list_decode": _q_in_list_decode,
         "dnf_decode": _q_dnf_decode,
         "metadata_count_dnf": _q_metadata_count_dnf,
+        "metadata_sum_dnf": _q_metadata_sum_dnf,
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
@@ -4680,6 +4715,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dnf_decode": _DNF_DECODE_SQL,
         "metadata_count_dnf": _METADATA_COUNT_DNF_SQL,
+        "metadata_sum_dnf": _METADATA_SUM_DNF_SQL,
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,

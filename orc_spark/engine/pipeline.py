@@ -2012,6 +2012,116 @@ def metadata_count_dnf(
     }
 
 
+def metadata_sum_dnf(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    branches: list,
+) -> tuple[float | int | None, dict]:
+    """EXACT ``SUM(column) WHERE (b1) OR (b2) ...`` — the SUM member
+    of the DNF pushdown family (see :func:`metadata_count_dnf` for the
+    group-accounting argument): any-branch-ALL groups contribute their
+    footer sum with zero data bytes (integral columns stay exact
+    int64; floats fold in double), every-branch-NONE contribute
+    nothing, the rest decode the union of predicate columns plus the
+    target and sum row-level under the DNF residual. Groups whose
+    target sum is missing from the footer (overflow-declined, NaN
+    poisoning, pre-upgrade rows) decode — exact either way. SQL
+    semantics: nulls skipped; all-matching-rows-null yields None.
+
+    Returns (sum | None, {"n_all", "n_mixed", "from_metadata"}).
+    """
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    if not branches or not all(branches):
+        raise ValueError("DNF sum needs >= 1 non-empty branch")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone-stat sums "
+            "describe the encoded rows; compact the run first"
+        )
+    leaf = _nested_field_type(result_schema, column)
+    int_sum = isinstance(leaf, (ByteType, ShortType, IntegerType, LongType))
+    pcols = sorted({c for br in branches for c, _, _ in br} | {column})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in pcols}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(pcols)
+    )
+    present = {
+        r.column for r in meta.select("column").distinct().collect()
+    }
+    missing = sorted(set(pcols) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for column(s) {missing} in run {run_id!r} "
+            "— decode-and-aggregate instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    joined = None
+    for bi, br in enumerate(branches):
+        cls_b = _classify_pred_groups(
+            meta, br, gkeys, pins=_temporal_pins(result_schema, br)
+        ).select(
+            *gkeys,
+            (F.col("_keep") & F.col("_all")).alias(f"_ba{bi}"),
+            F.col("_keep").alias(f"_bk{bi}"),
+        )
+        joined = cls_b if joined is None else joined.join(cls_b, gkeys)
+    tgt = meta.filter(F.col("column") == column).select(
+        *gkeys, "sum_int", "sum_num",
+        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    )
+    joined = joined.join(tgt, gkeys, "left")
+    any_all = F.lit(False)
+    any_keep = F.lit(False)
+    for bi in range(len(branches)):
+        any_all = any_all | F.col(f"_ba{bi}")
+        any_keep = any_keep | F.col(f"_bk{bi}")
+    s_col = F.col("sum_int") if int_sum else F.col("sum_num")
+    has_sum = s_col.isNotNull() | (F.col("_nn") == 0)
+    meta_ok = any_all & has_sum
+    agg = joined.agg(
+        F.sum(F.when(meta_ok, s_col)).alias("s"),
+        F.sum(F.when(meta_ok & (F.col("_nn") > 0), F.col("_nn"))).alias("nn"),
+        F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_all"),
+        F.sum(F.when(any_keep & ~meta_ok, 1).otherwise(0)).alias("n_mixed"),
+    ).first()
+    meta_sum = agg.s
+    meta_nn = int(agg.nn or 0)
+    n_mixed = int(agg.n_mixed or 0)
+    dec_sum = None
+    dec_cnt = 0
+    if n_mixed:
+        mixed = joined.filter(any_keep & ~meta_ok).select(*gkeys)
+        only: object = mixed
+        if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, pcols, None, only
+        ).filter(zonemap.predicate_dnf_expr(branches))
+        row = dec.agg(
+            F.sum(column).alias("s"), F.count(column).alias("c")
+        ).first()
+        dec_sum = row.s
+        dec_cnt = int(row.c or 0)
+    parts = [x for x in (meta_sum, dec_sum) if x is not None]
+    total = sum(parts) if (meta_nn + dec_cnt) > 0 else None
+    return total, {
+        "n_all": int(agg.n_all or 0),
+        "n_mixed": n_mixed,
+        "from_metadata": meta_sum,
+    }
+
+
 def metadata_stddev(
     spark: SparkSession,
     out_dir: str,

@@ -1051,3 +1051,41 @@ def test_metadata_count_dnf_matches_and_uses_metadata(spark, tmp_path):
             spark, str(tmp_path / "cTrue"), "d", ev.schema,
             [[("nope", ">=", 1)]],
         )
+
+
+def test_metadata_sum_dnf_matches_including_nulls_and_overlap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline
+
+    rows = [
+        (i, None if i % 9 == 0 else float(i % 97)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k long, v double")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="s", key="k",
+        n_partitions=2, stripe_rows=128, cluster_by="k",
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    branches = [
+        [("k", "<=", 300)],
+        [("k", ">=", 150), ("k", "<=", 400)],   # overlaps branch 1
+        [("k", ">=", 1800)],
+    ]
+    total, detail = pipeline.metadata_sum_dnf(
+        spark, cfg.out_dir, "s", df.schema, "v", branches
+    )
+    want = df.filter(
+        (F.col("k") <= 300)
+        | ((F.col("k") >= 150) & (F.col("k") <= 400))
+        | (F.col("k") >= 1800)
+    ).agg(F.sum("v")).first()[0]
+    assert abs(total - want) < 1e-9, (total, want, detail)
+    assert detail["from_metadata"], detail
+
+    # empty match -> None (SQL SUM of no rows)
+    t2, _ = pipeline.metadata_sum_dnf(
+        spark, cfg.out_dir, "s", df.schema, "v",
+        [[("k", ">=", 10_000)]],
+    )
+    assert t2 is None
