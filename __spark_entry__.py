@@ -3588,6 +3588,42 @@ def _q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(seeded)
 
 
+def _q_clean_text(spark, sf_dir):
+    """Canonical text cleanup (control chars, curly quotes, NBSP,
+    whitespace collapse) — cleaned text must be BIT-identical across
+    engines so downstream hashes agree. Seed: messy tails (smart
+    quotes + NBSP + tab runs + a control char) on doc_id residues."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("  ‘smart’ “quotes”\u00a0here"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\ten–dash em—dash\x07bell\t\t"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return analysis.clean_text(seeded)
+
+
+_CLEAN_SEED_SQL = (
+    "SELECT doc_id, text || "
+    "CASE WHEN doc_id % 3 = 0 THEN '  ' || chr(8216) || 'smart' || "
+    "chr(8217) || ' ' || chr(8220) || 'quotes' || chr(8221) || "
+    "chr(160) || 'here' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN chr(9) || 'en' || chr(8211) || "
+    "'dash em' || chr(8212) || 'dash' || chr(7) || 'bell' || "
+    "chr(9) || chr(9) ELSE '' END AS text FROM documents"
+)
+
+
 def _q_readability(spark, sf_dir):
     """Flesch reading-ease (words / [.!?]+ sentences / vowel-group
     syllables, identical regexps both engines). Seed: punctuated
@@ -4216,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_value_pairs": _q_fuzzy_value_pairs,
         "script_profile": _q_script_profile,
         "readability": _q_readability,
+        "clean_text": _q_clean_text,
         "dup_window_stats": _q_dup_window_stats,
         "substring_purge": _q_substring_purge,
         "minhash_dedup": _q_minhash_dedup,
@@ -4547,6 +4584,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "near_dup_clusters": dedup.near_dup_clusters_sql("documents"),
         "link_components": _LINK_COMPONENTS_SQL,
+        "clean_text": analysis.clean_text_sql(
+            "(" + _CLEAN_SEED_SQL + ") seeded"
+        ),
         "readability": analysis.readability_sql(
             "(" + _READABILITY_SEED_SQL + ") seeded"
         ),

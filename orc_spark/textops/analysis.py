@@ -2350,3 +2350,49 @@ FROM vals a JOIN vals b ON a.v < b.v
 WHERE levenshtein(a.v, b.v) <= 1
 ORDER BY val_a, val_b
 """
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text cleanup — the normalization pass CC pipelines
+    run before hashing/dedup so cosmetic variants collapse: control
+    characters stripped (C0/C1 except \\t \\n), curly quotes and
+    en/em dashes mapped to ASCII, NBSP to space, whitespace runs
+    collapsed to single spaces, ends trimmed. Order matters (quote
+    mapping before collapse) and both engines run the identical
+    regexp chain, so cleaned text is bit-identical cross-engine —
+    which is the whole point: hashes computed downstream agree.
+
+    Scale plan: a chain of JVM regexp_replace/translate expressions in
+    one codegen stage; zero shuffles, zero Python.
+    """
+    t = F.col(text_col)
+    # translate maps 1:1 by position; the 7th source char is NBSP
+    t = F.translate(
+        t, "‘’“”–— ", "''\"\"-- "
+    )
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.trim(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"), t.alias("text")
+    ).orderBy("doc_id")
+
+
+def clean_text_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`clean_text` — identical mapping table and
+    regexp chain, identical order."""
+    return f"""
+SELECT {id_col} AS doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      translate({text_col},
+        '‘’“”–— ',
+        '''''""-- '),
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+    '\\s+', ' ', 'g')) AS text
+FROM {table} ORDER BY doc_id
+"""

@@ -707,3 +707,34 @@ def test_fuzzy_value_pairs_blocking_complete_at_distance_one(spark):
         ("sitten", "sittn"), ("mitten", "sitten"),
         ("banana", "bananas"), ("banan", "banana"),
     }, got
+
+
+def test_clean_text_normalizes_and_is_idempotent(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "  a b\t\tc  "),
+            (2, "‘x’ and “y” – z — w"),
+            (3, "bell\x07 and\x00nul"),
+            (4, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in analysis.clean_text(df).collect()}
+    assert got == {
+        1: "a b c",
+        2: "'x' and \"y\" - z - w",
+        3: "bell andnul",
+        4: "already clean",
+    }, got
+    # idempotent: cleaning cleaned text is the identity
+    again = {
+        r.doc_id: r.text
+        for r in analysis.clean_text(
+            spark.createDataFrame(
+                [(k, v) for k, v in got.items()], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert again == got
