@@ -57,6 +57,22 @@ def cmd_encode(args) -> int:
         from orc_spark.sources import warc as warc_mod
 
         df = warc_mod.read_wet(spark, args.input)
+    elif fmt == "jsonl":  # Dolma/FineWeb JSON-Lines (sources.jsonl)
+        from orc_spark.sources import jsonl as jsonl_mod
+
+        if not getattr(args, "schema_from", None):
+            raise SystemExit(
+                "--input-format jsonl needs --schema-from (a parquet "
+                "file with the corpus schema — JSONL is never "
+                "schema-inferred at scale)"
+            )
+        schema = spark.read.parquet(args.schema_from).schema
+        df, n_corrupt = jsonl_mod.read_jsonl(spark, args.input, schema)
+        if n_corrupt:
+            print(
+                json.dumps({"corrupt_lines_excluded": int(n_corrupt)}),
+                flush=True,
+            )
     else:
         df = spark.read.parquet(args.input)
     n_partitions = args.partitions or pipeline.suggest_partitions(spark, df)
@@ -785,9 +801,16 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("input")
     enc.add_argument(
         "--input-format", default="parquet",
-        choices=["parquet", "orc", "warc", "wet"],
+        choices=["parquet", "orc", "warc", "wet", "jsonl"],
         help="orc: admit an existing Apache ORC corpus; warc/wet: "
-        "Common-Crawl crawl shards (response html / extracted text)",
+        "Common-Crawl crawl shards (response html / extracted text); "
+        "jsonl: Dolma/FineWeb JSON-Lines (+ --schema-from; corrupt "
+        "lines counted and excluded)",
+    )
+    enc.add_argument(
+        "--schema-from", default=None,
+        help="parquet file providing the schema for --input-format "
+        "jsonl (never inferred)",
     )
     enc.add_argument("--out", required=True)
     enc.add_argument("--run-id", required=True)

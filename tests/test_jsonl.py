@@ -50,3 +50,35 @@ def test_jsonl_trusted_read_skips_corrupt_job(spark, tmp_path):
     df, n = jsonl.read_jsonl(spark, dest, docs.schema, count_corrupt=False)
     assert n == 0 and df.count() == docs.count()
     assert "_corrupt_record" not in df.columns
+
+
+def test_encode_cli_admits_jsonl(spark, tmp_path, capsys):
+    """encode --input-format jsonl: schema enforced from parquet,
+    corrupt lines counted, clean rows encoded + decoded back."""
+    import json as _json
+    import os
+
+    from orc_spark.__main__ import main as _main
+    from orc_spark.engine import pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    schema_src = str(tmp_path / "schema.parquet")
+    docs.limit(1).write.parquet(schema_src)
+    corpus = str(tmp_path / "corpus")
+    jsonl.write_jsonl(docs.coalesce(1), corpus)
+    with open(os.path.join(corpus, "bad.json"), "w") as fh:
+        fh.write("{broken\n")
+
+    out = str(tmp_path / "run")
+    assert _main([
+        "encode", corpus, "--input-format", "jsonl",
+        "--schema-from", schema_src, "--out", out,
+        "--run-id", "j", "--key", "doc_id", "--partitions", "2",
+    ]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    reports = [_json.loads(ln) for ln in lines]
+    assert any(r.get("corrupt_lines_excluded") == 1 for r in reports)
+    dec = pipeline.decode_job(spark, out, "j", docs.schema)
+    assert dec.count() == docs.count()
