@@ -2685,6 +2685,51 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).orderBy("content_sha")
 
 
+def _q_streaming_jsonl_dlq(spark, sf_dir):
+    """Streaming JSONL admission with a dead-letter queue: two crawl
+    shards drain as separate micro-batches (maxFilesPerTrigger=1), a
+    seeded corrupt line lands in the epoch-keyed quarantine instead of
+    stalling or vanishing, and every clean row encodes through the
+    ordinary resumable epochs. The oracle is the full source table —
+    a lost clean row OR a swallowed corrupt line breaks the match."""
+    from orc_spark.engine import pipeline
+    from orc_spark.sources import jsonl as jsonl_mod
+    from orc_spark.streaming import ingest
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    in_dir = tempfile.mkdtemp(prefix="orcspark_sdlq_in_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_sdlq_ckpt_")
+    quar = tempfile.mkdtemp(prefix="orcspark_sdlq_q_")
+    out = tempfile.mkdtemp(prefix="orcspark_sdlq_store_")
+    jsonl_mod.write_jsonl(
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1), in_dir,
+        compression=None,
+    )
+    # second shard appended (new file) + one corrupt line of its own
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).json(in_dir)
+    with open(os.path.join(in_dir, "zz-corrupt.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "trunc\n')
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="sdlq", key="doc_id",
+        columns=["doc_id", "text", "lang"], n_partitions=4,
+    )
+    results, n_q = ingest.incremental_encode_jsonl(
+        spark, in_dir, docs.schema, cfg, ckpt, quar,
+        max_files_per_trigger=1,
+    )
+    if n_q != 1:
+        raise AssertionError(f"expected 1 quarantined line, got {n_q}")
+    dec = None
+    for r in results:
+        d = pipeline.decode_job(spark, out, r.run_id, docs.schema)
+        dec = d if dec is None else dec.unionByName(d)
+    return dec.orderBy("doc_id")
+
+
 def _q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window rollup (append mode): per (7-day
     window, event_type) COUNT + SUM emitted exactly once when the
@@ -4349,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_update": _q_streaming_dedup_update,
+        "streaming_jsonl_dlq": _q_streaming_jsonl_dlq,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_interval_join": _q_streaming_interval_join,
@@ -4527,6 +4573,9 @@ def oracle_sql() -> dict[str, str]:
             "text FROM documents"
         ),
         "jsonl_ingest": (
+            "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+        ),
+        "streaming_jsonl_dlq": (
             "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
         ),
         "failure_categories": _FAILURE_CATEGORIES_SQL,

@@ -564,3 +564,74 @@ def streaming_interval_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def incremental_encode_jsonl(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    cfg: pipeline.EncodeJobConfig,
+    checkpoint_dir: str,
+    quarantine_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> tuple[list[pipeline.EncodeJobResult], int]:
+    """Streaming JSONL admission with a DEAD-LETTER QUEUE: each
+    micro-batch of a growing JSON-Lines crawl directory parses under
+    the ENFORCED schema (sources/jsonl discipline — never inferred);
+    rows that fail to parse land in ``quarantine_dir`` as parquet
+    (epoch-keyed files, retry-idempotent) carrying the raw line, and
+    the clean rows run the ordinary resumable encode epoch — so a
+    malformed producer never stalls ingestion AND never silently
+    loses data. The split is the streaming twin of read_jsonl's
+    counted-not-dropped stance.
+
+    Returns (results per micro-batch, total quarantined lines).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    corrupt_col = "_corrupt_record"
+    read_schema = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    reader = (
+        spark.readStream.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(input_dir)
+
+    results: list[pipeline.EncodeJobResult] = []
+    n_quarantined = [0]
+
+    def _split_batch(batch_df, epoch_id: int) -> None:
+        batch_df = batch_df.cache()
+        bad = batch_df.filter(F.col(corrupt_col).isNotNull()).select(
+            F.col(corrupt_col).alias("raw_line")
+        )
+        n_bad = bad.count()
+        if n_bad:
+            # epoch-keyed path: a foreachBatch retry overwrites its own
+            # epoch's files instead of double-appending
+            (
+                bad.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(quarantine_dir, f"epoch-{epoch_id}"))
+            )
+            n_quarantined[0] += int(n_bad)
+        clean = batch_df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        if not clean.isEmpty():
+            epoch_cfg = replace(cfg, run_id=f"{cfg.run_id}-e{epoch_id}")
+            results.append(pipeline.run_encode_job(spark, clean, epoch_cfg))
+        batch_df.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(_split_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return results, n_quarantined[0]

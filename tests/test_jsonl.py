@@ -82,3 +82,48 @@ def test_encode_cli_admits_jsonl(spark, tmp_path, capsys):
     assert any(r.get("corrupt_lines_excluded") == 1 for r in reports)
     dec = pipeline.decode_job(spark, out, "j", docs.schema)
     assert dec.count() == docs.count()
+
+
+def test_streaming_jsonl_dlq_quarantines_and_encodes(spark, tmp_path):
+    """Corrupt lines land in the epoch-keyed quarantine with the raw
+    text preserved; clean rows encode; a second drain with a new file
+    continues (WAL) without re-quarantining old lines."""
+    from orc_spark.engine import pipeline
+    from orc_spark.streaming import ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    in_dir = str(tmp_path / "in")
+    jsonl.write_jsonl(docs.coalesce(1), in_dir, compression=None)
+    import os
+
+    with open(os.path.join(in_dir, "bad.json"), "w") as fh:
+        fh.write("not json\n")
+        fh.write('{"doc_id": "x"}\n')
+
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "run"), run_id="dlq", key="doc_id",
+        n_partitions=2,
+    )
+    results, n_q = ingest.incremental_encode_jsonl(
+        spark, in_dir, docs.schema, cfg, str(tmp_path / "ckpt"),
+        str(tmp_path / "quar"),
+    )
+    assert n_q == 2
+    quar = spark.read.parquet(str(tmp_path / "quar/epoch-0"))
+    assert {r.raw_line for r in quar.collect()} == {
+        "not json", '{"doc_id": "x"}'
+    }
+    total = sum(r.partitions_encoded for r in results)
+    assert total == 2
+
+    # new clean file: second drain consumes ONLY it
+    spark.createDataFrame(
+        [(900001, "en")], "doc_id long, lang string"
+    ).coalesce(1).write.mode("append").json(in_dir)
+    r2, q2 = ingest.incremental_encode_jsonl(
+        spark, in_dir, docs.schema, cfg, str(tmp_path / "ckpt"),
+        str(tmp_path / "quar"),
+    )
+    assert q2 == 0 and len(r2) == 1
