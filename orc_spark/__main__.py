@@ -40,6 +40,25 @@ def _session(cores: int | None):
     return b.getOrCreate()
 
 
+def _parse_overrides(specs) -> dict | None:
+    """--override col=codec1|codec2 (repeatable): pin a column's codec
+    fallback chain, bypassing the sampler. 'raw' always terminates the
+    chain implicitly (the encode-side guarantee)."""
+    if not specs:
+        return None
+    out: dict = {}
+    for spec in specs:
+        col, _, chain = spec.partition("=")
+        if not col or not chain:
+            raise SystemExit(
+                f"--override expects col=codec1|codec2, got {spec!r}"
+            )
+        out[col.strip()] = [
+            c.strip() for c in chain.split("|") if c.strip()
+        ]
+    return out
+
+
 def cmd_encode(args) -> int:
     from orc_spark.engine import pipeline
 
@@ -95,6 +114,7 @@ def cmd_encode(args) -> int:
             for c in (getattr(args, "token_bloom", None) or "").split(",")
             if c.strip()
         ),
+        overrides=_parse_overrides(getattr(args, "override", None)),
     )
     res = pipeline.run_encode_job(spark, df, cfg)
     print(
@@ -806,6 +826,12 @@ def main(argv: list[str] | None = None) -> int:
         "Common-Crawl crawl shards (response html / extracted text); "
         "jsonl: Dolma/FineWeb JSON-Lines (+ --schema-from; corrupt "
         "lines counted and excluded)",
+    )
+    enc.add_argument(
+        "--override", action="append",
+        help="pin a column's codec chain, bypassing the sampler: "
+        "col=codec1|codec2 (repeatable); raw terminates every chain "
+        "implicitly",
     )
     enc.add_argument(
         "--schema-from", default=None,

@@ -714,3 +714,37 @@ def test_cli_decode_or_where(spark, tmp_path, capsys):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_cli_encode_override_pins_codec(spark, tmp_path, capsys):
+    """--override bypasses the sampler for the named column; the
+    lineage ledger records the pinned codec."""
+    import json
+
+    from orc_spark.__main__ import main as _main
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "run")
+    assert _main([
+        "encode", src, "--out", out, "--run-id", "ov",
+        "--key", "doc_id", "--partitions", "2",
+        "--override", "lang=raw",
+    ]) == 0
+    json.loads(capsys.readouterr().out)
+    lin = lineage.read_lineage(spark, out).filter(F.col("column") == "lang")
+    codecs = {r.codec for r in lin.select("codec").collect()}
+    # the sampler would pick dict for a 5-value column; raw proves
+    # the chain was pinned
+    assert codecs == {"raw"}, codecs
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="override"):
+        _main([
+            "encode", src, "--out", out, "--run-id", "ov2",
+            "--key", "doc_id", "--override", "nochain",
+        ])
