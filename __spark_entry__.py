@@ -3064,6 +3064,30 @@ def _q_pii_scrub(spark, sf_dir):
     return analysis.pii_scrub(seeded).orderBy("id")
 
 
+def _q_pii_inventory(spark, sf_dir):
+    """PII audit (read-only companion of pii_scrub, same seed): per
+    doc, sequential per-class match counts — email first, later
+    classes count on the already-redacted text, so inventory totals
+    always equal scrub redaction totals — plus the release flag."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.org or +1-555-"),
+            F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.1.2."),
+            ((F.col("doc_id") % 254) + 1).cast("string"),
+        ).alias("text"),
+    )
+    return analysis.pii_inventory(seeded)
+
+
 def _q_corpus_split(spark, sf_dir):
     """Deterministic train/valid/test splitting (analysis.hash_split):
     keyed md5 bucket, stable across re-runs and engines, map-only —
@@ -4253,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": _q_repetition_ratio,
         "url_canonicalize": _q_url_canonicalize,
         "pii_scrub": _q_pii_scrub,
+        "pii_inventory": _q_pii_inventory,
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
@@ -4694,6 +4719,14 @@ def oracle_sql() -> dict[str, str]:
             "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.1.2.' || "
             "CAST((doc_id % 254) + 1 AS VARCHAR) AS text FROM documents) "
             + analysis.pii_scrub_sql("seeded")
+        ),
+        "pii_inventory": (
+            "WITH seeded AS (SELECT doc_id, text || ' contact u' || "
+            "CAST(doc_id AS VARCHAR) || '@ex.org or +1-555-' || "
+            "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.1.2.' || "
+            "CAST((doc_id % 254) + 1 AS VARCHAR) AS text FROM documents) "
+            + analysis.pii_inventory_sql("seeded")
         ),
         "corpus_split": analysis.hash_split_sql("documents"),
         "stratified_sample": analysis.stratified_sample_sql(

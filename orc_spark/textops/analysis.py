@@ -2396,3 +2396,49 @@ SELECT {id_col} AS doc_id,
     '\\s+', ' ', 'g')) AS text
 FROM {table} ORDER BY doc_id
 """
+
+
+def pii_inventory(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII AUDIT (the read-only companion of :func:`pii_scrub`): per
+    document, how many matches of each class — emails, IPv4s, phone
+    numbers — plus a corpus-release flag (pii_free). Pipelines audit
+    BEFORE scrubbing: the inventory decides whether a source is worth
+    scrubbing at all, and the per-class counts are the compliance
+    artifact. Counting is sequential over the same chain order as the
+    scrub (an email whose host looks like an IP counts once, as
+    email), so inventory totals always equal scrub redaction totals.
+
+    Pure JVM regexp chain, zero shuffles, zero Python. Returns
+    (id, n_email, n_ipv4, n_phone, pii_free).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}"))
+        # sequential: later classes count on the already-redacted text
+        t = F.regexp_replace(t, pat, repl)
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    total = sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS)
+    return out.withColumn("pii_free", total == 0).orderBy("id")
+
+
+def pii_inventory_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`pii_inventory` — same sequential
+    count-then-redact chain."""
+    t = f"COALESCE({text_col}, '')"
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cols.append(f"len(regexp_extract_all({t}, '{p}')) AS n_{name}")
+        t = f"regexp_replace({t}, '{p}', '{repl}', 'g')"
+    total = " + ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return (
+        "SELECT id, n_email, n_ipv4, n_phone, "
+        f"({total}) = 0 AS pii_free FROM ("
+        f"SELECT {id_col} AS id, {', '.join(cols)} FROM {table}"
+        ") c ORDER BY id"
+    )

@@ -738,3 +738,24 @@ def test_clean_text_normalizes_and_is_idempotent(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_pii_inventory_counts_and_agrees_with_scrub(spark):
+    from orc_spark.textops import analysis
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c@d.org ip 10.0.0.1 call +1-555-123-4567"),
+            (2, "totally clean prose"),
+            (3, "server at 192.168.0.1 and 10.0.0.2"),
+        ],
+        "doc_id long, text string",
+    )
+    inv = {r.id: r for r in analysis.pii_inventory(df).collect()}
+    assert (inv[1].n_email, inv[1].n_ipv4, inv[1].n_phone) == (2, 1, 1)
+    assert inv[2].pii_free and not inv[1].pii_free
+    assert (inv[3].n_email, inv[3].n_ipv4) == (0, 2)
+    # inventory totals == scrub redaction totals, per doc
+    scrub = {r.id: r.n_redactions for r in analysis.pii_scrub(df).collect()}
+    for i, r in inv.items():
+        assert r.n_email + r.n_ipv4 + r.n_phone == scrub[i], i
