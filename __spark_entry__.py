@@ -1823,6 +1823,42 @@ def _q_multi_run_union(spark, sf_dir):
     )
 
 
+def _q_merge_runs(spark, sf_dir):
+    """Multi-snapshot consolidation (pipeline.merge_runs): two crawl
+    snapshot runs — one carrying a live position delete — merge into
+    ONE run; the delete materializes (merged run carries none), epoch
+    history collapses, and the merged decode equals the runs' live
+    union. In-query guards pin the materialization."""
+    from orc_spark.engine import deletes as deletes_mod
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mg_")
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"snap{i}", key="doc_id",
+            columns=["doc_id", "lang", "n_chars"], n_partitions=4,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    pipeline.delete_rows(
+        spark, out, "snap0", docs.schema, [("lang", "==", "de")]
+    )
+    pipeline.merge_runs(
+        spark, out, ["snap0", "snap1"], docs.schema, "merged"
+    )
+    d = deletes_mod.delete_stats(spark, out, "merged")
+    if d["n_vectors"] or d["n_eq_values"]:
+        raise AssertionError(f"merged run still carries deletes: {d}")
+    return pipeline.decode_job(
+        spark, out, "merged", docs.schema
+    ).orderBy("doc_id")
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -4372,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equality_delete_decode": _q_equality_delete_decode,
         "upsert_merge": _q_upsert_merge,
         "multi_run_union": _q_multi_run_union,
+        "merge_runs": _q_merge_runs,
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
@@ -4925,6 +4962,10 @@ def oracle_sql() -> dict[str, str]:
         "multi_run_union": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE NOT (doc_id % 2 = 0 AND lang = 'de')"
+        ),
+        "merge_runs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE NOT (doc_id % 2 = 0 AND lang = 'de') ORDER BY doc_id"
         ),
         "metadata_ndv": (
             'SELECT \'event_id\' AS "column", '

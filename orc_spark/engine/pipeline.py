@@ -357,6 +357,68 @@ def compact_run(
     return run_encode_job(spark, df, cfg)
 
 
+def merge_runs(
+    spark: SparkSession,
+    out_dir: str,
+    run_ids: list[str],
+    schema,
+    new_run_id: str,
+    key: str | None = None,
+    n_partitions: int | None = None,
+    stripe_rows: int | None = 65536,
+    cluster_by: str | None = None,
+) -> EncodeJobResult:
+    """Consolidate several runs into ONE (the multi-snapshot
+    completion of :func:`compact_run` — Iceberg rewrite-data-files
+    across snapshots): decode the runs' live union (per-run epoch
+    selection, deletes, and schema evolution all apply — exactly what
+    :func:`read_runs` reads) and re-encode it under ``new_run_id``
+    with full-size stripes. Live deletes are MATERIALIZED (the merged
+    run carries none), per-run epoch history collapses to epoch 0,
+    and the append-era run list shrinks to one id; the sources stay
+    decodable until pruned (`python -m orc_spark prune`).
+
+    ``key``/``n_partitions`` default to the FIRST run's persisted
+    config; runs with conflicting persisted keys raise rather than
+    silently re-partitioning half the data under a different identity.
+
+    Scale shape: exactly a decode plan (one exchange per run's stripe
+    groups, unionByName is plan-level) feeding the normal encode
+    (one salted exchange) — the same cost model as compact_run times
+    the run count, resumable at every wave like any encode job.
+    """
+    if not run_ids:
+        raise ValueError("merge_runs needs at least one source run")
+    keys = {}
+    for rid in run_ids:
+        stored = load_run_config(out_dir, rid) or {}
+        if stored.get("key"):
+            keys[rid] = stored["key"]
+    if key is None:
+        distinct = sorted(set(keys.values()))
+        if len(distinct) > 1:
+            raise ValueError(
+                f"source runs disagree on key {keys} — pass key explicitly"
+            )
+        key = distinct[0] if distinct else None
+    if key is None:
+        raise ValueError("no persisted key found — pass key explicitly")
+    if n_partitions is None:
+        first = load_run_config(out_dir, run_ids[0]) or {}
+        n_partitions = first.get("n_partitions") or 32
+    df = read_runs(spark, out_dir, run_ids, schema)
+    cfg = EncodeJobConfig(
+        out_dir=out_dir,
+        run_id=new_run_id,
+        key=key,
+        columns=[f.name for f in schema.fields],
+        n_partitions=n_partitions,
+        stripe_rows=stripe_rows,
+        cluster_by=cluster_by,
+    )
+    return run_encode_job(spark, df, cfg)
+
+
 def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
     # Explicit schema, always: a stripes dir written across engine
     # upgrades is mixed-schema (r3 added the zone-stat/bloom columns),

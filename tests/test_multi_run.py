@@ -79,3 +79,48 @@ def test_read_runs_schema_evolution_across_snapshots(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         pipeline.read_runs(spark, out, [], docs.schema)
+
+
+def test_merge_runs_materializes_deletes_and_guards_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import deletes, pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "store")
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"s{i}", key="doc_id", n_partitions=2,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    pipeline.delete_rows(
+        spark, out, "s0", docs.schema, [("lang", "==", "en")]
+    )
+    pipeline.merge_runs(spark, out, ["s0", "s1"], docs.schema, "m")
+
+    want = docs.filter(
+        ~((F.col("doc_id") % 2 == 0) & (F.col("lang") == "en"))
+    )
+    got = pipeline.decode_job(spark, out, "m", docs.schema)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    d = deletes.delete_stats(spark, out, "m")
+    assert d["n_vectors"] == 0 and d["n_eq_values"] == 0
+
+    # conflicting persisted keys refuse to merge silently
+    cfg3 = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="other", key="lang", n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, docs, cfg3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disagree"):
+        pipeline.merge_runs(
+            spark, out, ["s0", "other"], docs.schema, "m2"
+        )
