@@ -1859,6 +1859,33 @@ def _q_merge_runs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_clone_restore(spark, sf_dir):
+    """Backup/restore across stores (pipeline.clone_run): a run with a
+    live position delete clones into a fresh store — stripes, ledger,
+    delete vectors, persisted config — and decodes there bit-identical
+    UNDER CHECKSUM VERIFICATION against the travelled ledger. Oracle:
+    the live view recomputed relationally."""
+    from orc_spark.engine import pipeline
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = tempfile.mkdtemp(prefix="orcspark_entry_cl_src_")
+    dst = tempfile.mkdtemp(prefix="orcspark_entry_cl_dst_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=src, run_id="r", key="doc_id",
+        columns=["doc_id", "lang", "n_chars"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.delete_rows(
+        spark, src, "r", docs.schema, [("lang", "==", "zh")]
+    )
+    pipeline.clone_run(spark, src, "r", dst)
+    return pipeline.decode_job(
+        spark, dst, "r", docs.schema, verify_checksums=True
+    ).orderBy("doc_id")
+
+
 def _q_roundtrip_documents_auto(spark, sf_dir):
     return _roundtrip(
         spark, sf_dir, "documents", "doc_id",
@@ -4409,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": _q_upsert_merge,
         "multi_run_union": _q_multi_run_union,
         "merge_runs": _q_merge_runs,
+        "clone_restore": _q_clone_restore,
         "metadata_aggregate": _q_metadata_aggregate,
         "metadata_count": _q_metadata_count,
         "metadata_sum": _q_metadata_sum,
@@ -4966,6 +4994,10 @@ def oracle_sql() -> dict[str, str]:
         "merge_runs": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE NOT (doc_id % 2 = 0 AND lang = 'de') ORDER BY doc_id"
+        ),
+        "clone_restore": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang != 'zh' ORDER BY doc_id"
         ),
         "metadata_ndv": (
             'SELECT \'event_id\' AS "column", '

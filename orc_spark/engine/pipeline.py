@@ -419,6 +419,69 @@ def merge_runs(
     return run_encode_job(spark, df, cfg)
 
 
+def clone_run(
+    spark: SparkSession,
+    src_out: str,
+    run_id: str,
+    dst_out: str,
+) -> dict:
+    """Copy ONE run — stripes, lineage, delete files, persisted
+    config — into another store (backup / promote-to-archive /
+    cross-environment restore). Rows are copied verbatim (blobs are
+    already encoded; nothing re-encodes), so the clone is
+    bit-identical by construction, and a decode with
+    ``verify_checksums=True`` on the destination proves it against
+    the ledgered checksums. Refuses to overwrite an existing run_id
+    at the destination — restores must be explicit, not silent.
+
+    Scale shape: two distributed parquet copies filtered by run_id
+    (column pruning keeps them row-group-sequential; no shuffle, no
+    decode) + O(1) driver-side file copies for config/deletes.
+
+    Returns {"stripes": n, "lineage": n}.
+    """
+    import shutil as _sh
+
+    dst_stripes = lineage_mod.stripes_dir(dst_out)
+    if os.path.exists(dst_stripes):
+        existing = storage.read_table(
+            spark, dst_stripes, encode_mod.STRIPE_SCHEMA
+        ).filter(F.col("run_id") == run_id).limit(1).count()
+        if existing:
+            raise ValueError(
+                f"run {run_id!r} already exists at {dst_out!r} — "
+                "refusing to mix histories; choose a new run_id or prune"
+            )
+    src_stripes = read_stripes(spark, src_out, run_id)
+    storage.append_table(src_stripes, dst_stripes, precompressed=True)
+    lin = lineage_mod.read_lineage(spark, src_out).filter(
+        F.col("run_id") == run_id
+    )
+    storage.append_table(lin, lineage_mod.lineage_dir(dst_out))
+    cfg_src = _config_path(src_out, run_id)
+    if os.path.exists(cfg_src):
+        os.makedirs(os.path.dirname(_config_path(dst_out, run_id)),
+                    exist_ok=True)
+        _sh.copy2(cfg_src, _config_path(dst_out, run_id))
+    # delete tables are run_id-keyed parquet dirs: copy the run's rows
+    for ddir, schema in (
+        (deletes_mod.deletes_dir, deletes_mod.DELETES_SCHEMA),
+        (deletes_mod.eq_deletes_dir, deletes_mod.EQ_DELETES_SCHEMA),
+    ):
+        src_d = ddir(src_out)
+        if os.path.isdir(src_d):
+            rows = spark.read.schema(schema).parquet(src_d).filter(
+                F.col("run_id") == run_id
+            )
+            if rows.limit(1).count():
+                storage.append_table(rows, ddir(dst_out))
+    n_l = lineage_mod.read_lineage(spark, dst_out).filter(
+        F.col("run_id") == run_id
+    ).count()
+    n_s = read_stripes(spark, dst_out, run_id).count()
+    return {"stripes": int(n_s), "lineage": int(n_l)}
+
+
 def read_stripes(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
     # Explicit schema, always: a stripes dir written across engine
     # upgrades is mixed-schema (r3 added the zone-stat/bloom columns),

@@ -124,3 +124,42 @@ def test_merge_runs_materializes_deletes_and_guards_keys(spark, tmp_path):
         pipeline.merge_runs(
             spark, out, ["s0", "other"], docs.schema, "m2"
         )
+
+
+def test_clone_run_backup_restore_bit_identical(spark, tmp_path):
+    """A cloned run decodes bit-identically at the destination (with
+    checksum verification), deletes travel, and an existing run_id at
+    the destination refuses."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "n_chars")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=src, run_id="r", key="doc_id", n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, docs, cfg)
+    pipeline.delete_rows(
+        spark, src, "r", docs.schema, [("lang", "==", "zh")]
+    )
+    info = pipeline.clone_run(spark, src, "r", dst)
+    assert info["stripes"] > 0 and info["lineage"] > 0
+
+    want = docs.filter(F.col("lang") != "zh")
+    got = pipeline.decode_job(
+        spark, dst, "r", docs.schema, verify_checksums=True
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # persisted config travelled: compaction at dst inherits identity
+    assert pipeline.load_run_config(dst, "r")["key"] == "doc_id"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        pipeline.clone_run(spark, src, "r", dst)
