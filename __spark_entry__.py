@@ -3127,6 +3127,17 @@ def _q_pii_scrub(spark, sf_dir):
     return analysis.pii_scrub(seeded).orderBy("id")
 
 
+def _q_quality_deciles(spark, sf_dir):
+    """Rank-ensemble quality without a global window: three signals
+    map to deciles via exact corpus percentile cuts (one broadcast
+    agg), ensemble = mean decile. Strict-below tie rule identical in
+    both engines."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    return analysis.quality_deciles(docs)
+
+
 def _q_pii_inventory(spark, sf_dir):
     """PII audit (read-only companion of pii_scrub, same seed): per
     doc, sequential per-class match counts — email first, later
@@ -4341,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "pii_scrub": _q_pii_scrub,
         "pii_inventory": _q_pii_inventory,
+        "quality_deciles": _q_quality_deciles,
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
@@ -4793,6 +4805,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id % 254) + 1 AS VARCHAR) AS text FROM documents) "
             + analysis.pii_inventory_sql("seeded")
         ),
+        "quality_deciles": analysis.quality_deciles_sql("documents"),
         "corpus_split": analysis.hash_split_sql("documents"),
         "stratified_sample": analysis.stratified_sample_sql(
             "documents", rates=_SAMPLE_RATES, default_rate=1.0

@@ -2442,3 +2442,98 @@ def pii_inventory_sql(
         f"SELECT {id_col} AS id, {', '.join(cols)} FROM {table}"
         ") c ORDER BY id"
     )
+
+
+def quality_deciles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rank-ensemble quality scoring WITHOUT a global window (the
+    scale trap of percent_rank): three cheap signals — token count,
+    type-token ratio, mean chars per token — each map to a decile via
+    EXACT corpus percentile cuts (one small aggregate, broadcast
+    back), and the ensemble is their mean. Rank-space blending is how
+    heterogeneous quality signals combine without unit juggling
+    (FineWeb-style ensembling), and decile cuts make it one
+    broadcast-joined map pass at any corpus size.
+
+    Decile convention: 1 + count(cuts strictly below the value), cuts
+    at p10..p90 — ties at a cut land in the LOWER decile in both
+    engines. Returns (doc_id, d_tokens, d_ttr, d_wlen, ensemble_r).
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n_tok = token_count(F.col(text_col))
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("double").alias("s_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.lit(1), n_tok))
+        .alias("s_ttr"),
+        (
+            F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                      r"\s+", ""))
+            / F.greatest(F.lit(1), n_tok)
+        ).alias("s_wlen"),
+    )
+    pcts = [i / 10.0 for i in range(1, 10)]
+    cuts = sig.agg(
+        *[
+            F.expr(
+                f"percentile(s_{name}, array({', '.join(map(str, pcts))}))"
+            ).alias(f"c_{name}")
+            for name in ("tokens", "ttr", "wlen")
+        ]
+    )
+    out = sig.crossJoin(F.broadcast(cuts))
+    dcols = []
+    for name in ("tokens", "ttr", "wlen"):
+        dec = F.lit(1) + F.size(
+            F.filter(
+                F.col(f"c_{name}"),
+                lambda c: c < F.col(f"s_{name}"),
+            )
+        )
+        dcols.append(dec.alias(f"d_{name}"))
+    out = out.select("doc_id", *dcols)
+    ens = (
+        F.col("d_tokens") + F.col("d_ttr") + F.col("d_wlen")
+    ) / F.lit(3.0)
+    return out.withColumn("ensemble_r", F.round(ens, 6)).orderBy("doc_id")
+
+
+def quality_deciles_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`quality_deciles` — identical signals,
+    identical continuous-percentile cuts, identical strict-below
+    decile rule."""
+    pcts = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS doc_id,
+    CAST(len(regexp_extract_all(trim(COALESCE({text_col}, '')), '\\S+'))
+         AS DOUBLE) AS s_tokens,
+    len(list_distinct(regexp_extract_all(trim(COALESCE({text_col}, '')),
+                                         '\\S+')))
+      / GREATEST(1, len(regexp_extract_all(trim(COALESCE({text_col}, '')),
+                                           '\\S+'))) AS s_ttr,
+    len(regexp_replace(COALESCE({text_col}, ''), '\\s+', '', 'g'))
+      / GREATEST(1, len(regexp_extract_all(trim(COALESCE({text_col}, '')),
+                                           '\\S+'))) AS s_wlen
+  FROM {table}
+),
+cuts AS (
+  SELECT quantile_cont(s_tokens, [{pcts}]) AS c_tokens,
+         quantile_cont(s_ttr, [{pcts}]) AS c_ttr,
+         quantile_cont(s_wlen, [{pcts}]) AS c_wlen
+  FROM sig
+),
+d AS (
+  SELECT doc_id,
+         1 + len(list_filter(c_tokens, c -> c < s_tokens)) AS d_tokens,
+         1 + len(list_filter(c_ttr, c -> c < s_ttr)) AS d_ttr,
+         1 + len(list_filter(c_wlen, c -> c < s_wlen)) AS d_wlen
+  FROM sig, cuts
+)
+SELECT doc_id, d_tokens, d_ttr, d_wlen,
+       ROUND((d_tokens + d_ttr + d_wlen) / 3.0, 6) AS ensemble_r
+FROM d ORDER BY doc_id
+"""

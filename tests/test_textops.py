@@ -759,3 +759,22 @@ def test_pii_inventory_counts_and_agrees_with_scrub(spark):
     scrub = {r.id: r.n_redactions for r in analysis.pii_scrub(df).collect()}
     for i, r in inv.items():
         assert r.n_email + r.n_ipv4 + r.n_phone == scrub[i], i
+
+
+def test_quality_deciles_bucketing(spark):
+    from orc_spark.textops import analysis
+
+    # 20 docs with strictly increasing token counts -> d_tokens spans
+    # deciles monotonically; constant ttr/wlen collapse to one decile
+    rows = [(i, "tok " * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in analysis.quality_deciles(df).collect()}
+    assert out[0].d_tokens == 1 and out[19].d_tokens == 10
+    ds = [out[i].d_tokens for i in range(20)]
+    assert ds == sorted(ds)
+    # ttr = 1/(i+1): strictly decreasing -> deciles reverse-monotone
+    dt = [out[i].d_ttr for i in range(20)]
+    assert dt == sorted(dt, reverse=True)
+    # mean word length is constant ("tok"): every tie lands decile 1
+    assert {out[i].d_wlen for i in range(20)} == {1}
+    assert abs(out[19].ensemble_r - (10 + 1 + 1) / 3.0) < 1e-6
