@@ -352,6 +352,40 @@ def cmd_compact(args) -> int:
     return EXIT_OK
 
 
+def cmd_merge(args) -> int:
+    """Consolidate several runs into one (pipeline.merge_runs):
+    deletes materialize, epoch history collapses."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    res = pipeline.merge_runs(
+        spark, args.out, args.run_ids.split(","), schema,
+        args.new_run_id, key=args.key,
+        n_partitions=args.partitions, stripe_rows=args.stripe_rows,
+        cluster_by=args.cluster_by,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "partitions_encoded": res.partitions_encoded,
+            }
+        )
+    )
+    return EXIT_OK
+
+
+def cmd_clone(args) -> int:
+    """Copy one run verbatim into another store (pipeline.clone_run)."""
+    from orc_spark.engine import pipeline
+
+    spark = _session(args.cores)
+    info = pipeline.clone_run(spark, args.out, args.run_id, args.dest)
+    print(json.dumps({"run_id": args.run_id, **info}))
+    return EXIT_OK
+
+
 def cmd_report(args) -> int:
     from orc_spark.engine import report
 
@@ -958,6 +992,31 @@ def main(argv: list[str] | None = None) -> int:
         "--compression", choices=["zlib", "lzma", "none"], default="zlib"
     )
     up.set_defaults(fn=cmd_upsert)
+
+    mg = sub.add_parser(
+        "merge", help="consolidate several runs into one "
+        "(deletes materialize, epochs collapse)"
+    )
+    mg.add_argument("--out", required=True)
+    mg.add_argument(
+        "--run-ids", required=True, help="comma-separated source runs"
+    )
+    mg.add_argument("--new-run-id", required=True)
+    mg.add_argument("--schema-from", required=True)
+    mg.add_argument("--key", default=None)
+    mg.add_argument("--partitions", type=int, default=None)
+    mg.add_argument("--stripe-rows", type=int, default=65536)
+    mg.add_argument("--cluster-by", default=None)
+    mg.set_defaults(fn=cmd_merge)
+
+    cl = sub.add_parser(
+        "clone", help="copy one run verbatim into another store "
+        "(backup/restore; refuses existing run ids)"
+    )
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--run-id", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.set_defaults(fn=cmd_clone)
 
     cp = sub.add_parser(
         "compact", help="merge a run's stripes into fewer, larger ones"

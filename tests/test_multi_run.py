@@ -163,3 +163,47 @@ def test_clone_run_backup_restore_bit_identical(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exists"):
         pipeline.clone_run(spark, src, "r", dst)
+
+
+def test_cli_merge_and_clone(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from orc_spark.__main__ import main as _main
+    from orc_spark.engine import pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    src_schema = str(tmp_path / "schema.parquet")
+    docs.limit(1).write.parquet(src_schema)
+    out = str(tmp_path / "store")
+    for i, part in enumerate(
+        (docs.filter(F.col("doc_id") % 2 == 0),
+         docs.filter(F.col("doc_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"s{i}", key="doc_id", n_partitions=2,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+
+    assert _main([
+        "merge", "--out", out, "--run-ids", "s0,s1",
+        "--new-run-id", "all", "--schema-from", src_schema,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["run_id"] == "all"
+    assert pipeline.decode_job(
+        spark, out, "all", docs.schema
+    ).count() == docs.count()
+
+    dest = str(tmp_path / "backup")
+    assert _main([
+        "clone", "--out", out, "--run-id", "all", "--dest", dest,
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["stripes"] > 0
+    assert pipeline.decode_job(
+        spark, dest, "all", docs.schema, verify_checksums=True
+    ).count() == docs.count()
