@@ -4284,6 +4284,33 @@ def _q_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_video_metadata(spark, sf_dir):
+    """Real ISO BMFF (MP4) header parsing — the video member of the
+    multimodal trio (image/audio/video): pages seeded with
+    spec-conformant ftyp+moov/mvhd headers built from doc_id
+    arithmetic, probed back via the box-walking parser; the twin
+    recomputes brand/timescale/duration in exact integer math."""
+    from orc_spark.textops import multimodal
+
+    df = _load(spark, sf_dir, "documents")
+    ts = (F.lit(1000) * (1 + F.col("doc_id") % 4)).cast("long")
+    dur = (F.lit(5000) + (F.col("doc_id") * 211) % 400000).cast("long")
+    vids = df.select(
+        "doc_id",
+        multimodal.synth_mp4_expr(ts, dur).alias("video"),
+    )
+    return multimodal.probe_video_headers(vids, "doc_id", "video")
+
+
+_VIDEO_METADATA_SQL = (
+    "SELECT doc_id AS media_id, 'isom' AS brand, "
+    "CAST(1000 * (1 + doc_id % 4) AS INTEGER) AS timescale, "
+    "CAST(((5000 + (doc_id * 211) % 400000) * 1000) // "
+    "(1000 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms "
+    "FROM documents ORDER BY media_id"
+)
+
+
 def _q_audio_metadata(spark, sf_dir):
     """Real RIFF/WAVE header parsing (multimodal audio column): pages
     seeded with spec-conformant 16-bit-PCM headers built from doc_id
@@ -4379,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "perplexity_score": _q_perplexity_score,
         "audio_metadata": _q_audio_metadata,
+        "video_metadata": _q_video_metadata,
         "temperature_weights": _q_temperature_weights,
         "curation_pipeline": _q_curation_pipeline,
         "text_density": _q_text_density,
@@ -4843,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "char_entropy": analysis.char_entropy_sql("documents"),
         "audio_metadata": _AUDIO_METADATA_SQL,
+        "video_metadata": _VIDEO_METADATA_SQL,
         "temperature_weights": analysis.temperature_weights_sql(
             "documents", alpha=0.3
         ),

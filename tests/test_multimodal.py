@@ -91,3 +91,41 @@ class TestWavHeaders:
         assert out[1].sample_rate == 8000 and out[1].duration_ms == 500
         assert out[2].sample_rate == 44100 and out[2].channels == 2
         assert out[2].duration_ms == 1000
+
+
+def test_mp4_parser_real_and_garbage(spark):
+    from orc_spark.textops import multimodal as mm
+
+    # spec-built header parses exactly
+    hdr = (
+        bytes.fromhex("0000001066747970" + "69736F6D" + "00000200")
+        + bytes.fromhex("000000246D6F6F76")
+        + bytes.fromhex(
+            "0000001C6D766864" + "00000000" + "00000000" + "00000000"
+            + "000003E8" + "00013880"
+        )
+    )
+    assert mm.parse_mp4_header(hdr) == ("isom", 1000, 80000)
+    # garbage / truncated / zero-size boxes never raise
+    assert mm.parse_mp4_header(b"") == (None, None, None)
+    assert mm.parse_mp4_header(b"\x00" * 40) == (None, None, None)
+    assert mm.parse_mp4_header(hdr[:20]) == (None, None, None)
+
+    # synth -> probe round trip through Spark matches the arithmetic
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        mm.synth_mp4_expr(
+            (F.lit(1000) * (1 + F.col("id") % 2)).cast("long"),
+            (F.lit(100) + F.col("id") * 7).cast("long"),
+        ).alias("video"),
+    )
+    rows = {
+        r.media_id: (r.brand, r.timescale, r.duration_ms)
+        for r in mm.probe_video_headers(df, "doc_id", "video").collect()
+    }
+    for i in range(6):
+        ts = 1000 * (1 + i % 2)
+        dur = 100 + i * 7
+        assert rows[i] == ("isom", ts, dur * 1000 // ts), i
