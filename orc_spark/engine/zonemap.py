@@ -163,8 +163,17 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
             out["m2"] = _stripe_m2(arr)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             mm = pc.min_max(arr)
-            out["min_str"] = mm["min"].as_py()
-            out["max_str"] = mm["max"].as_py()
+            mn, mx, exact = _truncated_str_bounds(
+                mm["min"].as_py(), mm["max"].as_py()
+            )
+            out["min_str"] = mn
+            out["max_str"] = mx
+            if not exact:
+                # truncated bounds prune safely (lower-bounded min,
+                # strictly-greater max) but are NOT the column's
+                # values — metadata-only MIN/MAX must refuse, same
+                # contract as decimal's widened bounds
+                out["stat_exact"] = False
         elif pa.types.is_decimal128(t):
             # decimals prune through the num family with ONE-ULP
             # widened double bounds: a nearest-rounding cast could pull
@@ -181,6 +190,39 @@ def stripe_zone_stats(arr: pa.Array) -> dict:
     except pa.ArrowNotImplementedError:
         pass
     return out
+
+
+_STR_STAT_MAX = 256
+
+
+def _truncated_str_bounds(mn, mx):
+    """ORC string-statistics truncation (spec: lowerBound/upperBound
+    at 1024 bytes; 256 chars here — the footer of a 10^12-doc crawl
+    cannot carry two full 300-byte texts per stripe per column):
+    a long min truncates to its prefix (a valid LOWER bound — the
+    prefix sorts <= the string), a long max truncates and bumps the
+    rightmost bumpable char, dropping the tail (a valid strictly-
+    greater UPPER bound; the surrogate gap is skipped). Returns
+    (min, max, exact) — max may come back None in the degenerate
+    all-U+10FFFF case, which the str pruning family already treats as
+    "no stat: keep"."""
+    exact = True
+    if mn is not None and len(mn) > _STR_STAT_MAX:
+        mn = mn[:_STR_STAT_MAX]
+        exact = False
+    if mx is not None and len(mx) > _STR_STAT_MAX:
+        p = mx[:_STR_STAT_MAX]
+        mx = None
+        for i in range(len(p) - 1, -1, -1):
+            o = ord(p[i])
+            if o < 0x10FFFF:
+                nxt = o + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    nxt = 0xE000
+                mx = p[:i] + chr(nxt)
+                break
+        exact = False
+    return mn, mx, exact
 
 
 # ------------------------------------------------------- decode side

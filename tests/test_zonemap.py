@@ -1106,3 +1106,52 @@ def test_dnf_decode_prunes_union_and_stays_exact(spark, tmp_path):
         pipeline.decode_job_dnf(
             spark, cfg.out_dir, "dnf", ev.schema, [[("a", "==", 1)], []]
         )
+
+
+def test_long_string_stats_truncate_but_prune_safely(spark, tmp_path):
+    """>256-char strings record truncated bounds (footer stays lean at
+    crawl scale): stat_exact flips false, range predicates still
+    prune-and-match exactly, and metadata-only MIN/MAX refuses rather
+    than reporting a truncated bound."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    rows = [
+        (i, chr(ord("a") + (i // 50)) * 300 + f"tail{i:04d}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, body string")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="t", key="k",
+        n_partitions=2, stripe_rows=64, cluster_by="body",
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    stripes = pipeline.read_stripes(spark, cfg.out_dir, "t").filter(
+        F.col("column") == "body"
+    )
+    st = stripes.select("min_str", "max_str", "stat_exact").collect()
+    assert all(len(r.min_str) <= 256 for r in st)
+    assert all(r.max_str is None or len(r.max_str) <= 256 for r in st)
+    assert all(r.stat_exact is False for r in st)
+
+    # pruning with truncated bounds: exact results, real skipping
+    pred = [("body", "<=", "b")]
+    got = pipeline.decode_job(
+        spark, cfg.out_dir, "t", df.schema, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    want = df.filter(F.col("body") <= "b")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    total = stripes.count()
+    kept = zonemap.prune_stripes(
+        pipeline.read_stripes(spark, cfg.out_dir, "t"), pred
+    ).filter(F.col("column") == "body").count()
+    assert kept < total, (kept, total)
+
+    # metadata-only MIN/MAX refuses truncated bounds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pipeline.metadata_aggregate(spark, cfg.out_dir, "t", ["body"])
