@@ -481,6 +481,49 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q_sorted_export(spark, sf_dir):
+    """Globally-sorted publish (storage.export_sorted): the decoded
+    run lands as range-disjoint parquet files whose footer min/max
+    stats make any engine's range scan ~1 file of IO. In-query guard:
+    the file manifest must cover all rows in non-overlapping ranges.
+    The returned range slice equals the relational filter."""
+    from orc_spark.engine import pipeline, storage
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_so_")
+    dest = tempfile.mkdtemp(prefix="orcspark_entry_sodest_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-so-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "value"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    manifest = storage.export_sorted(
+        spark, out, cfg.run_id, ev.schema, "event_id", dest, n_files=8
+    ).collect()
+    if sum(m.n_rows for m in manifest) != ev.count():
+        raise AssertionError("manifest row count mismatch")
+    for a, b in zip(manifest, manifest[1:]):
+        if not a.hi < b.lo:
+            raise AssertionError(f"overlapping ranges: {a} {b}")
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    return (
+        spark.read.parquet(dest)
+        .filter(
+            (F.col("event_id") >= mx // 3)
+            & (F.col("event_id") <= mx // 2)
+        )
+        .orderBy("event_id")
+    )
+
+
+_SORTED_EXPORT_SQL = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, value FROM events, m
+WHERE event_id >= m.mx // 3 AND event_id <= m.mx // 2
+ORDER BY event_id
+"""
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Co-located join via bucketed publish (storage.export_bucketed):
     lineitem and orders decode out of their runs into catalog tables
@@ -4499,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
+        "sorted_export": _q_sorted_export,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -4948,6 +4992,7 @@ def oracle_sql() -> dict[str, str]:
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,
+        "sorted_export": _SORTED_EXPORT_SQL,
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",

@@ -271,3 +271,54 @@ def export_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def export_sorted(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    sort_col: str,
+    dest: str,
+    n_files: int = 8,
+    columns: list[str] | None = None,
+):
+    """Decode a run and publish it GLOBALLY SORTED on ``sort_col`` as
+    range-disjoint parquet files — the third publish mode next to
+    :func:`export_partitioned` (directory pruning on a low-cardinality
+    column) and :func:`export_bucketed` (shuffle-free joins): sorting
+    makes every file's parquet min/max statistics a tight disjoint
+    range, so ANY engine's footer-stat skipping turns a range
+    predicate into ~1 file of IO — the ordered-parts layout
+    (ClickHouse parts / Iceberg sort orders) for high-cardinality
+    range-queried keys where directories would explode.
+
+    One range-partitioning shuffle (sampled split points) + in-task
+    sort; file count is the parallelism/IO-granularity knob.
+
+    Returns the file manifest DataFrame (file, lo, hi, n_rows) —
+    callers can assert disjointness or persist it as an index.
+    """
+    from pyspark.sql import functions as F
+
+    from . import pipeline as pipeline_mod
+
+    df = pipeline_mod.decode_job(
+        spark, out_dir, run_id, result_schema, columns=columns
+    )
+    (
+        df.repartitionByRange(int(n_files), sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    return (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(sort_col).alias("lo"),
+            F.max(sort_col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("lo")
+    )

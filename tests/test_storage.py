@@ -231,3 +231,32 @@ def test_export_bucketed_joins_without_exchange(spark, tmp_path):
     finally:
         for n in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_export_sorted_range_disjoint_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, storage
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="s", key="event_id",
+        n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    dest = str(tmp_path / "sorted")
+    man = storage.export_sorted(
+        spark, cfg.out_dir, "s", ev.schema, "event_id", dest, n_files=4
+    ).collect()
+    assert len(man) == 4
+    assert sum(m.n_rows for m in man) == ev.count()
+    for a, b in zip(man, man[1:]):
+        assert a.hi < b.lo, (a, b)
+    # a range slice equals the plain filter and rows come back whole
+    got = spark.read.parquet(dest).filter(F.col("event_id") <= man[0].hi)
+    want = ev.filter(F.col("event_id") <= man[0].hi)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
