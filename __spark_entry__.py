@@ -710,6 +710,42 @@ WHERE doc_id <= m.mx // 10 OR doc_id >= 9 * m.mx // 10
 """
 
 
+def _q_metadata_minmax_dnf(spark, sf_dir):
+    """DNF MIN/MAX pushdown (metadata_minmax_dnf): extreme ts over a
+    two-sided event_id range disjunction on a key-clustered run —
+    interior groups answer from exact zone bounds (timestamps rebuild
+    from epoch-us), boundary groups decode under the DNF residual.
+    Evidence guard: metadata must contribute."""
+    from orc_spark.engine import pipeline
+
+    events = _load(spark, sf_dir, "events").select("event_id", "ts")
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    lo, hi = mx // 10, 9 * mx // 10
+    out = tempfile.mkdtemp(prefix="orcspark_entry_mmd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-mmd-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "ts"], n_partitions=4,
+        stripe_rows=512, cluster_by="event_id",
+    )
+    pipeline.run_encode_job(spark, events, cfg)
+    mn, mxv, detail = pipeline.metadata_minmax_dnf(
+        spark, out, cfg.run_id, events.schema, "ts",
+        [[("event_id", "<=", lo)], [("event_id", ">=", hi)]],
+    )
+    if not detail["from_metadata"]:
+        raise AssertionError(f"DNF minmax never used metadata: {detail}")
+    return spark.createDataFrame(
+        [(mn, mxv)], "min_ts timestamp_ntz, max_ts timestamp_ntz"
+    )
+
+
+_METADATA_MINMAX_DNF_SQL = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events, m
+WHERE event_id <= m.mx // 10 OR event_id >= 9 * m.mx // 10
+"""
+
+
 def _q_dnf_decode(spark, sf_dir):
     """OR-of-ANDs predicated decode (pipeline.decode_job_dnf): WHERE
     event_id <= max/10 OR event_id >= 9*max/10 on a key-clustered run
@@ -4539,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dnf_decode": _q_dnf_decode,
         "metadata_count_dnf": _q_metadata_count_dnf,
         "metadata_sum_dnf": _q_metadata_sum_dnf,
+        "metadata_minmax_dnf": _q_metadata_minmax_dnf,
         "join_pruned_decode": _q_join_pruned_decode,
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
@@ -4989,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "dnf_decode": _DNF_DECODE_SQL,
         "metadata_count_dnf": _METADATA_COUNT_DNF_SQL,
         "metadata_sum_dnf": _METADATA_SUM_DNF_SQL,
+        "metadata_minmax_dnf": _METADATA_MINMAX_DNF_SQL,
         "join_pruned_decode": _JOIN_PRUNED_SQL,
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,

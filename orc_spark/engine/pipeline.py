@@ -2247,6 +2247,169 @@ def metadata_sum_dnf(
     }
 
 
+def metadata_minmax_dnf(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    result_schema,
+    column: str,
+    branches: list,
+) -> tuple[object, object, dict]:
+    """EXACT ``MIN(column), MAX(column) WHERE (b1) OR (b2) ...`` —
+    the MIN/MAX member completing the DNF pushdown family
+    (count/sum/minmax × DNF): an any-branch-ALL group's zone bounds
+    ARE candidate answers (every row matches, bounds are exact when
+    ``stat_exact`` holds — truncated strings and widened decimals
+    refuse into the decode half), every-branch-NONE groups contribute
+    nothing, the rest decode under the DNF residual. Total = fold of
+    both halves; all-null matching sets yield (None, None).
+
+    Returns (min, max, {"n_all", "n_mixed", "from_metadata"}).
+    """
+    from pyspark.sql.types import (
+        ByteType, DateType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampNTZType, TimestampType,
+    )
+
+    if not branches or not all(branches):
+        raise ValueError("DNF minmax needs >= 1 non-empty branch")
+    dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
+    if dstats["n_vectors"] or dstats["n_eq_values"]:
+        raise ValueError(
+            f"run {run_id!r} carries live deletes — zone stats "
+            "describe the encoded rows; compact the run first"
+        )
+    leaf = _nested_field_type(result_schema, column)
+    if isinstance(leaf, StringType):
+        fam = "str"
+        rebuild = lambda c: c  # noqa: E731
+    elif isinstance(leaf, (ByteType, ShortType, IntegerType, LongType)):
+        fam = "int"
+        rebuild = lambda c: c.cast(leaf)  # noqa: E731
+    elif isinstance(leaf, TimestampType):
+        fam = "int"
+        rebuild = F.timestamp_micros
+    elif isinstance(leaf, TimestampNTZType):
+        # NTZ rebuilds DRIVER-side, tz-free (epoch-us of the naive
+        # value back to a naive datetime — no session-timezone cast,
+        # the same concern that keeps NTZ out of group purity)
+        fam = "int"
+        rebuild = "ntz"
+    elif isinstance(leaf, DateType):
+        fam = "int"
+        rebuild = lambda c: F.date_from_unix_date(c.cast("int"))  # noqa: E731
+    elif isinstance(leaf, (FloatType, DoubleType)):
+        fam = "num"
+        rebuild = lambda c: c  # noqa: E731
+    else:
+        raise ValueError(
+            f"column {column!r} is {leaf} — MIN/MAX pushdown covers "
+            "int/float/string/timestamp/date leaves"
+        )
+    pcols = sorted({c for br in branches for c, _, _ in br} | {column})
+    stripes = read_stripes(spark, out_dir, run_id)
+    want_tops = {c.partition(".")[0] for c in pcols}
+    meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
+        F.col("column").isin(pcols)
+    )
+    present = {
+        r.column for r in meta.select("column").distinct().collect()
+    }
+    missing = sorted(set(pcols) - present)
+    if missing:
+        raise ValueError(
+            f"no stats rows for column(s) {missing} in run {run_id!r} "
+            "— decode-and-aggregate instead"
+        )
+    gkeys = ["partition_id", "epoch", "stripe_idx"]
+    joined = None
+    for bi, br in enumerate(branches):
+        cls_b = _classify_pred_groups(
+            meta, br, gkeys, pins=_temporal_pins(result_schema, br)
+        ).select(
+            *gkeys,
+            (F.col("_keep") & F.col("_all")).alias(f"_ba{bi}"),
+            F.col("_keep").alias(f"_bk{bi}"),
+        )
+        joined = cls_b if joined is None else joined.join(cls_b, gkeys)
+    tgt = meta.filter(F.col("column") == column).select(
+        *gkeys,
+        F.col(f"min_{fam}").alias("_mn"),
+        F.col(f"max_{fam}").alias("_mx"),
+        F.coalesce("stat_exact", F.lit(True)).alias("_ex"),
+        (F.col("n_rows") - F.coalesce("null_count", F.lit(0))).alias("_nn"),
+    )
+    joined = joined.join(tgt, gkeys, "left")
+    any_all = F.lit(False)
+    any_keep = F.lit(False)
+    for bi in range(len(branches)):
+        any_all = any_all | F.col(f"_ba{bi}")
+        any_keep = any_keep | F.col(f"_bk{bi}")
+    has_stat = (
+        F.col("_mn").isNotNull() & F.col("_mx").isNotNull() & F.col("_ex")
+    ) | (F.col("_nn") == 0)
+    meta_ok = any_all & has_stat
+    agg = joined.agg(
+        F.min(F.when(meta_ok, F.col("_mn"))).alias("mn"),
+        F.max(F.when(meta_ok, F.col("_mx"))).alias("mx"),
+        F.sum(F.when(meta_ok & (F.col("_nn") > 0), F.col("_nn"))).alias("nn"),
+        F.sum(F.when(meta_ok, 1).otherwise(0)).alias("n_all"),
+        F.sum(F.when(any_keep & ~meta_ok, 1).otherwise(0)).alias("n_mixed"),
+    ).first()
+    n_mixed = int(agg.n_mixed or 0)
+    dec_mn = dec_mx = None
+    dec_cnt = 0
+    if n_mixed:
+        mixed = joined.filter(any_keep & ~meta_ok).select(*gkeys)
+        only: object = mixed
+        if n_mixed <= zonemap._PUSHDOWN_MAX_GROUPS:
+            only = [
+                (r.partition_id, r.epoch, r.stripe_idx)
+                for r in mixed.collect()
+            ]
+        dec = _restricted_decode(
+            spark, out_dir, run_id, result_schema, pcols, None, only
+        ).filter(zonemap.predicate_dnf_expr(branches))
+        row = dec.agg(
+            F.min(column).alias("mn"), F.max(column).alias("mx"),
+            F.count(column).alias("c"),
+        ).first()
+        dec_mn, dec_mx, dec_cnt = row.mn, row.mx, int(row.c or 0)
+    # fold halves: metadata bounds rebuild through the leaf type
+    have_meta = int(agg.nn or 0) > 0
+    mrow = None
+    if have_meta and rebuild == "ntz":
+        import datetime as _dt
+
+        _epoch = _dt.datetime(1970, 1, 1)
+
+        class _R:  # tiny holder matching the Row access below
+            a = _epoch + _dt.timedelta(microseconds=int(agg.mn))
+            b = _epoch + _dt.timedelta(microseconds=int(agg.mx))
+
+        mrow = _R
+    elif have_meta:
+        mrow = spark.createDataFrame(
+            [(agg.mn, agg.mx)], "a " + ("string" if fam == "str" else
+                                        "long" if fam == "int" else
+                                        "double") + ", b " +
+            ("string" if fam == "str" else
+             "long" if fam == "int" else "double"),
+        ).select(rebuild(F.col("a")).alias("a"),
+                 rebuild(F.col("b")).alias("b")).first()
+    cands_mn = [x for x in ((mrow.a if mrow else None), dec_mn)
+                if x is not None]
+    cands_mx = [x for x in ((mrow.b if mrow else None), dec_mx)
+                if x is not None]
+    total_mn = min(cands_mn) if cands_mn else None
+    total_mx = max(cands_mx) if cands_mx else None
+    return total_mn, total_mx, {
+        "n_all": int(agg.n_all or 0),
+        "n_mixed": n_mixed,
+        "from_metadata": have_meta,
+    }
+
+
 def metadata_stddev(
     spark: SparkSession,
     out_dir: str,

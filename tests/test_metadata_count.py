@@ -1089,3 +1089,36 @@ def test_metadata_sum_dnf_matches_including_nulls_and_overlap(spark, tmp_path):
         [[("k", ">=", 10_000)]],
     )
     assert t2 is None
+
+
+def test_metadata_minmax_dnf_families_and_truncation_refusal(spark, tmp_path):
+    """DNF MIN/MAX matches the plain OR filter for int, float, and
+    SHORT string leaves; long (truncated-stat) strings route entirely
+    through the decode half and stay exact."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline
+
+    rows = [
+        (i, float((i * 13) % 997), f"k{i % 83:04d}", "x" * 300 + f"{i:05d}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, s string, t string")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="mm", key="k",
+        n_partitions=2, stripe_rows=128, cluster_by="k",
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    branches = [[("k", "<=", 200)], [("k", ">=", 1800)]]
+    want_df = df.filter((F.col("k") <= 200) | (F.col("k") >= 1800))
+    for col in ("k", "v", "s", "t"):
+        mn, mx, detail = pipeline.metadata_minmax_dnf(
+            spark, cfg.out_dir, "mm", df.schema, col, branches
+        )
+        w = want_df.agg(F.min(col), F.max(col)).first()
+        assert (mn, mx) == (w[0], w[1]), (col, mn, mx, w, detail)
+        if col in ("k", "v", "s"):
+            assert detail["from_metadata"], (col, detail)
+        else:
+            # truncated stats are inexact: every group decodes
+            assert not detail["from_metadata"], detail
