@@ -185,6 +185,46 @@ def _q_roundtrip_alp_float(spark, sf_dir):
     )
 
 
+def _q_roundtrip_xorf_float(spark, sf_dir):
+    """Gorilla-style XOR float codec (codecs/framing._encode_float_xorf
+    — public semantics only, not a port: XOR-with-previous from
+    Facebook Gorilla VLDB'15, byte-plane decomposition from Parquet
+    BYTE_STREAM_SPLIT; all-zero planes elided behind a 1-byte mask).
+    events.value cast f8->f4->f8 has 29 dead low-mantissa bits, so ALP
+    is pruned by its sampled viability check (the values are no longer
+    decimal-scalable) and xorf must win the budget walk with >=3
+    all-zero planes — the query raises if the AUTO-selector chose
+    anything else, so the driver row also proves selection, not just
+    the bit-identical round trip. Both engines produce the cast input
+    via the same IEEE-754 conversions, so the DuckDB twin rebuilds
+    identical bits."""
+    from orc_spark.engine import lineage, pipeline
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("float").cast("double").alias("value_f32"),
+    )
+    out = tempfile.mkdtemp(prefix="orcspark_xorf_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="xorf", key="event_id",
+        columns=["event_id", "value_f32"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    chosen = [
+        r["codec"]
+        for r in lineage.read_lineage(spark, out)
+        .where(F.col("column") == "value_f32")
+        .select("codec").distinct().collect()
+    ]
+    if chosen != ["xorf"]:
+        raise AssertionError(
+            f"auto-selector did not land on xorf for value_f32: {chosen}"
+        )
+    return pipeline.decode_job(
+        spark, out, "xorf", ev.schema, ["event_id", "value_f32"]
+    )
+
+
 def _q_roundtrip_embeddings(spark, sf_dir):
     """LIST-column framing (codecs/framing.py dt=_DT_LIST — the ORC
     v1 LIST type analogue: LENGTH stream through the int auto-selector
@@ -4533,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_for_ts": _q_roundtrip_for_ts,
         "roundtrip_raw_float": _q_roundtrip_raw_float,
         "roundtrip_alp_float": _q_roundtrip_alp_float,
+        "roundtrip_xorf_float": _q_roundtrip_xorf_float,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_map": _q_roundtrip_map,
@@ -5038,6 +5079,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_for_ts": "SELECT event_id, ts FROM events",
         "roundtrip_raw_float": "SELECT event_id, value FROM events",
         "roundtrip_alp_float": "SELECT event_id, value FROM events",
+        "roundtrip_xorf_float": (
+            "SELECT event_id, "
+            "CAST(CAST(value AS REAL) AS DOUBLE) AS value_f32 FROM events"
+        ),
         "roundtrip_embeddings": (
             "SELECT vec_id, embedding, label FROM embeddings"
         ),

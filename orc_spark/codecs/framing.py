@@ -69,6 +69,7 @@ CODECS = {
     "struct": 11,  # ORC STRUCT type analogue: per-field child frames
     "map": 12,  # ORC MAP type analogue: length stream + key/value frames
     "prefix": 13,  # front coding (Parquet DELTA_BYTE_ARRAY semantics)
+    "xorf": 14,  # XOR-with-previous byte planes for floats (Gorilla idea)
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -530,6 +531,73 @@ def _decode_float_alp(payload: bytes, n_valid: int) -> np.ndarray:
     return out
 
 
+# --------------------------------------------- xorf (XOR byte planes)
+#
+# Lightweight float codec for temporally-correlated or
+# reduced-precision floats where ALP's decimal scaling cannot apply
+# (semantics from public work only, not a port: the XOR-with-previous
+# transform is Facebook Gorilla, VLDB'15; the byte-plane decomposition
+# is Parquet's BYTE_STREAM_SPLIT encoding). Bit-level leading/trailing
+# zero windows (Gorilla's control bits) resist vectorization, so this
+# codec works byte-aligned: XOR each value with its predecessor, split
+# the result into its little-endian byte planes, and store only the
+# planes that are not entirely zero (1-byte presence mask). A float64
+# column holding float32-precision values drops >= 3 of 8 planes; a
+# truly random column drops none and the size budget routes it to raw.
+# Fully numpy-vectorized both ways (one bitwise_xor.accumulate on
+# decode); composes with the frame-level zlib/lzma like every codec.
+
+
+def _xor_byte_planes(values: np.ndarray) -> np.ndarray:
+    """(itemsize, n) uint8 byte planes of XOR-with-previous, LE order."""
+    itemsize = values.dtype.itemsize
+    u_dt = np.uint64 if itemsize == 8 else np.uint32
+    u = np.ascontiguousarray(values).view(u_dt)
+    d = u.copy()
+    if len(d) > 1:
+        d[1:] ^= u[:-1]
+    return d.view(np.uint8).reshape(-1, itemsize).T
+
+
+def xorf_zero_planes(sample: np.ndarray) -> int:
+    """Number of all-zero XOR byte planes — the selector's viability
+    stat (same op chain as the encoder, so estimate == encoder)."""
+    if len(sample) == 0:
+        return 0
+    planes = _xor_byte_planes(sample)
+    return int(sum(1 for k in range(planes.shape[0]) if not planes[k].any()))
+
+
+def _encode_float_xorf(values: np.ndarray) -> bytes:
+    """values: dense (no-null) float64/float32.
+    Layout: presence_mask(1 byte, bit k = plane k stored) then each
+    stored plane's n bytes back to back (plane length is implied by
+    the frame's row count, so no per-plane header is needed)."""
+    planes = _xor_byte_planes(values)
+    mask = 0
+    parts = []
+    for k in range(planes.shape[0]):
+        plane = planes[k]
+        if plane.any():
+            mask |= 1 << k
+            parts.append(np.ascontiguousarray(plane).tobytes())
+    return struct.pack("<B", mask) + b"".join(parts)
+
+
+def _decode_float_xorf(payload: bytes, n_valid: int, itemsize: int) -> np.ndarray:
+    (mask,) = struct.unpack("<B", payload[:1])
+    planes = np.zeros((itemsize, n_valid), dtype=np.uint8)
+    pos = 1
+    for k in range(itemsize):
+        if (mask >> k) & 1:
+            planes[k] = np.frombuffer(payload, np.uint8, n_valid, pos)
+            pos += n_valid
+    u_dt = np.uint64 if itemsize == 8 else np.uint32
+    d = np.ascontiguousarray(planes.T).reshape(-1).view(u_dt)
+    u = np.bitwise_xor.accumulate(d)
+    return u.view(np.float64 if itemsize == 8 else np.float32)
+
+
 # -------------------------------------------------- bool/decimal helpers
 
 def _decimal_halves(dense: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -662,6 +730,8 @@ def encode_frame(
         values = dense.to_numpy(zero_copy_only=False)
         if codec == "alp" and dt == _DT_FLOAT64:
             payload = _encode_float_alp(values)
+        elif codec == "xorf":
+            payload = _encode_float_xorf(values.astype(np_dt, copy=False))
         elif codec == "raw" or (codec == "alp" and dt == _DT_FLOAT32):
             codec = "raw"  # alp is defined over f8; f4 takes raw
             payload = values.astype(np_dt).tobytes()
@@ -895,6 +965,10 @@ def decode_frame(blob: bytes) -> pa.Array:
     if dt in (_DT_FLOAT64, _DT_FLOAT32):
         if codec == "alp":
             values = _decode_float_alp(payload, n_valid)
+        elif codec == "xorf":
+            values = _decode_float_xorf(
+                payload, n_valid, 8 if dt == _DT_FLOAT64 else 4
+            )
         else:
             np_dt = "<f8" if dt == _DT_FLOAT64 else "<f4"
             values = np.frombuffer(payload, dtype=np_dt)

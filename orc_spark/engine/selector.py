@@ -62,9 +62,12 @@ def plan_for_schema(schema: pa.Schema, overrides: dict[str, list[str]] | None = 
             # scale exactly to small ints; choose_codec prunes it for
             # genuinely-real-valued columns via a sampled viability
             # check, and the size budget still guards the residue.
-            chain = ["alp", "raw"]
+            # xorf (Gorilla XOR + byte-plane split) backs it up for
+            # non-decimal floats with dead mantissa/exponent bytes
+            # (float32-precision doubles, slowly-varying series).
+            chain = ["alp", "xorf", "raw"]
         elif pa.types.is_floating(t):
-            chain = ["raw"]
+            chain = ["xorf", "raw"]
         elif pa.types.is_boolean(t) or pa.types.is_decimal128(t):
             # bools RLE beautifully; decimals <= precision 18 ride the
             # int64 path (framing falls back to 16-byte raw above it)
@@ -132,13 +135,19 @@ def stripe_stats(arr: pa.Array) -> dict:
             d = np.diff(v) if len(v) > 1 else np.zeros(0, dtype=np.int64)
             out["run_frac"] = float((d == 0).mean()) if len(d) else 0.0
             out["sorted_frac"] = float((d >= 0).mean()) if len(d) else 1.0
-    elif pa.types.is_float64(t):
+    elif pa.types.is_floating(t):
         from ..codecs import framing
 
         sample = (
             arr.slice(0, min(n, 4096)).drop_null().to_numpy(zero_copy_only=False)
         )
-        out["alp_viable"] = bool(framing.alp_viable(sample))
+        if pa.types.is_float64(t):
+            out["alp_viable"] = bool(framing.alp_viable(sample))
+        # sampled all-zero XOR byte planes — xorf's viability stat,
+        # computed with the codec's own helper so they agree exactly
+        out["xorf_zero_planes"] = (
+            framing.xorf_zero_planes(sample) if len(sample) else 0
+        )
     return out
 
 
@@ -199,6 +208,9 @@ def choose_codec(arr: pa.Array, chain: list[str]) -> list[str]:
         order.remove("fsst")
     if "alp" in order and not stats.get("alp_viable", True):
         order.remove("alp")  # real-valued doubles: scaling can't win
+    if "xorf" in order and stats.get("xorf_zero_planes", 1) < 1:
+        order.remove("xorf")  # no dead byte plane in the sample: the
+        # 1-byte mask can't pay for itself, skip straight to raw
     if "raw" not in order:
         order.append("raw")
     return order

@@ -215,6 +215,108 @@ def test_alp_float32_falls_back_to_raw():
     assert framing.column_checksum(back) == framing.column_checksum(arr)
 
 
+# ----------------------------------------------------------------- xorf
+
+XORF_RNG = np.random.default_rng(41)
+XORF_FIXTURES = {
+    "xorf_empty": np.zeros(0, dtype=np.float64),
+    "xorf_single": np.array([2.5]),
+    # float32-precision doubles: low 29 mantissa bits dead -> >=3 of 8
+    # byte planes all-zero after XOR
+    "xorf_f32_precision": XORF_RNG.uniform(-1e4, 1e4, 4096)
+    .astype(np.float32)
+    .astype(np.float64),
+    "xorf_all_equal": np.full(2048, 1.0 / 3.0),
+    "xorf_specials": np.array(
+        [np.nan, -np.nan, np.inf, -np.inf, -0.0, 0.0, 5e-324, 1.7e308]
+    ),
+    "xorf_true_reals": XORF_RNG.standard_normal(4096),
+}
+
+
+@pytest.mark.parametrize("fixture", sorted(XORF_FIXTURES))
+def test_xorf_roundtrip_bit_identical(fixture):
+    """decode(encode(x)) reproduces every float64 BITWISE — xorf is a
+    pure bit transform (XOR + byte-plane split), so NaN payloads, -0.0
+    and denormals need no exception path at all."""
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    v = XORF_FIXTURES[fixture]
+    arr = pa.array(v, type=pa.float64())
+    back = framing.decode_frame(framing.encode_frame(arr, "xorf"))
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+    got = back.to_numpy(zero_copy_only=False)
+    assert np.array_equal(got.view(np.int64), v.view(np.int64))
+
+
+def test_xorf_float32_roundtrip():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    v = XORF_RNG.integers(0, 512, 4096).astype(np.float32)
+    arr = pa.array(v, type=pa.float32())
+    blob = framing.encode_frame(arr, "xorf")
+    back = framing.decode_frame(blob)
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+    # small-int floats: sign/exponent-heavy planes mostly survive but
+    # the low mantissa planes die -> real saving without any entropy
+    # coder
+    assert len(blob) < arr.nbytes
+
+
+def test_xorf_nulls_preserved():
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+
+    arr = pa.array(
+        [1.25, None, float("nan"), None, -0.0, 2.0**-1030],
+        type=pa.float64(),
+    )
+    back = framing.decode_frame(framing.encode_frame(arr, "xorf"))
+    assert framing.column_checksum(back) == framing.column_checksum(arr)
+    assert back.null_count == 2
+
+
+def test_xorf_selector_and_budget():
+    """f32-precision doubles defeat ALP (not decimal-scalable) but
+    xorf drops >=3 byte planes; true random doubles prune xorf in the
+    sampled gate and the budget walk lands on raw."""
+    import pyarrow as pa
+
+    from orc_spark.codecs import framing
+    from orc_spark.engine import encode, selector
+
+    f32ish = pa.array(XORF_FIXTURES["xorf_f32_precision"])
+    chain = selector.plan_for_schema(
+        pa.schema([("x", pa.float64())])
+    )["x"].chain
+    assert chain == ["alp", "xorf", "raw"]
+    stats = selector.stripe_stats(f32ish)
+    assert not stats["alp_viable"]
+    assert stats["xorf_zero_planes"] >= 3
+    codec, blob, _ = encode.encode_with_fallback(f32ish, chain)
+    assert codec == "xorf"
+    assert len(blob) <= 0.67 * f32ish.nbytes
+    back = framing.decode_frame(blob)
+    assert framing.column_checksum(back) == framing.column_checksum(f32ish)
+
+    reals = pa.array(XORF_FIXTURES["xorf_true_reals"])
+    assert selector.stripe_stats(reals)["xorf_zero_planes"] == 0
+    assert "xorf" not in selector.choose_codec(reals, list(chain))
+    codec_r, _, _ = encode.encode_with_fallback(reals, chain)
+    assert codec_r == "raw"
+
+    # float32 columns now carry the xorf chain too
+    chain4 = selector.plan_for_schema(
+        pa.schema([("y", pa.float32())])
+    )["y"].chain
+    assert chain4 == ["xorf", "raw"]
+
+
 # --------------------------------------------------------- bool/decimal
 
 def test_bool_roundtrip_rle_and_raw():
