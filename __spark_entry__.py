@@ -1669,6 +1669,52 @@ def _q_metadata_ndv(spark, sf_dir):
     )
 
 
+def _q_metadata_union_ndv(spark, sf_dir):
+    """r5 cross-run sketch union (pipeline.metadata_union_ndv — the
+    Iceberg Puffin mergeability contract): two snapshot runs that
+    OVERLAP in user_id/event_type are encoded separately, then
+    'distinct across all snapshots' is answered by register-wise HLL
+    union over both runs' stripe sketches — zero data bytes, no
+    shuffle beyond the tiny metadata fold, and no double counting (a
+    per-run sum would overcount every shared user). Self-checking
+    oracle pattern: sketch_ok gates the estimate against the exact
+    union distinct IN-QUERY (5% tolerance), and the returned exact
+    counts are what DuckDB recomputes over the full table."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.engine import pipeline
+
+    cols = ["event_id", "event_type", "user_id"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_unv_")
+    for i, part in enumerate(
+        (ev.filter(F2.col("event_id") % 2 == 0),
+         ev.filter(F2.col("event_id") % 2 == 1))
+    ):
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=f"snap{i}", key="event_id",
+            columns=cols, n_partitions=4, stripe_rows=512,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    est = {
+        r.column: float(r.ndv_estimate)
+        for r in pipeline.metadata_union_ndv(
+            spark, out, ["snap0", "snap1"], cols
+        ).collect()
+    }
+    exact = ev.agg(
+        *[F2.countDistinct(c).alias(c) for c in cols]
+    ).first()
+    rows = []
+    for c in sorted(cols):
+        e = int(getattr(exact, c))
+        ok = abs(est[c] - e) / max(e, 1) <= 0.05
+        rows.append((c, e, bool(ok)))
+    return spark.createDataFrame(
+        rows, "column string, n_distinct bigint, sketch_ok boolean"
+    )
+
+
 def _q_metadata_percentile(spark, sf_dir):
     """r5 metadata-only percentiles (pipeline.metadata_percentile —
     per-stripe order-statistic sketches, provable rank error ≤ one
@@ -4607,6 +4653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_value_counts": _q_metadata_value_counts,
         "metadata_topk": _q_metadata_topk,
         "metadata_ndv": _q_metadata_ndv,
+        "metadata_union_ndv": _q_metadata_union_ndv,
         "metadata_group_ndv": _q_metadata_group_ndv,
         "metadata_percentile": _q_metadata_percentile,
         "table_profile": _q_table_profile,
@@ -5170,6 +5217,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang != 'zh' ORDER BY doc_id"
         ),
         "metadata_ndv": (
+            'SELECT \'event_id\' AS "column", '
+            "COUNT(DISTINCT event_id) AS n_distinct, true AS sketch_ok "
+            "FROM events UNION ALL "
+            "SELECT 'event_type', COUNT(DISTINCT event_type), true "
+            "FROM events UNION ALL "
+            "SELECT 'user_id', COUNT(DISTINCT user_id), true FROM events "
+            'ORDER BY "column"'
+        ),
+        "metadata_union_ndv": (
             'SELECT \'event_id\' AS "column", '
             "COUNT(DISTINCT event_id) AS n_distinct, true AS sketch_ok "
             "FROM events UNION ALL "

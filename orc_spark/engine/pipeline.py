@@ -1139,7 +1139,29 @@ def metadata_ndv(
 
     Returns (column, ndv_estimate double).
     """
-    want = set(columns)
+    meta = _ndv_kept_meta(spark, out_dir, run_id, set(columns))
+    from . import ndv as ndv_mod
+
+    merged = ndv_mod.merged_ndv(meta).collect()  # one row per column
+    est = {r.column: r.ndv_sketch for r in merged}
+    rows = []
+    for c in sorted(set(columns)):
+        blob = est.get(c)
+        if blob is None:
+            raise ValueError(f"column {c!r}: no stripes in run {run_id!r}")
+        rows.append((c, float(ndv_mod.estimate(blob))))
+    return spark.createDataFrame(
+        rows, "column string, ndv_estimate double"
+    )
+
+
+def _ndv_kept_meta(
+    spark: SparkSession, out_dir: str, run_id: str, want: set[str]
+):
+    """Blob-free kept-stripe metadata for sketch NDV, with the
+    exact-or-loud guards: live deletes raise (sketches describe the
+    encoded rows) and any kept stripe without a sketch raises rather
+    than under-count."""
     dstats = deletes_mod.delete_stats(spark, out_dir, run_id)
     if dstats["n_vectors"] or dstats["n_eq_values"]:
         raise ValueError(
@@ -1163,6 +1185,36 @@ def metadata_ndv(
             "or pre-upgrade rows) — NDV from metadata would be wrong; "
             "decode and COUNT(DISTINCT) instead"
         )
+    return meta
+
+
+def metadata_union_ndv(
+    spark: SparkSession,
+    out_dir: str,
+    run_ids: list[str],
+    columns: list[str],
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per column across SEVERAL runs,
+    answered entirely from sketch union — zero data bytes read.
+
+    This is the mergeability contract that makes sketch column stats
+    worth persisting (the Iceberg Puffin idea): HyperLogLog registers
+    merge by element-wise max across ANY partitioning of the data, so
+    'distinct users across the whole year of snapshots' costs a tiny
+    metadata fold instead of a 100 TB shuffle, and the answer is the
+    same sketch estimate a single pass over the union would produce.
+    Per-run guards are identical to :func:`metadata_ndv` (live deletes
+    and unsketched stripes raise loudly, per run).
+
+    Returns (column, ndv_estimate double).
+    """
+    if not run_ids:
+        raise ValueError("metadata_union_ndv needs at least one run")
+    want = set(columns)
+    metas = [_ndv_kept_meta(spark, out_dir, r, want) for r in run_ids]
+    meta = metas[0]
+    for m in metas[1:]:
+        meta = meta.unionByName(m)
     from . import ndv as ndv_mod
 
     merged = ndv_mod.merged_ndv(meta).collect()  # one row per column
@@ -1171,7 +1223,9 @@ def metadata_ndv(
     for c in sorted(want):
         blob = est.get(c)
         if blob is None:
-            raise ValueError(f"column {c!r}: no stripes in run {run_id!r}")
+            raise ValueError(
+                f"column {c!r}: no stripes in runs {run_ids!r}"
+            )
         rows.append((c, float(ndv_mod.estimate(blob))))
     return spark.createDataFrame(
         rows, "column string, ndv_estimate double"

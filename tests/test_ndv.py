@@ -263,3 +263,44 @@ def test_cli_grouped_ndv(spark, capsys):
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(got["groups"]) == 5
     assert all("ndv_estimate" in g for g in got["groups"])
+
+
+def test_metadata_union_ndv_partitioning_invariant(spark):
+    """HLL registers are max-folds over per-value ranks, so the merged
+    sketch over ANY partitioning of the same multiset is identical:
+    the two-run union estimate must EQUAL the single-run estimate over
+    the whole table, and sit within tolerance of the exact count."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    cols = ["event_id", "event_type", "user_id"]
+    out = tempfile.mkdtemp(prefix="orcspark_unv_")
+    for run_id, part in [
+        ("whole", ev),
+        ("snap0", ev.filter(F.col("event_id") % 2 == 0)),
+        ("snap1", ev.filter(F.col("event_id") % 2 == 1)),
+    ]:
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=run_id, key="event_id",
+            columns=cols, n_partitions=4, stripe_rows=256,
+        )
+        pipeline.run_encode_job(spark, part, cfg)
+    union_est = {
+        r.column: r.ndv_estimate
+        for r in pipeline.metadata_union_ndv(
+            spark, out, ["snap0", "snap1"], cols
+        ).collect()
+    }
+    whole_est = {
+        r.column: r.ndv_estimate
+        for r in pipeline.metadata_ndv(spark, out, "whole", cols).collect()
+    }
+    assert union_est == whole_est
+    exact = ev.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+    for c in cols:
+        e = int(getattr(exact, c))
+        assert abs(union_est[c] - e) / max(e, 1) <= 0.05, (c, union_est[c], e)
+    # a live delete on either run poisons the union loudly
+    pipeline.delete_rows_eq(spark, out, "snap1", "event_id", [1])
+    with pytest.raises(ValueError, match="live deletes"):
+        pipeline.metadata_union_ndv(spark, out, ["snap0", "snap1"], cols)
