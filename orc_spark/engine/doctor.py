@@ -79,6 +79,14 @@ def _storage_notes(out_dir: str) -> list[str]:
                     f"{name}{suf} present: leftover rewrite temp dir — "
                     "never authoritative; recover_swap deletes it"
                 )
+        lock = path + retention._LOCK_SUFFIX
+        if os.path.exists(lock):
+            state = (
+                "STALE (holder dead/aged out — the next writer breaks it)"
+                if retention._lock_is_stale(lock)
+                else "live (a rewrite is running; writers will queue)"
+            )
+            notes.append(f"{name}{retention._LOCK_SUFFIX} present: {state}")
     return notes
 
 

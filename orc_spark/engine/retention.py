@@ -11,8 +11,10 @@ written to a temp dir, then swapped in.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +68,76 @@ def recover_swap(path: str) -> bool:
     return restored
 
 
+_LOCK_SUFFIX = ".writer_lock"
+_LOCK_STALE_S = 3600.0  # a lock this old outlives any sane rewrite
+
+
+def _lock_is_stale(lock: str) -> bool:
+    """A lock is stale when its holder pid is dead ON THIS HOST, or the
+    file is older than _LOCK_STALE_S (the cross-host fallback — rewrite
+    jobs finish in minutes, never hours). Unreadable/garbled locks are
+    treated as LIVE so the contender waits for its timeout instead of
+    breaking a lock it cannot judge."""
+    try:
+        st = os.stat(lock)
+        with open(lock) as fh:
+            pid = int(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return False
+    if time.time() - st.st_mtime > _LOCK_STALE_S:
+        return True
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except (PermissionError, OSError):
+        return False  # exists but not ours to probe -> live
+
+
+@contextlib.contextmanager
+def writer_lock(path: str, timeout_s: float = 30.0):
+    """Advisory single-WRITER lock for table rewrites (ADVICE r4 #1).
+
+    O_CREAT|O_EXCL on ``<path>.writer_lock`` — atomic on POSIX and on
+    object-store FUSE mounts that honor exclusive create. Two
+    concurrent rewriters (vacuum vs prune vs a streaming sink trigger)
+    now serialize instead of interleaving their two-rename swaps;
+    readers stay lock-free (their worst case remains the benign
+    recover_swap race documented on :func:`recover_swap`, absorbed by
+    _swap_in's retry). Crash recovery: a holder that died leaves a
+    stale lock, broken by pid-liveness (same host) or age (1 h). With
+    a real Iceberg catalog the catalog's atomic pointer swap replaces
+    this file entirely."""
+    lock = path + _LOCK_SUFFIX
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            if _lock_is_stale(lock):
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+                continue
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"writer lock {lock} held by a live writer — "
+                    "rewrites are single-writer per table; retry after "
+                    "it finishes or remove the lock if provably dead"
+                )
+            time.sleep(0.1)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
 def _swap_in(path: str, tmp: str, _retries: int = 3) -> None:
     """Two-rename swap with a recoverable window (see recover_swap).
 
@@ -107,21 +179,22 @@ def _rewrite_without(
     spark: SparkSession, path: str, keep_runs: list[str], schema=None,
     precompressed: bool = False,
 ):
-    recover_swap(path)
-    if not os.path.exists(path):
-        return
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    df = reader.parquet(path).filter(F.col("run_id").isin(keep_runs))
-    tmp = path + ".retention_tmp"
-    w = df.write.mode("overwrite")
-    if precompressed:  # stripe blobs are engine-compressed already
-        w = w.option("compression", "none").option(
-            "parquet.enable.dictionary", "false"
-        )
-    w.parquet(tmp)
-    _swap_in(path, tmp)
+    with writer_lock(path):
+        recover_swap(path)
+        if not os.path.exists(path):
+            return
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(path).filter(F.col("run_id").isin(keep_runs))
+        tmp = path + ".retention_tmp"
+        w = df.write.mode("overwrite")
+        if precompressed:  # stripe blobs are engine-compressed already
+            w = w.option("compression", "none").option(
+                "parquet.enable.dictionary", "false"
+            )
+        w.parquet(tmp)
+        _swap_in(path, tmp)
 
 
 def prune_history(

@@ -37,13 +37,14 @@ def _atomic_overwrite(batch_df, path: str) -> None:
     table — only the old complete one or the new complete one
     (ADVICE r4: the plain ``mode("overwrite")`` sink had a torn-read
     window per micro-batch)."""
-    retention.recover_swap(path)
-    tmp = path + ".retention_tmp"
-    batch_df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        retention._swap_in(path, tmp)
-    else:
-        os.rename(tmp, path)
+    with retention.writer_lock(path):
+        retention.recover_swap(path)
+        tmp = path + ".retention_tmp"
+        batch_df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            retention._swap_in(path, tmp)
+        else:
+            os.rename(tmp, path)
 
 
 def incremental_encode(
@@ -329,13 +330,14 @@ def compact_dedup_updates(spark: SparkSession, output_dir: str) -> int:
             F.col("_s.state_epoch").alias("state_epoch"),
         )
     )
-    retention.recover_swap(base_dir)
-    tmp = base_dir + ".retention_tmp"
-    folded.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(base_dir):
-        retention._swap_in(base_dir, tmp)
-    else:
-        os.rename(tmp, base_dir)
+    with retention.writer_lock(base_dir):
+        retention.recover_swap(base_dir)
+        tmp = base_dir + ".retention_tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(base_dir):
+            retention._swap_in(base_dir, tmp)
+        else:
+            os.rename(tmp, base_dir)
     for d in delta_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(delta_dirs)

@@ -202,3 +202,39 @@ def test_sigkill_between_swap_renames_leaves_table_readable(spark, tmp_path):
     shutil.copytree(sdir, sdir + retention._SWAP_OLD)
     assert retention.recover_swap(sdir) is False
     assert not os.path.exists(sdir + retention._SWAP_OLD)
+
+
+def test_writer_lock_serializes_and_breaks_stale(tmp_path):
+    """ADVICE r4 #1: rewrites take an advisory O_EXCL writer lock —
+    a second writer times out while the first holds it, a lock whose
+    holder pid is dead is broken, and the lock always releases."""
+    import os
+
+    import pytest
+
+    from orc_spark.engine import retention
+
+    path = str(tmp_path / "stripes")
+    with retention.writer_lock(path):
+        assert os.path.exists(path + retention._LOCK_SUFFIX)
+        with pytest.raises(TimeoutError, match="writer lock"):
+            with retention.writer_lock(path, timeout_s=0.3):
+                pass
+    assert not os.path.exists(path + retention._LOCK_SUFFIX)
+
+    # stale: write a lock owned by a pid that cannot exist, then acquire
+    lock = path + retention._LOCK_SUFFIX
+    with open(lock, "w") as fh:
+        fh.write("999999999 0")
+    assert retention._lock_is_stale(lock)
+    with retention.writer_lock(path, timeout_s=1.0):
+        pass  # broke the stale lock and took it
+    assert not os.path.exists(lock)
+
+    # garbled lock: treated as live -> contender times out
+    with open(lock, "w") as fh:
+        fh.write("not-a-pid")
+    with pytest.raises(TimeoutError):
+        with retention.writer_lock(path, timeout_s=0.3):
+            pass
+    os.unlink(lock)
