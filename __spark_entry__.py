@@ -564,6 +564,44 @@ ORDER BY event_id
 """
 
 
+def _q_sorted_topn(spark, sf_dir):
+    """Top-N pushdown over the sorted publish (storage.topn_sorted):
+    the range-disjoint manifest turns 'first N rows by key' into a
+    planning decision — scan only the minimal file prefix whose
+    cumulative row count covers N (at 10^12 rows in 4096 parts, a
+    top-1000 reads ONE part). In-query guards: the plan must actually
+    prune (files_scanned < files_total) and both top-N directions are
+    exercised — ascending rows are returned, the descending pass must
+    agree with a full-sort check on max key."""
+    from orc_spark.engine import pipeline, storage
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_tn_")
+    dest = tempfile.mkdtemp(prefix="orcspark_entry_tndest_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id=f"entry-tn-{uuid.uuid4().hex[:8]}",
+        key="event_id", columns=["event_id", "value"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    manifest = storage.export_sorted(
+        spark, out, cfg.run_id, ev.schema, "event_id", dest, n_files=8
+    )
+    top, scanned, total = storage.topn_sorted(
+        spark, manifest, "event_id", 200
+    )
+    if not (scanned < total):
+        raise AssertionError(
+            f"top-N did not prune: scanned {scanned}/{total} files"
+        )
+    bot, b_scanned, _ = storage.topn_sorted(
+        spark, manifest, "event_id", 1, ascending=False
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    if b_scanned != 1 or int(bot.first().event_id) != mx:
+        raise AssertionError("descending top-1 disagrees with MAX")
+    return top.orderBy("event_id")
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Co-located join via bucketed publish (storage.export_bucketed):
     lineitem and orders decode out of their runs into catalog tables
@@ -4668,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_export": _q_partitioned_export,
         "bucketed_join": _q_bucketed_join,
         "sorted_export": _q_sorted_export,
+        "sorted_topn": _q_sorted_topn,
         "decode_projection": _q_decode_projection,
         "stats_sample_documents": _q_stats_sample_documents,
         "skew_report_documents": _q_skew_report_documents,
@@ -5119,6 +5158,10 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_export": _PARTITIONED_EXPORT_SQL,
         "bucketed_join": _BUCKETED_JOIN_SQL,
         "sorted_export": _SORTED_EXPORT_SQL,
+        "sorted_topn": (
+            "SELECT event_id, value FROM events "
+            "ORDER BY event_id LIMIT 200"
+        ),
         "roundtrip_dict_lang": "SELECT doc_id, lang, source FROM documents",
         "roundtrip_prefix_url": _ROUNDTRIP_PREFIX_URL_SQL,
         "roundtrip_lzma_cold": "SELECT doc_id, text, lang FROM documents",

@@ -322,3 +322,44 @@ def export_sorted(
         )
         .orderBy("lo")
     )
+
+
+def topn_sorted(
+    spark: SparkSession,
+    manifest,
+    sort_col: str,
+    n: int,
+    ascending: bool = True,
+):
+    """Top-N pushdown over a :func:`export_sorted` publish: because
+    the manifest's file ranges are DISJOINT (repartitionByRange
+    co-locates equal keys), 'first N rows by sort_col' is a planning
+    decision — order the manifest, take the minimal file prefix whose
+    cumulative n_rows >= N, and scan ONLY those files. Every unpicked
+    file's range lies strictly beyond the picked prefix, so the result
+    is exact. At 10^12 rows in 4096 sorted parts, a top-1000 reads one
+    part file instead of the table; the manifest itself is O(n_files)
+    rows — driver-side by construction, like any planner's file list.
+
+    Returns (DataFrame of the top-N rows, files_scanned, files_total).
+    """
+    from pyspark.sql import functions as F
+
+    rows = manifest.orderBy(
+        F.asc("lo") if ascending else F.desc("hi")
+    ).collect()
+    if n <= 0:
+        raise ValueError("n must be positive")
+    picked, cum = [], 0
+    for r in rows:
+        picked.append(r.file)
+        cum += r.n_rows
+        if cum >= n:
+            break
+    if not picked:
+        raise ValueError("empty manifest — nothing published")
+    df = spark.read.parquet(*picked)
+    out = df.orderBy(
+        F.asc(sort_col) if ascending else F.desc(sort_col)
+    ).limit(int(n))
+    return out, len(picked), len(rows)

@@ -260,3 +260,61 @@ def test_export_sorted_range_disjoint_files(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_topn_sorted_prunes_files_and_is_exact(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, storage
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="t", key="event_id",
+        n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    dest = str(tmp_path / "sorted")
+    man = storage.export_sorted(
+        spark, cfg.out_dir, "t", ev.schema, "event_id", dest, n_files=4
+    )
+    n_total = ev.count()
+    per_file = n_total // 4
+
+    # top-N inside the first file scans exactly one file
+    top, scanned, total = storage.topn_sorted(
+        spark, man, "event_id", per_file // 2
+    )
+    assert (scanned, total) == (1, 4)
+    want = [
+        r.event_id
+        for r in ev.orderBy("event_id").limit(per_file // 2).collect()
+    ]
+    assert [r.event_id for r in top.collect()] == want
+
+    # N spanning two files scans two; descending symmetric
+    _, scanned2, _ = storage.topn_sorted(
+        spark, man, "event_id", per_file + 1
+    )
+    assert scanned2 == 2
+    bot, b_scanned, _ = storage.topn_sorted(
+        spark, man, "event_id", 3, ascending=False
+    )
+    assert b_scanned == 1
+    want_desc = [
+        r.event_id
+        for r in ev.orderBy(F.desc("event_id")).limit(3).collect()
+    ]
+    assert [r.event_id for r in bot.collect()] == want_desc
+
+    # N >= table scans everything and returns every row
+    allr, a_scanned, _ = storage.topn_sorted(
+        spark, man, "event_id", n_total + 10
+    )
+    assert a_scanned == 4
+    assert allr.count() == n_total
+
+    with pytest.raises(ValueError, match="positive"):
+        storage.topn_sorted(spark, man, "event_id", 0)
