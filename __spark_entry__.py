@@ -3239,6 +3239,35 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _q_dedup_keeper_policy(spark, sf_dir):
+    """Keeper-policy dedup (dedup.exact_dedup_by): duplicates differ
+    in provenance, and the pipeline keeps the copy from the most
+    trusted source, not the smallest id. A mirror crawl of every doc
+    (new ids +100000, source='mirror') is unioned in and the policy
+    prefers mirrors — so every keeper is one min-id would NEVER pick,
+    which the in-query guard pins. One map-side-combined groupBy; the
+    policy is a struct-min aggregate, no per-group window sort."""
+    from orc_spark.textops import dedup
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mirror = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    corpus = docs.unionByName(mirror)
+    trust = F.when(F.col("source") == "mirror", F.lit(0)).otherwise(F.lit(1))
+    out = dedup.exact_dedup_by(corpus, prefer=[trust])
+    n_bad = out.filter(F.col("keeper_id") < 100000).count()
+    if n_bad:
+        raise AssertionError(
+            f"{n_bad} keepers ignored the trust policy (min-id leak)"
+        )
+    return out
+
+
 def _q_token_stats(spark, sf_dir):
     from orc_spark.textops import analysis
 
@@ -4574,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dimensions": _q_media_dimensions,
         "media_metadata": _q_media_metadata,
         "dedup_exact": _q_dedup_exact,
+        "dedup_keeper_policy": _q_dedup_keeper_policy,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
         "quality_score": _q_quality_score,
@@ -5118,6 +5148,21 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": analysis.NORMALIZED_DEDUP_SQL.format(table="documents"),
         "quality_score": analysis.quality_score_sql("documents"),
         "dedup_exact": analysis.EXACT_DEDUP_SQL.format(table="documents"),
+        "dedup_keeper_policy": (
+            "WITH corpus AS ("
+            "SELECT doc_id, text, source FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 100000, text, 'mirror' FROM documents"
+            "), ranked AS ("
+            "SELECT sha256(text) AS content_sha, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY "
+            "CASE WHEN source = 'mirror' THEN 0 ELSE 1 END, doc_id"
+            ") AS rn, "
+            "COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies "
+            "FROM corpus) "
+            "SELECT content_sha, CAST(doc_id AS BIGINT) AS keeper_id, "
+            "n_copies FROM ranked WHERE rn = 1 ORDER BY content_sha"
+        ),
         "token_stats": analysis.TOKEN_STATS_SQL.format(table="documents"),
         "fingerprint": analysis.FINGERPRINT_SQL.format(table="documents"),
         "ann_brute_force": _ANN_BRUTE_FORCE_SQL,

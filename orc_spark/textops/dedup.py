@@ -41,6 +41,44 @@ def exact_dedup(
     return out.orderBy("content_sha") if sort else out
 
 
+def exact_dedup_by(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefer=(),
+    sort: bool = True,
+) -> DataFrame:
+    """Exact dedup with a KEEPER POLICY: instead of min-id, the kept
+    copy per distinct text is the minimum under ``prefer`` —
+    an ordered list of columns/Column expressions (ascending struct
+    order; negate numerics or rank strings for descending) with
+    ``id_col`` as the final deterministic tie-break. The real-pipeline
+    knob this encodes: duplicates differ in provenance, and you keep
+    the copy from the most trusted source (or the highest quality
+    score via ``-score``), not the one with the smallest id.
+
+    Same scale shape as :func:`exact_dedup`: ONE map-side-combined
+    groupBy on the content hash — the policy rides a struct-min
+    aggregate (partial aggregation keeps combiners effective), never a
+    per-group window sort."""
+    ordering = [
+        (F.col(c) if isinstance(c, str) else c) for c in prefer
+    ] + [F.col(id_col)]
+    best = F.min(
+        F.struct(*[o.alias(f"_o{i}") for i, o in enumerate(ordering)])
+    ).alias("_best")
+    out = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "content_sha",
+            F.col(f"_best._o{len(ordering) - 1}").alias("keeper_id"),
+            "n_copies",
+        )
+    )
+    return out.orderBy("content_sha") if sort else out
+
+
 def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Only the groups with >1 copy (the actual duplicates)."""
     return exact_dedup(df, text_col, id_col).filter(F.col("n_copies") > 1)

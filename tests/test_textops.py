@@ -778,3 +778,37 @@ def test_quality_deciles_bucketing(spark):
     # mean word length is constant ("tok"): every tie lands decile 1
     assert {out[i].d_wlen for i in range(20)} == {1}
     assert abs(out[19].ensemble_r - (10 + 1 + 1) / 3.0) < 1e-6
+
+
+def test_exact_dedup_by_keeper_policy(spark):
+    """Policy keeper: prefer the higher score (via negation), then the
+    lower id on ties — and the result genuinely differs from min-id."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.textops import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa", 0.2),
+            (2, "aaa", 0.9),   # higher score wins over lower id
+            (3, "aaa", 0.9),   # tie -> lower id among the tied
+            (10, "bbb", 0.5),  # singleton keeps itself
+        ],
+        "doc_id bigint, text string, score double",
+    )
+    got = {
+        r.keeper_id: r.n_copies
+        for r in dedup.exact_dedup_by(
+            df, prefer=[-F.col("score")]
+        ).collect()
+    }
+    assert got == {2: 3, 10: 1}
+    plain = {
+        r.keeper_id for r in dedup.exact_dedup(df).collect()
+    }
+    assert plain == {1, 10}  # min-id picks a different keeper
+    # no prefer columns -> degenerates to exact_dedup's min-id rule
+    degen = {
+        r.keeper_id for r in dedup.exact_dedup_by(df).collect()
+    }
+    assert degen == {1, 10}
