@@ -2720,6 +2720,42 @@ def _q_jsonl_ingest(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_csv_ingest(spark, sf_dir):
+    """CSV admission (sources.csvfile — RFC 4180 with enforced schema):
+    documents round-trip through gzipped quoted CSV, one seeded
+    corrupt shard (type-garbled id + broken quoting) is
+    counted-not-dropped (PERMISSIVE + _corrupt_record), and the clean
+    rows flow through the ordinary encode pipeline and back. The
+    oracle recomputes the decoded projection from the source table, so
+    CSV quoting/escaping, the gzip hop, the corrupt-line exclusion,
+    and the encode round-trip must all be lossless per doc_id."""
+    from orc_spark.engine import pipeline
+    from orc_spark.sources import csvfile
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src_dir = tempfile.mkdtemp(prefix="orcspark_entry_csv_")
+    csvfile.write_csv(docs.repartition(4, "doc_id"), src_dir)
+    with open(os.path.join(src_dir, "part-corrupt.csv"), "w") as fh:
+        fh.write("doc_id,text,lang\n")
+        fh.write('not_an_int,"oops,en\n')
+    clean, n_corrupt = csvfile.read_csv(
+        spark, src_dir, docs.schema, multi_line=True
+    )
+    if n_corrupt != 1:
+        raise AssertionError(f"expected 1 corrupt line, saw {n_corrupt}")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_csv_store_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="csv", key="doc_id",
+        columns=["doc_id", "text", "lang"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, clean, cfg)
+    return pipeline.decode_job(
+        spark, out, "csv", clean.schema
+    ).orderBy("doc_id")
+
+
 def _q_warc_ingest(spark, sf_dir):
     """r5 WARC admission (sources.warc — ISO 28500 / Common-Crawl
     response records, the north rule's native input format): documents
@@ -4756,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_interchange": _q_orc_interchange,
         "warc_ingest": _q_warc_ingest,
         "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
         "changelog_read": _q_changelog_read,
         "wap_publish": _q_wap_publish,
         "failure_categories": _q_failure_categories,
@@ -4941,6 +4978,9 @@ def oracle_sql() -> dict[str, str]:
             "text FROM documents"
         ),
         "jsonl_ingest": (
+            "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+        ),
+        "csv_ingest": (
             "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
         ),
         "streaming_jsonl_dlq": (
