@@ -893,6 +893,43 @@ def _q_in_list_decode(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_compact_fragmented(spark, sf_dir):
+    """Targeted bin-pack compaction (pipeline.compact_fragmented —
+    Iceberg rewrite_data_files binpack-with-filter): fragmentation is
+    detected from METADATA alone, only the fragmented partitions are
+    decoded and rewritten at the next epoch in place (no new run), and
+    cost scales with fragmentation rather than table size — the shape
+    a streaming-peppered 100 TB table needs. The query encodes tiny
+    stripes, compacts fragmented-only, asserts the stripe count shrank
+    AND that a second pass finds nothing left to do; the oracle pins
+    bit-identical rows after the in-place epoch flip."""
+    from orc_spark.engine import pipeline
+
+    cols = ["doc_id", "text", "lang"]
+    df = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_entry_cf_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="cf", key="doc_id", columns=cols,
+        n_partitions=4, stripe_rows=32,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    rep = pipeline.compact_fragmented(
+        spark, out, "cf", df.schema, target_stripe_rows=65536
+    )
+    if rep["partitions_compacted"] != 4:
+        raise AssertionError(f"expected 4 fragmented partitions: {rep}")
+    if not rep["stripes_after"] < rep["stripes_before"]:
+        raise AssertionError(f"no shrink: {rep}")
+    rep2 = pipeline.compact_fragmented(
+        spark, out, "cf", df.schema, target_stripe_rows=65536
+    )
+    if rep2["partitions_compacted"] != 0:
+        raise AssertionError(f"second pass found work: {rep2}")
+    return pipeline.decode_job(
+        spark, out, "cf", df.schema
+    ).orderBy("doc_id")
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """Stripe compaction (pipeline.compact_run — ORC file-merge /
     Iceberg rewrite-data-files semantics): encode documents into
@@ -4731,6 +4768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_auto": _q_roundtrip_lineitem_auto,
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
+        "compact_fragmented": _q_compact_fragmented,
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
         "type_promotion_decode": _q_type_promotion_decode,
@@ -5209,6 +5247,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "roundtrip_fsst_text": "SELECT doc_id, text FROM documents",
         "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "compact_fragmented": (
+            "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+        ),
         "vacuum_reclaim": "SELECT doc_id, text, lang FROM documents",
         "type_promotion_decode": _TYPE_PROMOTION_SQL,
         "schema_evolution": (

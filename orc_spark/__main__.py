@@ -332,6 +332,17 @@ def cmd_compact(args) -> int:
 
     spark = _session(args.cores)
     schema = spark.read.parquet(args.schema_from).schema
+    if args.fragmented_only:
+        rep = pipeline.compact_fragmented(
+            spark, args.out, args.run_id, schema,
+            target_stripe_rows=args.stripe_rows,
+            frag_ratio=args.frag_ratio,
+            compression=(
+                None if args.compression == "none" else args.compression
+            ),
+        )
+        print(json.dumps(rep))
+        return EXIT_OK
     res = pipeline.compact_run(
         spark, args.out, args.run_id, schema, key=args.key,
         new_run_id=args.new_run_id,
@@ -1033,6 +1044,13 @@ def main(argv: list[str] | None = None) -> int:
         "--compression", choices=["zlib", "lzma", "none"], default="zlib"
     )
     cp.add_argument("--cluster-by", default=None)
+    cp.add_argument(
+        "--fragmented-only", action="store_true",
+        help="targeted bin-pack: rewrite only partitions whose kept "
+        "stripes average below --frag-ratio * --stripe-rows (new "
+        "epoch in place; cost ~ fragmentation, not table size)",
+    )
+    cp.add_argument("--frag-ratio", type=float, default=0.5)
     cp.set_defaults(fn=cmd_compact)
 
     rep = sub.add_parser("report", help="render a run report")

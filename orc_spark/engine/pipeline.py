@@ -357,6 +357,141 @@ def compact_run(
     return run_encode_job(spark, df, cfg)
 
 
+def compact_fragmented(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    schema,
+    target_stripe_rows: int = 65536,
+    frag_ratio: float = 0.5,
+    compression: str | None = "zlib",
+    compression_level: int = 1,
+) -> dict:
+    """Targeted bin-pack compaction (Iceberg ``rewrite_data_files``
+    binpack-with-filter analogue): find the partitions whose KEPT
+    stripes are fragmented — more than one stripe and mean rows/stripe
+    below ``frag_ratio * target_stripe_rows`` — from metadata alone,
+    decode ONLY those partitions, and re-encode their rows at the
+    run's next epoch with fat ``target_stripe_rows`` stripes.
+
+    The epoch machinery does the rest: per partition, readers prefer
+    the newest complete epoch, so compacted partitions flip to the fat
+    stripes while untouched partitions keep reading their existing
+    epoch, and :func:`~orc_spark.engine.retention.vacuum_epochs`
+    physically reclaims the superseded small stripes. Unlike
+    :func:`compact_run` (whole-table rewrite into a new run), cost is
+    proportional to FRAGMENTATION, not table size — the right shape
+    after streaming micro-batches have peppered a 100 TB table with
+    small tail stripes. Position deletes on compacted partitions are
+    materialized by the decode (the rewritten epoch starts clean);
+    deletes on untouched partitions stay live.
+
+    Partition identity (key/salt/n_partitions) comes from the run's
+    persisted config, so re-encoded rows land on their original
+    partition ids by construction — and a guard verifies it.
+
+    Returns {partitions_compacted, stripes_before, stripes_after,
+    epoch} (stripe counts are per-column stripe GROUPS of the
+    compacted partitions).
+    """
+    stored = load_run_config(out_dir, run_id) or {}
+    key = stored.get("key")
+    if key is None:
+        raise ValueError(
+            f"run {run_id!r} has no persisted config — targeted "
+            "compaction needs the original partition identity"
+        )
+    n_partitions = int(stored.get("n_partitions") or 32)
+    salt = int(stored.get("salt", 42))
+    columns = [f.name for f in schema.fields]
+    want = set(columns)
+
+    stripes = read_stripes(spark, out_dir, run_id)
+    meta = _epoch_keep_filter(spark, stripes, want).drop("data").filter(
+        F.col("column").isin(columns)
+    )
+    # stripe GROUPS are column-aligned: count one representative column
+    rep = meta.filter(F.col("column") == columns[0])
+    per_pid = (
+        rep.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_stripes"),
+            F.avg("n_rows").alias("avg_rows"),
+        )
+        .collect()  # one row per partition: planner-scale
+    )
+    frag = sorted(
+        int(r.partition_id)
+        for r in per_pid
+        if r.n_stripes > 1 and r.avg_rows < frag_ratio * target_stripe_rows
+    )
+    before = sum(
+        int(r.n_stripes) for r in per_pid if int(r.partition_id) in set(frag)
+    )
+    if not frag:
+        return {
+            "partitions_compacted": 0, "stripes_before": 0,
+            "stripes_after": 0, "epoch": None,
+        }
+
+    groups_df = (
+        rep.filter(F.col("partition_id").isin(frag))
+        .select("partition_id", "epoch", "stripe_idx")
+    )
+    df = decode_job(
+        spark, out_dir, run_id, schema, columns=columns,
+        _only_groups=groups_df,
+    )
+    wave_df = skew.salted_repartition(
+        df.select(columns), n_partitions, key, salt
+    )
+    plans = selector.plan_for_schema(
+        _arrow_schema(df.select(columns)), stored.get("overrides")
+    )
+    epoch = lineage_mod.next_epoch(spark, out_dir, run_id)
+    new_stripes = encode_mod.encode_stage(
+        wave_df, plans, run_id,
+        stored.get("size_budget_ratio", encode_mod.DEFAULT_SIZE_BUDGET),
+        epoch=epoch,
+        compression=compression,
+        compression_level=compression_level,
+        stripe_rows=target_stripe_rows,
+        bloom_index=bool(stored.get("bloom_index", True)),
+        token_bloom_columns=tuple(stored.get("token_bloom_columns") or ()),
+    )
+    storage.append_table(
+        new_stripes, lineage_mod.stripes_dir(out_dir), precompressed=True
+    )
+    written = (
+        read_stripes(spark, out_dir, run_id)
+        .filter(F.col("epoch") == epoch)
+        .drop("data")
+        .cache()
+    )
+    got_pids = {
+        int(r.partition_id)
+        for r in written.select("partition_id").distinct().collect()
+    }
+    if not got_pids <= set(frag):
+        raise AssertionError(
+            f"compacted rows landed outside the fragmented partitions "
+            f"({sorted(got_pids - set(frag))}) — partition identity drift"
+        )
+    lineage_mod.append_lineage(
+        lineage_mod.lineage_from_stripes(written), out_dir
+    )
+    after = (
+        written.filter(F.col("column") == columns[0]).count()
+    )
+    written.unpersist()
+    return {
+        "partitions_compacted": len(frag),
+        "stripes_before": int(before),
+        "stripes_after": int(after),
+        "epoch": int(epoch),
+    }
+
+
 def merge_runs(
     spark: SparkSession,
     out_dir: str,

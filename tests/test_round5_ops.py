@@ -797,3 +797,89 @@ class TestLabelCentroids:
         out = {r.label: r for r in similarity.label_centroids(df).collect()}
         assert out[0].centroid == [2.0, 1.0] and out[0].n_vectors == 2
         assert out[1].centroid == [10.0, 10.0] and out[1].n_vectors == 1
+
+
+class TestCompactFragmented:
+    def test_binpacks_only_fragmented_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from orc_spark.engine import pipeline, retention
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 13).cast("string").alias("lang"),
+        )
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / "r"), run_id="frag", key="doc_id",
+            columns=["doc_id", "lang"], n_partitions=4, stripe_rows=64,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        before = pipeline.decode_job(
+            spark, cfg.out_dir, "frag", df.schema
+        ).collect()
+
+        rep = pipeline.compact_fragmented(
+            spark, cfg.out_dir, "frag", df.schema,
+            target_stripe_rows=65536,
+        )
+        assert rep["partitions_compacted"] == 4
+        assert rep["stripes_after"] == 4  # one fat stripe per partition
+        assert rep["stripes_before"] > rep["stripes_after"]
+
+        after = pipeline.decode_job(
+            spark, cfg.out_dir, "frag", df.schema
+        ).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+        # already compacted -> nothing is fragmented any more
+        rep2 = pipeline.compact_fragmented(
+            spark, cfg.out_dir, "frag", df.schema,
+            target_stripe_rows=65536,
+        )
+        assert rep2["partitions_compacted"] == 0
+
+        # vacuum physically reclaims the superseded small stripes
+        reclaimed = retention.vacuum_epochs(
+            spark, cfg.out_dir, run_id="frag"
+        )
+        final = pipeline.decode_job(
+            spark, cfg.out_dir, "frag", df.schema
+        ).collect()
+        assert sorted(map(tuple, final)) == sorted(map(tuple, before))
+        assert reclaimed  # something was removed
+
+    def test_materializes_position_deletes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from orc_spark.engine import deletes as deletes_mod
+        from orc_spark.engine import pipeline
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("lang"),
+        )
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / "r"), run_id="fragdel", key="doc_id",
+            columns=["doc_id", "lang"], n_partitions=2, stripe_rows=64,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        pipeline.delete_rows(
+            spark, cfg.out_dir, "fragdel", df.schema,
+            [("doc_id", "==", 123)],
+        )
+        want = sorted(
+            map(tuple, pipeline.decode_job(
+                spark, cfg.out_dir, "fragdel", df.schema
+            ).collect())
+        )
+        assert len(want) == 499
+        pipeline.compact_fragmented(
+            spark, cfg.out_dir, "fragdel", df.schema,
+            target_stripe_rows=65536,
+        )
+        got = sorted(
+            map(tuple, pipeline.decode_job(
+                spark, cfg.out_dir, "fragdel", df.schema
+            ).collect())
+        )
+        assert got == want
