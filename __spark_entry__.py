@@ -3069,6 +3069,34 @@ def _q_streaming_jsonl_dlq(spark, sf_dir):
     return dec.orderBy("doc_id")
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (ingest.streaming_enrich):
+    the event stream left-joins the customer dimension per micro-batch
+    as a broadcast hash join — stateless (no state store, no
+    watermark), restart cost is just the source offset log, and the
+    static side re-resolves every trigger so a slowly-changing dim is
+    picked up batch-to-batch. Two-file batching forces at least two
+    triggers; LEFT semantics mean an enrichment miss never drops an
+    event. The oracle is the plain relational left join."""
+    from orc_spark.streaming import ingest
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    in_dir = tempfile.mkdtemp(prefix="orcspark_enrich_in_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_enrich_ckpt_")
+    ev.repartition(2).write.mode("append").parquet(in_dir)
+    out = ingest.streaming_enrich(
+        spark, in_dir, ev.schema, dim, ckpt,
+        stream_key="user_id", dim_key="c_custkey",
+        max_files_per_trigger=1,
+    )
+    return out.orderBy("event_id")
+
+
 def _q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window rollup (append mode): per (7-day
     window, event_type) COUNT + SUM emitted exactly once when the
@@ -4838,6 +4866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_dedup_update": _q_streaming_dedup_update,
         "streaming_jsonl_dlq": _q_streaming_jsonl_dlq,
+        "streaming_enrich": _q_streaming_enrich,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_interval_join": _q_streaming_interval_join,
@@ -5029,6 +5058,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": analysis.EXACT_DEDUP_SQL.format(table="documents"),
         "streaming_dedup_update": analysis.EXACT_DEDUP_SQL.format(
             table="documents"
+        ),
+        "streaming_enrich": (
+            "SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment "
+            "FROM events e LEFT JOIN customer c "
+            "ON e.user_id = c.c_custkey ORDER BY e.event_id"
         ),
         "streaming_window_counts": _WINDOW_COUNTS_SQL,
         "streaming_sessionize": _STREAM_SESSION_SQL,

@@ -422,6 +422,56 @@ def windowed_event_counts(
     return spark.table(name)
 
 
+def streaming_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    dim_df: DataFrame,
+    checkpoint_dir: str,
+    stream_key: str,
+    dim_key: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the stateless member of
+    the streaming-join family (streaming_interval_join is the stateful
+    stream-stream one): every micro-batch of the growing event
+    directory left-joins the small static dimension table (user
+    attributes, domain metadata) as an ordinary broadcast hash join.
+
+    Scale plan: NO state store and no watermark — stream-static joins
+    are per-batch pure, so restart cost is just the source offset log;
+    the dim broadcasts once per batch (Spark re-resolves the static
+    plan each trigger, which is exactly what a slowly-changing dim
+    wants — replace the underlying table and the next batch picks it
+    up). LEFT semantics keep unmatched stream rows: an enrichment miss
+    must never drop an event.
+
+    Returns the cumulative appended rows as a batch DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    name = "enrich_" + os.path.basename(checkpoint_dir).replace("-", "_")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    joined = stream.join(
+        F.broadcast(dim_df),
+        stream[stream_key] == dim_df[dim_key],
+        "left",
+    ).drop(dim_key)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_dir: str,

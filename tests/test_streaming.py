@@ -418,3 +418,33 @@ def test_streaming_interval_join_matches_within_range_only(spark, tmp_path):
     )
     got = sorted((r.user_id, r.l_id, r.r_id) for r in out.collect())
     assert got == [(1, 10, 11), (2, 20, 22)], got
+
+
+def test_streaming_enrich_broadcast_left_join(spark, tmp_path):
+    """Stream-static enrichment: multi-trigger (one file per batch),
+    LEFT semantics keep unmatched rows with a NULL attribute, and
+    matched rows carry the dim value."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.streaming import ingest
+
+    ev = spark.createDataFrame(
+        [(i, i % 4, f"t{i % 2}") for i in range(40)],
+        "event_id bigint, user_id bigint, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")],  # user 3 missing
+        "c_custkey bigint, seg string",
+    )
+    in_dir = str(tmp_path / "in")
+    ev.repartition(2).write.mode("append").parquet(in_dir)
+    out = ingest.streaming_enrich(
+        spark, in_dir, ev.schema, dim, str(tmp_path / "ckpt"),
+        stream_key="user_id", dim_key="c_custkey",
+        max_files_per_trigger=1,
+    )
+    rows = {r.event_id: r.seg for r in out.collect()}
+    assert len(rows) == 40  # no event dropped
+    for eid, seg in rows.items():
+        want = {0: "gold", 1: "silver", 2: "bronze", 3: None}[eid % 4]
+        assert seg == want, (eid, seg)
