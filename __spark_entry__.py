@@ -893,6 +893,77 @@ def _q_in_list_decode(spark, sf_dir):
     ).filter(zonemap.predicate_expr(pred))
 
 
+def _q_stripe_bytes_target(spark, sf_dir):
+    """Byte-targeted striping (encode_stage stripe_bytes — the public
+    ORC writer's actual orc.stripe.size contract, bytes not rows): the
+    per-partition row target derives from the first batch's measured
+    bytes/row, so a wide text table gets few rows per stripe and a
+    narrow int table gets many, keeping per-stripe executor memory
+    flat across heterogeneous row widths. In-query guards: the narrow
+    run must pack >=2x more rows/stripe than the wide run under the
+    SAME byte target (at this SF the narrow run saturates its whole
+    partition in one stripe), and interior stripes of the wide run
+    must land within 2x of the target. Oracle pins the bit-identical
+    decode."""
+    from orc_spark.engine import pipeline
+
+    target = 64 * 1024
+    runs = {}
+    out = tempfile.mkdtemp(prefix="orcspark_entry_sb_")
+    for rid, cols in (
+        ("wide", ["doc_id", "text"]),
+        ("narrow", ["doc_id", "n_chars"]),
+    ):
+        df = _load(spark, sf_dir, "documents").select(cols)
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=out, run_id=rid, key="doc_id", columns=cols,
+            n_partitions=2, stripe_bytes=target,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+        meta = (
+            pipeline.read_stripes(spark, out, rid)
+            .filter(F.col("column") == "doc_id")
+            .groupBy("partition_id")
+            .agg(
+                F.avg("n_rows").alias("rows_per_stripe"),
+                F.count(F.lit(1)).alias("n_stripes"),
+            )
+            .collect()
+        )
+        runs[rid] = {
+            "rows_per_stripe": sum(r.rows_per_stripe for r in meta)
+            / len(meta),
+            "df": df,
+        }
+    if not (
+        runs["narrow"]["rows_per_stripe"]
+        >= 2 * runs["wide"]["rows_per_stripe"]
+    ):
+        raise AssertionError(
+            f"byte targeting did not adapt to row width: {runs}"
+        )
+    # interior wide stripes near target: sum bytes_in across columns
+    per_group = (
+        pipeline.read_stripes(spark, out, "wide")
+        .groupBy("partition_id", "stripe_idx")
+        .agg(F.sum("bytes_in").alias("b"), F.max("stripe_idx"))
+        .collect()
+    )
+    by_pid = {}
+    for r in per_group:
+        by_pid.setdefault(r.partition_id, []).append((r.stripe_idx, r.b))
+    for pid, groups in by_pid.items():
+        interior = [b for i, b in sorted(groups)[:-1]]  # drop remainder
+        for b in interior:
+            if not (target / 2 <= b <= 2 * target):
+                raise AssertionError(
+                    f"interior stripe {b}B misses target {target}B"
+                )
+    return pipeline.decode_job(
+        spark, out, "wide", runs["wide"]["df"].schema
+    ).orderBy("doc_id")
+
+
 def _q_compact_fragmented(spark, sf_dir):
     """Targeted bin-pack compaction (pipeline.compact_fragmented —
     Iceberg rewrite_data_files binpack-with-filter): fragmentation is
@@ -4797,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_auto": _q_roundtrip_documents_auto,
         "compact_roundtrip": _q_compact_roundtrip,
         "compact_fragmented": _q_compact_fragmented,
+        "stripe_bytes_target": _q_stripe_bytes_target,
         "vacuum_reclaim": _q_vacuum_reclaim,
         "schema_evolution": _q_schema_evolution,
         "type_promotion_decode": _q_type_promotion_decode,
@@ -5283,6 +5355,9 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "compact_fragmented": (
             "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+        ),
+        "stripe_bytes_target": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
         "vacuum_reclaim": "SELECT doc_id, text, lang FROM documents",
         "type_promotion_decode": _TYPE_PROMOTION_SQL,

@@ -109,6 +109,7 @@ def cmd_encode(args) -> int:
         compression=None if args.compression == "none" else args.compression,
         compression_level=args.compression_level,
         stripe_rows=args.stripe_rows,
+        stripe_bytes=getattr(args, "stripe_bytes", None),
         token_bloom_columns=tuple(
             c.strip()
             for c in (getattr(args, "token_bloom", None) or "").split(",")
@@ -918,6 +919,13 @@ def main(argv: list[str] | None = None) -> int:
         "--stripe-rows", type=int, default=None,
         help="fixed rows per stripe (bounds stripe memory, sets "
         "zone-map granularity; default: one stripe per Arrow batch)",
+    )
+    enc.add_argument(
+        "--stripe-bytes", type=int, default=None,
+        help="target UNCOMPRESSED bytes per stripe instead (ORC "
+        "orc.stripe.size semantics; row target derived per partition "
+        "from measured bytes/row — flat stripe memory across "
+        "heterogeneous row widths); exclusive with --stripe-rows",
     )
     enc.add_argument("--verify", action="store_true")
     enc.set_defaults(fn=cmd_encode)

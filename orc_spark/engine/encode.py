@@ -233,6 +233,7 @@ def encode_stage(
     compression: str | None = None,
     compression_level: int = 1,
     stripe_rows: int | None = None,
+    stripe_bytes: int | None = None,
     bloom_index: bool = True,
     token_bloom_columns: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
@@ -253,7 +254,18 @@ def encode_stage(
     rather than of `spark.sql.execution.arrow.maxRecordsPerBatch` —
     at cluster scale this bounds per-stripe executor memory and sets
     zone-map granularity deterministically.
+
+    ``stripe_bytes`` instead targets a fixed UNCOMPRESSED BYTE volume
+    per stripe — the public ORC writer's actual contract
+    (orc.stripe.size is bytes, not rows): the row target is derived
+    per partition from the first batch's measured bytes/row and
+    clamped to [64, 2^20] rows, so wide text partitions get few fat
+    rows per stripe and narrow int partitions get many — per-stripe
+    executor memory stays flat across heterogeneous row widths, which
+    fixed rows cannot do. Mutually exclusive with ``stripe_rows``.
     """
+    if stripe_rows is not None and stripe_bytes is not None:
+        raise ValueError("pass stripe_rows OR stripe_bytes, not both")
     columns = sorted(plans)
     chains = {c: plans[c].chain for c in columns}
     fault_cols = set((fault_spec or {}).get("columns", ()))
@@ -264,29 +276,35 @@ def encode_stage(
     token_cols = set(token_bloom_columns or ())
 
     def _rechunk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        if stripe_rows is None:
+        if stripe_rows is None and stripe_bytes is None:
             yield from batches
             return
-        # Accumulate-and-slice to exactly stripe_rows per stripe (the
-        # final partial stripe keeps the remainder). Slices are
+        # Accumulate-and-slice to exactly the row target per stripe
+        # (the final partial stripe keeps the remainder). Slices are
         # zero-copy views; only the cross-batch seam concatenates.
+        # In stripe_bytes mode the row target is derived once per
+        # partition from the first batch's measured bytes/row.
+        target = stripe_rows
         pending: list[pa.RecordBatch] = []
         have = 0
         for b in batches:
+            if target is None:  # stripe_bytes mode, first batch seen
+                bpr = max(1, b.nbytes // max(1, b.num_rows))
+                target = max(64, min(1 << 20, int(stripe_bytes // bpr)))
             pending.append(b)
             have += b.num_rows
-            while have >= stripe_rows:
+            while have >= target:
                 tbl = pa.Table.from_batches(pending)
-                head = tbl.slice(0, stripe_rows).combine_chunks()
-                rest = tbl.slice(stripe_rows)
-                yield from head.to_batches(max_chunksize=stripe_rows)
+                head = tbl.slice(0, target).combine_chunks()
+                rest = tbl.slice(target)
+                yield from head.to_batches(max_chunksize=target)
                 pending = rest.to_batches()
                 have = rest.num_rows
         if have:
             yield from (
                 pa.Table.from_batches(pending)
                 .combine_chunks()
-                .to_batches(max_chunksize=stripe_rows)
+                .to_batches(max_chunksize=target)
             )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

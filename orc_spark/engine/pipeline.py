@@ -70,6 +70,12 @@ class EncodeJobConfig:
     # Setting it makes stripe memory footprint and zone-map
     # granularity a job property, not a session-conf side effect.
     stripe_rows: int | None = None
+    # Target UNCOMPRESSED bytes per stripe instead (the ORC writer's
+    # actual orc.stripe.size contract): the per-partition row target
+    # derives from the first batch's measured bytes/row, so stripe
+    # memory stays flat across heterogeneous row widths. Mutually
+    # exclusive with stripe_rows.
+    stripe_bytes: int | None = None
     # {"columns": [...], "partitions": [...]}: deliberate per-stripe
     # failures for resilience tests (see encode_stage).
     fault_spec: dict | None = None
@@ -272,6 +278,7 @@ def run_encode_job(
             compression=cfg.compression,
             compression_level=cfg.compression_level,
             stripe_rows=cfg.stripe_rows,
+            stripe_bytes=cfg.stripe_bytes,
             bloom_index=cfg.bloom_index,
             token_bloom_columns=cfg.token_bloom_columns,
         )

@@ -883,3 +883,58 @@ class TestCompactFragmented:
             ).collect())
         )
         assert got == want
+
+
+class TestStripeBytes:
+    def test_byte_target_adapts_rows_to_width(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from orc_spark.engine import pipeline
+
+        wide = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.rpad(F.col("id").cast("string"), 400, "x").alias("text"),
+        )
+        narrow = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 9).alias("v")
+        )
+        stats = {}
+        for rid, df in (("w", wide), ("n", narrow)):
+            cfg = pipeline.EncodeJobConfig(
+                out_dir=str(tmp_path / rid), run_id=rid, key="doc_id",
+                columns=df.columns, n_partitions=2,
+                stripe_bytes=64 * 1024,
+            )
+            pipeline.run_encode_job(spark, df, cfg)
+            meta = (
+                pipeline.read_stripes(spark, cfg.out_dir, rid)
+                .filter(F.col("column") == "doc_id")
+                .agg(
+                    F.avg("n_rows").alias("avg"),
+                    F.count(F.lit(1)).alias("ns"),
+                ).first()
+            )
+            stats[rid] = meta
+            back = pipeline.decode_job(
+                spark, cfg.out_dir, rid, df.schema
+            )
+            assert back.count() == 2000
+        # ~160 rows/stripe for 400B rows, full 1000-row partitions for
+        # narrow ints (target 64KB / ~16B = 4096 > partition size)
+        assert stats["w"].avg < 300
+        assert stats["n"].avg == 1000
+        assert stats["w"].ns > stats["n"].ns
+
+    def test_rows_and_bytes_exclusive(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from orc_spark.engine import encode, pipeline, selector
+
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="not both"):
+            encode.encode_stage(
+                df, selector.plan_for_schema(
+                    pipeline._arrow_schema(df)
+                ), "x", stripe_rows=10, stripe_bytes=100,
+            )
