@@ -4759,6 +4759,49 @@ def _q_bm25_rank(spark, sf_dir):
     )
 
 
+def _q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (analysis.rrf_fuse
+    — public Cormack/Clarke/Buettcher SIGIR'09): the BM25 lexical
+    top-50 and the quality-prior top-50 fuse by summing 1/(60+rank),
+    no score normalization needed across incomparable scales. The
+    oracle recomputes both ranked lists AND the fusion relationally —
+    a rank off by one anywhere reorders the fused top-10 and
+    mismatches."""
+    from orc_spark.textops import analysis
+
+    docs = _load(spark, sf_dir, "documents")
+    lex = analysis.bm25_rank(docs, _BM25_QUERY_TERMS, k=50)
+    qual = (
+        analysis.quality_score(docs)
+        .select("id", "quality")
+        .orderBy(F.col("quality").desc(), "id")
+        .limit(50)
+    )
+    return analysis.rrf_fuse([lex, qual], top=10)
+
+
+def _rrf_fusion_sql() -> str:
+    from orc_spark.textops import analysis
+
+    bm25 = analysis.bm25_rank_sql("documents", _BM25_QUERY_TERMS, k=50)
+    qual = analysis.quality_score_sql("documents")
+    return (
+        f"WITH lex AS (SELECT id, ROW_NUMBER() OVER "
+        f"(ORDER BY bm25 DESC, id) AS r0 FROM ({bm25})), "
+        f"qual AS (SELECT id, ROW_NUMBER() OVER "
+        f"(ORDER BY quality DESC, id) AS r1 FROM "
+        f"(SELECT id, quality FROM ({qual}) "
+        f"ORDER BY quality DESC, id LIMIT 50)), "
+        f"fused AS (SELECT COALESCE(lex.id, qual.id) AS id, "
+        f"ROUND(CASE WHEN r0 IS NULL THEN 0.0 "
+        f"ELSE 1.0 / (60.0 + r0) END + "
+        f"CASE WHEN r1 IS NULL THEN 0.0 "
+        f"ELSE 1.0 / (60.0 + r1) END, 6) AS rrf "
+        f"FROM lex FULL OUTER JOIN qual ON lex.id = qual.id) "
+        f"SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10"
+    )
+
+
 def _pagerank_hosts_oracle_sql() -> str:
     from orc_spark.textops import extraction, graph
 
@@ -4806,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_title_meta": _q_extract_title_meta,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bm25_rank": _q_bm25_rank,
+        "rrf_fusion": _q_rrf_fusion,
         "gopher_repetition": _q_gopher_repetition,
         "robots_directives": _q_robots_directives,
         "char_entropy": _q_char_entropy,
@@ -5288,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": analysis.bm25_rank_sql(
             "documents", _BM25_QUERY_TERMS, k=10
         ),
+        "rrf_fusion": _rrf_fusion_sql(),
         "gopher_repetition": analysis.gopher_repetition_sql(
             "documents", n=3
         ),

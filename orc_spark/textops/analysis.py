@@ -1519,6 +1519,52 @@ def bm25_rank_sql(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (public Cormack/Clarke/Buettcher,
+    SIGIR'09): merge N ranked candidate lists into one by summing
+    1/(k + rank) per document — the standard hybrid-retrieval combiner
+    (BM25 x dense ANN x quality priors). Rank-based, so incomparable
+    score scales fuse without normalization; k=60 is the paper's
+    constant. Each input is a 2-column frame (id, score); rank is
+    ROW_NUMBER by (score desc, id) — a deterministic total order.
+
+    Scale shape: the inputs are already top-k' lists (bounded by
+    construction — TakeOrderedAndProject in the rankers), so the
+    single-partition rank windows and the full-outer id join here run
+    over k'-row frames; the 100 TB work lives in the rankers, never in
+    the fusion."""
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, df in enumerate(rankings):
+        score_col = [c for c in df.columns if c != id_col][0]
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col), F.row_number().over(w).alias(f"_r{i}")
+            )
+        )
+    out = ranked[0]
+    for r in ranked[1:]:
+        out = out.join(r, id_col, "full_outer")
+    contrib = None
+    for i in range(len(ranked)):
+        c = F.when(F.col(f"_r{i}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}"))
+        )
+        contrib = c if contrib is None else contrib + c
+    return (
+        out.select(F.col(id_col), F.round(contrib, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(top)
+    )
+
+
 def gopher_repetition(
     df: DataFrame,
     text_col: str = "text",

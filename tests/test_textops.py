@@ -812,3 +812,28 @@ def test_exact_dedup_by_keeper_policy(spark):
         r.keeper_id for r in dedup.exact_dedup_by(df).collect()
     }
     assert degen == {1, 10}
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-checked RRF: ranks from (score desc, id), 1/(60+r) sums,
+    docs missing from one list still fuse via the other."""
+    from orc_spark.textops import analysis
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "id bigint, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "id bigint, q double"
+    )
+    got = {r.id: r.rrf for r in analysis.rrf_fuse([a, b], top=10).collect()}
+    assert got == {
+        1: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63, 6),
+        4: round(1 / 62, 6),
+    }
+    # doc 2 (present in both) outranks everything
+    order = [
+        r.id for r in analysis.rrf_fuse([a, b], top=2).collect()
+    ]
+    assert order[0] == 2
