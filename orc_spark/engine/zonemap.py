@@ -1181,9 +1181,18 @@ BLOOM_MAX_AVG_LEN = 128
 
 
 def _build_bloom(h1, h2, domain: bytes) -> bytes | None:
-    n = len(h1)
-    if n == 0:
+    if len(h1) == 0:
         return None
+    # Size by DISTINCT insertions, not rows: duplicates set the same
+    # bits, so the false-positive rate is a function of distinct
+    # values only (the ORC writer's fpp math is per distinct key).
+    # A 64k-row stripe of a 13-value lang column now carries a 1 KB
+    # bitset instead of 64 KB — at 10^12 rows that is the difference
+    # between a bloom index that fits the metadata cache and one that
+    # doesn't. Distinct count comes from the already-computed 64-bit
+    # hashes (np.unique; a hash collision undercounts by at most a
+    # rounding step of the power-of-two size ladder).
+    n = len(np.unique(h1))
     m = _bloom_m(n)
     # boolean scatter + packbits beats bitwise_or.at (unbuffered ufunc)
     # by ~10x; little bitorder matches the reader's (idx>>3, idx&7)

@@ -1155,3 +1155,31 @@ def test_long_string_stats_truncate_but_prune_safely(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         pipeline.metadata_aggregate(spark, cfg.out_dir, "t", ["body"])
+
+
+def test_bloom_sized_by_distinct_not_rows():
+    """A low-cardinality stripe carries a small bitset, a
+    high-cardinality stripe of the SAME row count a large one, and
+    membership stays exact (no false negative) in both."""
+    import pyarrow as pa
+
+    from orc_spark.engine import zonemap
+
+    n = 60000
+    low = pa.array([f"lang{i % 13}" for i in range(n)])
+    high = pa.array([f"url-{i}" for i in range(n)])
+    b_low = zonemap.stripe_bloom(low)
+    b_high = zonemap.stripe_bloom(high)
+    assert len(b_low) * 16 <= len(b_high)
+
+    def probe(blob, v):
+        pairs, dom = zonemap._value_hash_pairs(v)
+        return bool(zonemap.bloom_membership([blob], pairs, dom)[0])
+
+    for i in range(13):
+        assert probe(b_low, f"lang{i}")
+    for i in (0, 5, 1234, n - 1):
+        assert probe(b_high, f"url-{i}")
+    # absent values still veto (sized for ~2.4% fpp per distinct key)
+    false_keeps = sum(probe(b_low, f"nope-{i}") for i in range(200))
+    assert false_keeps <= 15
