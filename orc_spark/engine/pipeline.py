@@ -730,6 +730,65 @@ def _epoch_keep_filter(spark: SparkSession, stripes: DataFrame, want_cols: set[s
     )
 
 
+def _key_partition_restriction(
+    spark: SparkSession, out_dir: str, run_id: str, result_schema, predicate
+):
+    """Partition ids pinned ARITHMETICALLY by equality/IN conjuncts on
+    the run's partition key — the primary-key fast path: partition_id
+    = pmod(hash(xxhash64(key, salt)), n) is a pure function of the
+    literal, so the blob-free METADATA scan itself shrinks to the
+    probe's own partition(s) (1/n of the stripes table at any scale)
+    before a single zone stat is read. The pid is evaluated with the
+    SAME JVM expression the encode exchange used
+    (skew.partition_id_expr over a literal-typed 1-row frame), so the
+    mapping can never drift from the physical layout; a literal whose
+    Python type cannot carry the key column's Spark type returns None
+    (conservative — zone/bloom pruning still applies downstream).
+    Multiple key conjuncts (AND) intersect their pid sets; an IN list
+    unions within the conjunct. Returns sorted pids or None."""
+    stored = load_run_config(out_dir, run_id) or {}
+    key = stored.get("key")
+    n = stored.get("n_partitions")
+    if not key or not n:
+        return None
+    field = next(
+        (f for f in result_schema.fields if f.name == key), None
+    )
+    if field is None:
+        return None
+    salt = int(stored.get("salt", 42))
+    conj_vals = []
+    for c, op, v in predicate or ():
+        if c != key:
+            continue
+        if op in ("==", "="):
+            conj_vals.append([v])
+        elif op == "in" and isinstance(v, (list, tuple)) and v:
+            conj_vals.append(list(v))
+    if not conj_vals:
+        return None
+    from pyspark.sql.types import StructField, StructType
+
+    probe_schema = StructType([StructField(key, field.dataType, True)])
+    sets = []
+    for vs in conj_vals:
+        try:
+            probe = spark.createDataFrame([(x,) for x in vs], probe_schema)
+        except Exception:
+            return None  # literal/type mismatch: stay conservative
+        pids = {
+            int(r.pid)
+            for r in probe.select(
+                skew.partition_id_expr(int(n), key, salt).alias("pid")
+            ).collect()
+        }
+        sets.append(pids)
+    out = sets[0]
+    for s in sets[1:]:
+        out &= s
+    return sorted(out)
+
+
 def decode_job(
     spark: SparkSession,
     out_dir: str,
@@ -895,6 +954,16 @@ def decode_job(
                     "nested-column statistics; decode without the "
                     "predicate and filter the result instead"
                 )
+        # key-equality fast path: an ==/IN conjunct on the run's
+        # PARTITION KEY pins the partition id arithmetically, so even
+        # the metadata scan reads 1/n of the stripes table
+        key_pids = _key_partition_restriction(
+            spark, out_dir, run_id, result_schema, predicate
+        )
+        if key_pids is not None:
+            all_stripes = all_stripes.filter(
+                F.col("partition_id").isin(key_pids)
+            )
         # ONE fused metadata job for epoch keep-map + zone/bloom
         # keep-set (point lookups pay 2 driver actions total, not 4);
         # small runs plan driver-side off the parquet footers

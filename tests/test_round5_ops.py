@@ -938,3 +938,63 @@ class TestStripeBytes:
                     pipeline._arrow_schema(df)
                 ), "x", stripe_rows=10, stripe_bytes=100,
             )
+
+
+class TestKeyPartitionFastPath:
+    def test_key_equality_pins_partitions_and_stays_exact(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from orc_spark.engine import pipeline
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 11).cast("string").alias("lang"),
+        )
+        cfg = pipeline.EncodeJobConfig(
+            out_dir=str(tmp_path / "r"), run_id="kp", key="doc_id",
+            columns=["doc_id", "lang"], n_partitions=8, stripe_rows=256,
+        )
+        pipeline.run_encode_job(spark, df, cfg)
+
+        # the restriction matches the physical layout for every probe
+        for v in (0, 17, 1234, 2999):
+            pids = pipeline._key_partition_restriction(
+                spark, cfg.out_dir, "kp", df.schema,
+                [("doc_id", "==", v)],
+            )
+            assert pids is not None and len(pids) == 1
+            got = pipeline.decode_job(
+                spark, cfg.out_dir, "kp", df.schema,
+                predicate=[("doc_id", "==", v)],
+            ).filter(F.col("doc_id") == v).collect()
+            assert [r.doc_id for r in got] == [v]
+
+        # IN unions pids; AND of two key conjuncts intersects
+        pids_in = pipeline._key_partition_restriction(
+            spark, cfg.out_dir, "kp", df.schema,
+            [("doc_id", "in", [1, 2, 3, 4, 5])],
+        )
+        assert pids_in is not None and 1 <= len(pids_in) <= 5
+        pids_and = pipeline._key_partition_restriction(
+            spark, cfg.out_dir, "kp", df.schema,
+            [("doc_id", "==", 1), ("doc_id", "==", 2)],
+        )
+        # distinct values usually hash apart -> empty intersection OK
+        assert pids_and is not None
+
+        # non-key or non-equality conjuncts: no restriction
+        assert pipeline._key_partition_restriction(
+            spark, cfg.out_dir, "kp", df.schema,
+            [("lang", "==", "3")],
+        ) is None
+        assert pipeline._key_partition_restriction(
+            spark, cfg.out_dir, "kp", df.schema,
+            [("doc_id", ">", 5)],
+        ) is None
+        # literal that cannot carry the column type: conservative None
+        assert pipeline._key_partition_restriction(
+            spark, cfg.out_dir, "kp", df.schema,
+            [("doc_id", "==", "not-an-int")],
+        ) is None
