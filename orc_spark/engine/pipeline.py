@@ -2022,6 +2022,13 @@ def metadata_count(
         )
     pcols = sorted({c for c, _, _ in predicate})
     stripes = read_stripes(spark, out_dir, run_id)
+    # key-equality fast path: groups outside the literal's own
+    # partition(s) contribute 0 to a conjunct count by construction
+    key_pids = _key_partition_restriction(
+        spark, out_dir, run_id, result_schema, predicate
+    )
+    if key_pids is not None:
+        stripes = stripes.filter(F.col("partition_id").isin(key_pids))
     # epoch completeness is judged on TOP-LEVEL columns (nested stats
     # rows ride their parent's stripes); classification then reads the
     # exact (possibly dotted) stats rows
@@ -2134,6 +2141,13 @@ def metadata_sum(
     pcols = sorted({c for c, _, _ in predicate})
     need = sorted(set(pcols) | {column})
     stripes = read_stripes(spark, out_dir, run_id)
+    # key-equality fast path (see metadata_count): partitions other
+    # than the key literal's own cannot hold predicate-matching rows
+    key_pids = _key_partition_restriction(
+        spark, out_dir, run_id, result_schema, predicate
+    )
+    if key_pids is not None:
+        stripes = stripes.filter(F.col("partition_id").isin(key_pids))
     want_tops = {c.partition(".")[0] for c in need}
     pins = _temporal_pins(result_schema, predicate)
     gkeys = ["partition_id", "epoch", "stripe_idx"]
@@ -2732,6 +2746,13 @@ def metadata_stddev(
     pcols = sorted({c for c, _, _ in predicate})
     need = sorted(set(pcols) | {column})
     stripes = read_stripes(spark, out_dir, run_id)
+    # key-equality fast path (see metadata_count): partitions other
+    # than the key literal's own cannot hold predicate-matching rows
+    key_pids = _key_partition_restriction(
+        spark, out_dir, run_id, result_schema, predicate
+    )
+    if key_pids is not None:
+        stripes = stripes.filter(F.col("partition_id").isin(key_pids))
     want_tops = {c.partition(".")[0] for c in need}
     pins = _temporal_pins(result_schema, predicate)
     gkeys = ["partition_id", "epoch", "stripe_idx"]
@@ -3606,6 +3627,13 @@ def metadata_percentile(
     pcols = sorted({c for c, _, _ in predicate})
     need = sorted(set(pcols) | {column})
     stripes = read_stripes(spark, out_dir, run_id)
+    # key-equality fast path (see metadata_count): partitions other
+    # than the key literal's own cannot hold predicate-matching rows
+    key_pids = _key_partition_restriction(
+        spark, out_dir, run_id, result_schema, predicate
+    )
+    if key_pids is not None:
+        stripes = stripes.filter(F.col("partition_id").isin(key_pids))
     want_tops = {c.partition(".")[0] for c in need}
     meta = _epoch_keep_filter(spark, stripes, want_tops).drop("data").filter(
         F.col("column").isin(need)
