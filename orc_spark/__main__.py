@@ -519,9 +519,10 @@ def cmd_publish(args) -> int:
 
 
 def cmd_export(args) -> int:
-    """Decode a run and write it as standard Apache ORC files (the
-    reference's native format) — see storage.export_orc; any
-    spec-conformant reader consumes the output."""
+    """Decode a run and publish it for interchange: standard Apache
+    ORC files (the reference's native format — storage.export_orc;
+    any spec-conformant reader consumes the output), gzipped JSONL
+    (the Dolma/FineWeb corpus convention), or RFC 4180 CSV."""
     from orc_spark.engine import pipeline, storage
 
     spark = _session(args.cores)
@@ -530,10 +531,26 @@ def cmd_export(args) -> int:
     df = pipeline.decode_job(
         spark, args.out, args.run_id, schema, columns=cols
     )
-    storage.export_orc(df, args.dest, args.compression)
-    n = storage.read_orc(spark, args.dest).count()
+    fmt = getattr(args, "format", "orc")
+    if fmt == "jsonl":
+        from orc_spark.sources import jsonl as jsonl_mod
+
+        jsonl_mod.write_jsonl(df, args.dest)
+        n = spark.read.schema(df.schema).json(args.dest).count()
+    elif fmt == "csv":
+        from orc_spark.sources import csvfile
+
+        csvfile.write_csv(df, args.dest)
+        back, _ = csvfile.read_csv(
+            spark, args.dest, df.schema,
+            multi_line=True, count_corrupt=False,
+        )
+        n = back.count()
+    else:
+        storage.export_orc(df, args.dest, args.compression)
+        n = storage.read_orc(spark, args.dest).count()
     print(json.dumps({
-        "dest": args.dest, "rows": int(n),
+        "dest": args.dest, "rows": int(n), "format": fmt,
         "compression": args.compression,
     }))
     return EXIT_OK
@@ -1116,6 +1133,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument(
         "--compression", default="zlib", choices=["zlib", "snappy", "none"],
+    )
+    ex.add_argument(
+        "--format", default="orc", choices=["orc", "jsonl", "csv"],
+        help="interchange format (orc: spec files; jsonl: gzipped "
+        "Dolma/FineWeb lines; csv: RFC 4180, every field quoted)",
     )
     ex.set_defaults(fn=cmd_export)
 

@@ -166,3 +166,31 @@ def test_csv_roundtrip_quoting_and_corrupt_counting(spark, tmp_path):
         spark, d, df.schema, multi_line=True, count_corrupt=False
     )
     assert nc2 == 0 and clean2.count() == 5  # corrupt row parses as nulls
+
+
+def test_export_cli_jsonl_and_csv(spark, tmp_path, capsys):
+    """`export --format jsonl|csv`: a decoded run publishes as the
+    interchange format and reads back row-complete."""
+    import json
+
+    from orc_spark.__main__ import main
+    from orc_spark.engine import pipeline
+
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", "concat('t-', id) AS text"
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="x", key="doc_id",
+        columns=["doc_id", "text"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    for fmt in ("jsonl", "csv"):
+        dest = str(tmp_path / f"pub_{fmt}")
+        assert main([
+            "export", "--out", cfg.out_dir, "--run-id", "x",
+            "--schema-from", src, "--dest", dest, "--format", fmt,
+        ]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 300 and rep["format"] == fmt
