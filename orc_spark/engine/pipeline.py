@@ -1573,6 +1573,23 @@ def decode_job_dnf(
         c.partition(".")[0] for br in branches for c, _, _ in br
     }
     all_stripes = read_stripes(spark, out_dir, run_id)
+    # key-equality fast path across the disjunction: only when EVERY
+    # branch pins the partition key does the union of per-branch pid
+    # sets bound the rows a branch can match (one unpinned branch can
+    # match anywhere, so it voids the restriction)
+    branch_pids: set[int] | None = set()
+    for br in branches:
+        pids = _key_partition_restriction(
+            spark, out_dir, run_id, result_schema, br
+        )
+        if pids is None:
+            branch_pids = None
+            break
+        branch_pids |= set(pids)
+    if branch_pids is not None:
+        all_stripes = all_stripes.filter(
+            F.col("partition_id").isin(sorted(branch_pids))
+        )
     meta = _epoch_keep_filter(
         spark, all_stripes, want_tops | pcols
     ).drop("data")

@@ -998,3 +998,43 @@ class TestKeyPartitionFastPath:
             spark, cfg.out_dir, "kp", df.schema,
             [("doc_id", "==", "not-an-int")],
         ) is None
+
+
+def test_dnf_key_union_pins_and_voids(spark, tmp_path):
+    """decode_job_dnf: every-branch-pinned unions pids and stays
+    exact; one unpinned branch voids the restriction (full result)."""
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import pipeline, zonemap
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+    )
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="dk", key="doc_id",
+        columns=["doc_id", "lang"], n_partitions=8, stripe_rows=128,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+    branches = [[("doc_id", "==", 42)], [("doc_id", "==", 1777)]]
+    got = (
+        pipeline.decode_job_dnf(
+            spark, cfg.out_dir, "dk", df.schema, branches
+        )
+        .filter(zonemap.predicate_dnf_expr(branches))
+        .collect()
+    )
+    assert sorted(r.doc_id for r in got) == [42, 1777]
+    # unpinned second branch: result must still be complete
+    branches2 = [[("doc_id", "==", 42)], [("lang", "==", "3")]]
+    got2 = (
+        pipeline.decode_job_dnf(
+            spark, cfg.out_dir, "dk", df.schema, branches2
+        )
+        .filter(zonemap.predicate_dnf_expr(branches2))
+        .count()
+    )
+    want2 = df.filter(
+        (F.col("doc_id") == 42) | (F.col("lang") == "3")
+    ).count()
+    assert got2 == want2
