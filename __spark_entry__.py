@@ -3736,6 +3736,17 @@ def _q_sessionize(spark, sf_dir):
     return temporal.sessionize(_load(spark, sf_dir, "events"))
 
 
+def _q_ohlc_bars(spark, sf_dir):
+    """OHLC bar rollup (temporal.ohlc_bars): per (week, event_type)
+    the opening/high/low/closing value + count in ONE map-side-
+    combined groupBy — open/close ride (ts, value) struct min/max, so
+    no per-group window sort ever runs; the oracle recomputes the same
+    total order with ROW_NUMBER windows."""
+    from orc_spark.textops import temporal
+
+    return temporal.ohlc_bars(_load(spark, sf_dir, "events"))
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join: each 'error' event picks up the most recent
     prior-or-simultaneous 'click' by the same user. Scale-safe UNION
@@ -4863,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
+        "ohlc_bars": _q_ohlc_bars,
         "asof_join": _q_asof_join,
         "asof_tolerance": _q_asof_tolerance,
         "latest_snapshot": _q_latest_snapshot,
@@ -5315,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": analysis.sequence_pack_sql("documents"),
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
+        "ohlc_bars": temporal.ohlc_bars_events_sql("events"),
         "funnel": temporal.funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),

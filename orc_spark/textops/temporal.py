@@ -567,3 +567,69 @@ SELECT l_id, key, l_ts,
        CASE WHEN lag_us <= {tol_us} THEN rvalue END AS r_value
 FROM j ORDER BY l_id
 """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "week",
+) -> DataFrame:
+    """OHLC bar aggregation — the classic time-series rollup: per
+    (time bucket, key) the Opening value (earliest row), High, Low,
+    and Closing value (latest row) plus the row count.
+
+    Scale shape: ONE map-side-combined groupBy on (bucket, key) —
+    open/close ride min/max over a (ts, value) struct (earliest /
+    latest row, ties broken by value for a deterministic total
+    order), so there is NO per-group window sort and partial
+    aggregation keeps the shuffle bounded by groups, not rows.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    first = F.min(F.struct(F.col(ts_col), F.col(value_col)))
+    last = F.max(F.struct(F.col(ts_col), F.col(value_col)))
+    return (
+        df.groupBy(
+            b.alias("bucket"), F.col(key_col)
+        )
+        .agg(
+            first.alias("_o"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last.alias("_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "bucket", key_col,
+            F.col(f"_o.{value_col}").alias("open"),
+            "high", "low",
+            F.col(f"_c.{value_col}").alias("close"),
+            "n_events",
+        )
+        .orderBy("bucket", key_col)
+    )
+
+
+def ohlc_bars_events_sql(table: str, unit: str = "week") -> str:
+    """DuckDB twin of :func:`ohlc_bars` over the events table: the
+    same (ts, value) total order expressed as ROW_NUMBER windows."""
+    return (
+        f"WITH b AS (SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket, "
+        f"event_type, ts, value FROM {table}), "
+        "r AS (SELECT *, "
+        "ROW_NUMBER() OVER (PARTITION BY bucket, event_type "
+        "ORDER BY ts, value) AS rn_a, "
+        "ROW_NUMBER() OVER (PARTITION BY bucket, event_type "
+        "ORDER BY ts DESC, value DESC) AS rn_d FROM b), "
+        "agg AS (SELECT bucket, event_type, MAX(value) AS high, "
+        "MIN(value) AS low, COUNT(*) AS n_events FROM b GROUP BY 1, 2) "
+        "SELECT agg.bucket, agg.event_type, o.value AS open, "
+        "agg.high, agg.low, c.value AS close, agg.n_events "
+        "FROM agg "
+        "JOIN r o ON o.bucket = agg.bucket "
+        "AND o.event_type = agg.event_type AND o.rn_a = 1 "
+        "JOIN r c ON c.bucket = agg.bucket "
+        "AND c.event_type = agg.event_type AND c.rn_d = 1 "
+        "ORDER BY agg.bucket, agg.event_type"
+    )

@@ -296,3 +296,33 @@ def test_asof_tolerance_discards_stale_matches(spark):
     }
     assert tol[10] == (20, 1800.0, 7.0)
     assert tol[11] == (None, None, None)
+
+
+def test_ohlc_bars_open_close_ordering(spark):
+    """Open = earliest (ts, value), close = latest, ties broken by
+    value; high/low independent of order."""
+    from orc_spark.textops import temporal
+
+    df = spark.createDataFrame(
+        [
+            # one bucket (same week), one key
+            ("2024-01-02 10:00:00", "k", 5.0),
+            ("2024-01-02 10:00:00", "k", 3.0),   # tie on ts: open=3.0
+            ("2024-01-03 09:00:00", "k", 99.0),  # high
+            ("2024-01-04 12:00:00", "k", 1.0),   # low
+            ("2024-01-05 23:00:00", "k", 7.0),
+            ("2024-01-05 23:00:00", "k", 8.0),   # tie on ts: close=8.0
+            # second week
+            ("2024-01-09 00:00:00", "k", 42.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr(
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "value"
+    )
+    rows = temporal.ohlc_bars(df).collect()
+    assert len(rows) == 2
+    w1, w2 = rows
+    assert (w1.open, w1.high, w1.low, w1.close, w1.n_events) == (
+        3.0, 99.0, 1.0, 8.0, 6
+    )
+    assert (w2.open, w2.close, w2.n_events) == (42.0, 42.0, 1)
