@@ -225,6 +225,33 @@ def _q_roundtrip_xorf_float(spark, sf_dir):
     )
 
 
+def _q_roundtrip_decimal(spark, sf_dir):
+    """decimal128 framing through the full pipeline (codecs/framing
+    dt=_DT_DECIMAL128: precision<=18 rides the int64 RLE path, wider
+    takes 16-byte raw): lineitem prices cast to DECIMAL(12,2) — the
+    double->decimal rounding is deterministic across engines because a
+    binary double can never sit exactly on a .005 tie — encode, decode,
+    and hash-match the exact decimal values against DuckDB's identical
+    cast. Closes the one codec family that had no oracle row (the
+    synthetic tables carry no decimal column natively)."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    from orc_spark.engine import pipeline
+
+    out = tempfile.mkdtemp(prefix="orcspark_entry_dec_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="dec", key="l_orderkey",
+        columns=["l_orderkey", "l_linenumber", "price"], n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, li, cfg)
+    return pipeline.decode_job(spark, out, "dec", li.schema).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 def _q_roundtrip_embeddings(spark, sf_dir):
     """LIST-column framing (codecs/framing.py dt=_DT_LIST — the ORC
     v1 LIST type analogue: LENGTH stream through the int auto-selector
@@ -4916,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_raw_float": _q_roundtrip_raw_float,
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_xorf_float": _q_roundtrip_xorf_float,
+        "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_map": _q_roundtrip_map,
@@ -5465,6 +5493,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_xorf_float": (
             "SELECT event_id, "
             "CAST(CAST(value AS REAL) AS DOUBLE) AS value_f32 FROM events"
+        ),
+        "roundtrip_decimal": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(l_extendedprice AS DECIMAL(12,2)) AS price "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber"
         ),
         "roundtrip_embeddings": (
             "SELECT vec_id, embedding, label FROM embeddings"
