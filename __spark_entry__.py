@@ -252,6 +252,33 @@ def _q_roundtrip_decimal(spark, sf_dir):
     )
 
 
+def _q_roundtrip_bool_date(spark, sf_dir):
+    """bool + date32 framing through the full pipeline (codecs/framing
+    dt=_DT_BOOL: RLE or packed bits; dt=_DT_DATE32: epoch-days through
+    the int auto-selector): both derived deterministically from
+    lineitem (flag comparison, timestamp->date cast) so the DuckDB
+    twin rebuilds identical inputs — closes the last two codec
+    families without a dedicated oracle row."""
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+    from orc_spark.engine import pipeline
+
+    out = tempfile.mkdtemp(prefix="orcspark_entry_bd_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="bd", key="l_orderkey",
+        columns=["l_orderkey", "l_linenumber", "returned", "ship_day"],
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, li, cfg)
+    return pipeline.decode_job(spark, out, "bd", li.schema).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 def _q_roundtrip_embeddings(spark, sf_dir):
     """LIST-column framing (codecs/framing.py dt=_DT_LIST — the ORC
     v1 LIST type analogue: LENGTH stream through the int auto-selector
@@ -4944,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_alp_float": _q_roundtrip_alp_float,
         "roundtrip_xorf_float": _q_roundtrip_xorf_float,
         "roundtrip_decimal": _q_roundtrip_decimal,
+        "roundtrip_bool_date": _q_roundtrip_bool_date,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_map": _q_roundtrip_map,
@@ -5497,6 +5525,12 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_decimal": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(l_extendedprice AS DECIMAL(12,2)) AS price "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+        ),
+        "roundtrip_bool_date": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_returnflag = 'R' AS returned, "
+            "CAST(l_shipdate AS DATE) AS ship_day "
             "FROM lineitem ORDER BY l_orderkey, l_linenumber"
         ),
         "roundtrip_embeddings": (
