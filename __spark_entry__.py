@@ -252,6 +252,50 @@ def _q_roundtrip_decimal(spark, sf_dir):
     )
 
 
+def _q_tpch_q1_store(spark, sf_dir):
+    """Warehouse analytics directly over the engine's columnar store:
+    lineitem encodes ONCE (clustered by l_shipdate so zone ranges are
+    stripe-local), then TPC-H Q1 runs over a predicated PROJECTED
+    decode — only the 7 referenced columns decode, the shipdate
+    conjunct prunes stripes from zone stats before any blob is read,
+    and the rollup itself is an ordinary map-side-combined groupBy.
+    The oracle is Q1 verbatim over the source table, so pruning,
+    projection, decode, and the aggregation must all agree."""
+    from orc_spark.engine import pipeline, zonemap
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="orcspark_entry_q1_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="q1", key="l_orderkey", n_partitions=4,
+        cluster_by="l_shipdate",
+    )
+    pipeline.run_encode_job(spark, li, cfg)
+    cutoff = "1999-06-30 00:00:00"
+    cols = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ]
+    pred = [("l_shipdate", "<=", cutoff)]
+    decoded = pipeline.decode_job(
+        spark, out, "q1", li.schema, columns=cols, predicate=pred
+    ).filter(zonemap.predicate_expr(pred))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        decoded.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def _q_roundtrip_bool_date(spark, sf_dir):
     """bool + date32 framing through the full pipeline (codecs/framing
     dt=_DT_BOOL: RLE or packed bits; dt=_DT_DATE32: epoch-days through
@@ -4972,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_xorf_float": _q_roundtrip_xorf_float,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_bool_date": _q_roundtrip_bool_date,
+        "tpch_q1_store": _q_tpch_q1_store,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_struct": _q_roundtrip_struct,
         "roundtrip_map": _q_roundtrip_map,
@@ -5532,6 +5577,22 @@ def oracle_sql() -> dict[str, str]:
             "l_returnflag = 'R' AS returned, "
             "CAST(l_shipdate AS DATE) AS ship_day "
             "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+        ),
+        "tpch_q1_store": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(l_quantity) AS sum_qty, "
+            "SUM(l_extendedprice) AS sum_base_price, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+            "SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) "
+            "AS sum_charge, "
+            "AVG(l_quantity) AS avg_qty, "
+            "AVG(l_extendedprice) AS avg_price, "
+            "AVG(l_discount) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         "roundtrip_embeddings": (
             "SELECT vec_id, embedding, label FROM embeddings"
