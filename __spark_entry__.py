@@ -3238,6 +3238,67 @@ def _q_streaming_jsonl_dlq(spark, sf_dir):
     return dec.orderBy("doc_id")
 
 
+def _q_streaming_anomaly(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState
+    (ingest.streaming_anomaly): per-user Welford state in exact
+    integer cents crosses micro-batch boundaries — a row flags when
+    its squared deviation from the PRIOR rows' mean exceeds 9x the
+    prior variance. The input lands as two time-halves (two
+    triggers), so early rows of batch 2 are judged against state
+    built in batch 1; the oracle recomputes the identical integer
+    rule with ROWS-window prefix sums over the whole stream — a
+    dropped state update, wrong batch order, or per-batch-only state
+    all change the flag set and hash-mismatch."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.streaming import ingest
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    in_dir = tempfile.mkdtemp(prefix="orcspark_anom_in_")
+    ckpt = tempfile.mkdtemp(prefix="orcspark_anom_ckpt_")
+    from orc_spark.textops.temporal import _micros
+
+    med_us = (
+        ev.select(_micros(F2.col("ts")).alias("us"))
+        .agg(F2.expr("percentile(us, 0.5)"))
+        .first()[0]
+    )
+    first = ev.filter(_micros(F2.col("ts")) <= med_us)
+    second = ev.filter(_micros(F2.col("ts")) > med_us)
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    out = ingest.streaming_anomaly(
+        spark, in_dir, ev.schema, ckpt, max_files_per_trigger=1
+    )
+    return out.orderBy("event_id")
+
+
+_STREAMING_ANOMALY_SQL = """
+WITH v AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc, ts
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, vc,
+         COUNT(*) OVER win AS n,
+         COALESCE(SUM(vc) OVER win, 0) AS s,
+         COALESCE(SUM(vc * vc) OVER win, 0) AS q
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, vc AS value_cents, n AS n_prior
+FROM w
+WHERE n >= 10
+  AND CAST((n * vc - s) * (n * vc - s) AS DOUBLE) * (n - 1)
+      > 9.0 * n * CAST(n * q - s * s AS DOUBLE)
+ORDER BY event_id
+"""
+
+
 def _q_streaming_enrich(spark, sf_dir):
     """Stream-static broadcast enrichment (ingest.streaming_enrich):
     the event stream left-joins the customer dimension per micro-batch
@@ -5096,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_update": _q_streaming_dedup_update,
         "streaming_jsonl_dlq": _q_streaming_jsonl_dlq,
         "streaming_enrich": _q_streaming_enrich,
+        "streaming_anomaly": _q_streaming_anomaly,
         "streaming_window_counts": _q_streaming_window_counts,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_interval_join": _q_streaming_interval_join,
@@ -5293,6 +5355,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e LEFT JOIN customer c "
             "ON e.user_id = c.c_custkey ORDER BY e.event_id"
         ),
+        "streaming_anomaly": _STREAMING_ANOMALY_SQL,
         "streaming_window_counts": _WINDOW_COUNTS_SQL,
         "streaming_sessionize": _STREAM_SESSION_SQL,
         "streaming_interval_join": _STREAM_IVJOIN_SQL,

@@ -472,6 +472,114 @@ def streaming_enrich(
     return spark.table(name)
 
 
+def streaming_anomaly(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_n: int = 10,
+    k: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    — the escape hatch for semantics none of the built-in stateful ops
+    (windowed agg, session windows, dropDuplicates, stream joins)
+    express: a per-key running anomaly detector. State per key is the
+    Welford triple (count, sum, sum-of-squares) **in exact integer
+    cents**, carried across micro-batches; a row flags when its
+    squared deviation from the PRIOR state's mean exceeds
+    ``k² × prior variance`` (Chebyshev-style outlier rule), evaluated
+    with integer/sub-2^53 arithmetic so the decision is bit-portable —
+    the DuckDB oracle twin recomputes the identical rule with
+    ROWS-window prefix sums and must match row-for-row.
+
+    Scale plan: state is THREE int64s per key (flat in stream length);
+    the per-batch group work is pure numpy prefix sums (no per-row
+    Python); emitted rows are only the anomalies (append mode). At
+    cluster scale add a state TTL (GroupStateTimeout) for key churn;
+    the detector itself is O(batch).
+
+    Returns the cumulative flagged rows as a batch DataFrame
+    (id, key, value_cents, n_prior).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k2 = float(k * k)
+    out_schema = (
+        f"{id_col} bigint, {key_col} bigint, "
+        "value_cents bigint, n_prior bigint"
+    )
+
+    def fn(key, pdf_iter, state):
+        n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+        outs = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            vc = np.rint(
+                pdf[value_col].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64)
+            m = len(vc)
+            pn = n0 + np.arange(m, dtype=np.int64)
+            cs = s0 + np.concatenate(
+                ([0], np.cumsum(vc)[:-1])
+            ).astype(np.int64)
+            cq = q0 + np.concatenate(
+                ([0], np.cumsum(vc * vc)[:-1])
+            ).astype(np.int64)
+            dev = pn * vc - cs
+            # same multiply order as the SQL twin; every operand is
+            # < 2^53 so both engines compute EXACT doubles
+            lhs = (dev * dev).astype(np.float64) * (pn - 1)
+            rhs = k2 * pn * (pn * cq - cs * cs).astype(np.float64)
+            flag = (pn >= min_n) & (lhs > rhs)
+            if flag.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].to_numpy()[flag],
+                            key_col: key[0],
+                            "value_cents": vc[flag],
+                            "n_prior": pn[flag],
+                        }
+                    )
+                )
+            n0 = int(pn[-1]) + 1
+            s0 = int(cs[-1] + vc[-1])
+            q0 = int(cq[-1] + vc[-1] * vc[-1])
+        state.update((n0, s0, q0))
+        if outs:
+            yield from outs
+
+    name = "anomaly_" + os.path.basename(checkpoint_dir).replace("-", "_")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    flagged = stream.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, "n bigint, s bigint, q bigint",
+        "append", GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_dir: str,

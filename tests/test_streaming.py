@@ -448,3 +448,40 @@ def test_streaming_enrich_broadcast_left_join(spark, tmp_path):
     for eid, seg in rows.items():
         want = {0: "gold", 1: "silver", 2: "bronze", 3: None}[eid % 4]
         assert seg == want, (eid, seg)
+
+
+def test_streaming_anomaly_state_crosses_batches(spark, tmp_path):
+    """applyInPandasWithState: a spike in batch 2 is judged against
+    state built ENTIRELY in batch 1 — per-batch-only state would see
+    n_prior=0 and flag nothing; min_n withholds early rows."""
+    import datetime as dt
+
+    from orc_spark.streaming import ingest
+
+    base = dt.datetime(2024, 1, 1)
+    rows1 = [
+        (i, base + dt.timedelta(minutes=i), 7, 10.0 + (i % 3) * 0.01)
+        for i in range(12)
+    ]
+    # batch 2: the very first row is a huge spike
+    rows2 = [(100, base + dt.timedelta(hours=2), 7, 500.0)] + [
+        (101 + i, base + dt.timedelta(hours=2, minutes=1 + i), 7, 10.01)
+        for i in range(3)
+    ]
+    schema = "event_id bigint, ts timestamp_ntz, user_id bigint, value double"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    out = ingest.streaming_anomaly(
+        spark, in_dir,
+        spark.createDataFrame(rows1, schema).schema,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    flagged = {r.event_id: r.n_prior for r in out.collect()}
+    assert 100 in flagged and flagged[100] == 12  # state from batch 1
+    # the stable rows never flag, and nothing below min_n flags
+    assert all(e == 100 for e in flagged), flagged
