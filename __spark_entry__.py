@@ -2498,6 +2498,59 @@ def _q_partition_skew(spark, sf_dir):
 _RESUME_FP_COLS = ["doc_id", "lang", "n_chars"]
 
 
+def _q_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance — the lakehouse incremental-ETL
+    pattern over the store: a per-lang COUNT/SUM view is maintained
+    WITHOUT rescanning history by folding the epoch-0 snapshot
+    aggregate with the aggregate of ONLY the rows
+    incremental_read(0→1) surfaced (the resume wave's appended
+    partitions). In-query guard: the delta is a strict non-empty
+    subset of the table, so the fold is genuinely incremental; the
+    oracle recomputes the full-table aggregate — a delta that missed
+    or duplicated any row mismatches."""
+    from orc_spark.engine import pipeline, skew
+
+    cols = ["doc_id", "lang", "n_chars"]
+    df = _load(spark, sf_dir, "documents").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_iva_")
+    n = 8
+    pid = skew.partition_id_expr(n, "doc_id", 42)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="iva", key="doc_id",
+        columns=cols, n_partitions=n,
+    )
+    pipeline.run_encode_job(spark, df.filter(pid < 4), cfg)
+    pipeline.run_encode_job(spark, df, cfg)
+
+    def _agg(d):
+        return d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    snap0 = pipeline.decode_job(
+        spark, out, "iva", df.schema, as_of_epoch=0
+    )
+    delta = pipeline.incremental_read(
+        spark, out, "iva", df.schema, from_epoch=0, to_epoch=1
+    )
+    n_delta, n_total = delta.count(), df.count()
+    if not 0 < n_delta < n_total:
+        raise AssertionError(
+            f"delta not a strict subset: {n_delta}/{n_total}"
+        )
+    maintained = (
+        _agg(snap0)
+        .unionByName(_agg(delta))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+        )
+    )
+    return maintained.orderBy("lang")
+
+
 def _q_checkpoint_resume(spark, sf_dir):
     """Resume skips completed partitions; the decoded result of the
     resumed run reproduces the input byte-for-byte. The phase counts
@@ -5144,6 +5197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "time_travel_decode": _q_time_travel_decode,
         "incremental_read": _q_incremental_read,
+        "incremental_agg": _q_incremental_agg,
         "rollback_reencode": _q_rollback_reencode,
         "orc_interchange": _q_orc_interchange,
         "warc_ingest": _q_warc_ingest,
@@ -5303,6 +5357,11 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS decoded_fingerprint FROM documents"
         ),
         "incremental_read": _INCREMENTAL_READ_SQL,
+        "incremental_agg": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "rollback_reencode": (
             "SELECT 6 AS rolled_back, 0 AS rolled_back_again, "
             "2 AS reencoded, 2 AS skipped, COUNT(*) AS decoded_rows, "
