@@ -2498,6 +2498,53 @@ def _q_partition_skew(spark, sf_dir):
 _RESUME_FP_COLS = ["doc_id", "lang", "n_chars"]
 
 
+def _q_gdpr_erasure(spark, sf_dir):
+    """Right-to-erasure workflow end-to-end: an O(1) equality delete
+    retracts every event of one user (nothing scanned at delete time),
+    compaction MATERIALIZES the erasure (the rewritten run carries no
+    delete files and no trace of the rows), and the audit comes from
+    the store itself. In-query guards walk the whole lifecycle:
+    merge-on-read hides the user immediately; the compacted run is
+    delete-free; a metadata-only aggregate (which REFUSES runs with
+    live deletes) accepts the compacted run and pins the erased
+    row count. The oracle is the erased view of the source table."""
+    from orc_spark.engine import deletes as deletes_mod
+    from orc_spark.engine import pipeline
+
+    target_user = 42
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ev = _load(spark, sf_dir, "events").select(cols)
+    out = tempfile.mkdtemp(prefix="orcspark_gdpr_")
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=out, run_id="gdpr", key="event_id", columns=cols,
+        n_partitions=4,
+    )
+    pipeline.run_encode_job(spark, ev, cfg)
+    pipeline.delete_rows_eq(
+        spark, out, "gdpr", "user_id", [target_user]
+    )
+    live = pipeline.decode_job(spark, out, "gdpr", ev.schema)
+    if live.filter(F.col("user_id") == target_user).count():
+        raise AssertionError("merge-on-read still shows the user")
+    pipeline.compact_run(
+        spark, out, "gdpr", ev.schema, new_run_id="gdpr-clean"
+    )
+    d = deletes_mod.delete_stats(spark, out, "gdpr-clean")
+    if d["n_vectors"] or d["n_eq_values"]:
+        raise AssertionError(f"compacted run still carries deletes: {d}")
+    want = ev.filter(F.col("user_id") != target_user).count()
+    got = pipeline.metadata_aggregate(
+        spark, out, "gdpr-clean", ["event_id"]
+    ).first()
+    if int(got.n_rows) != want:
+        raise AssertionError(
+            f"metadata count {got.n_rows} != erased view {want}"
+        )
+    return pipeline.decode_job(
+        spark, out, "gdpr-clean", ev.schema
+    ).orderBy("event_id")
+
+
 def _q_incremental_agg(spark, sf_dir):
     """Incremental view maintenance — the lakehouse incremental-ETL
     pattern over the store: a per-lang COUNT/SUM view is maintained
@@ -5152,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_decode": _q_text_search_decode,
         "position_delete_decode": _q_position_delete_decode,
         "equality_delete_decode": _q_equality_delete_decode,
+        "gdpr_erasure": _q_gdpr_erasure,
         "upsert_merge": _q_upsert_merge,
         "multi_run_union": _q_multi_run_union,
         "merge_runs": _q_merge_runs,
@@ -5766,6 +5814,10 @@ def oracle_sql() -> dict[str, str]:
         "position_delete_decode": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id NOT BETWEEN 100 AND 199 AND lang <> 'fr'"
+        ),
+        "gdpr_erasure": (
+            "SELECT event_id, user_id, event_type, value "
+            "FROM events WHERE user_id <> 42 ORDER BY event_id"
         ),
         "equality_delete_decode": (
             "SELECT doc_id, n_chars FROM documents "
