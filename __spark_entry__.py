@@ -3995,6 +3995,19 @@ def _q_sessionize(spark, sf_dir):
     return temporal.sessionize(_load(spark, sf_dir, "events"))
 
 
+def _q_rolling_stats(spark, sf_dir):
+    """Trailing 7-day per-key window features (temporal.rolling_stats
+    — burst/rate feature engineering): one shuffle on user_id, RANGE
+    frame over exact integer microseconds, incremental window
+    evaluation (never a self-join). DuckDB recomputes the identical
+    frame."""
+    from orc_spark.textops import temporal
+
+    return temporal.rolling_stats(
+        _load(spark, sf_dir, "events")
+    ).orderBy("event_id")
+
+
 def _q_ohlc_bars(spark, sf_dir):
     """OHLC bar rollup (temporal.ohlc_bars): per (week, event_type)
     the opening/high/low/closing value + count in ONE map-side-
@@ -5134,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "sessionize": _q_sessionize,
         "ohlc_bars": _q_ohlc_bars,
+        "rolling_stats": _q_rolling_stats,
         "asof_join": _q_asof_join,
         "asof_tolerance": _q_asof_tolerance,
         "latest_snapshot": _q_latest_snapshot,
@@ -5599,6 +5613,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": analysis.domain_mix_sql("documents"),
         "sessionize": temporal.sessionize_sql("events"),
         "ohlc_bars": temporal.ohlc_bars_events_sql("events"),
+        "rolling_stats": temporal.rolling_stats_events_sql("events"),
         "funnel": temporal.funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),

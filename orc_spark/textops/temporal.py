@@ -633,3 +633,51 @@ def ohlc_bars_events_sql(table: str, unit: str = "week") -> str:
         "AND c.event_type = agg.event_type AND c.rn_d = 1 "
         "ORDER BY agg.bucket, agg.event_type"
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    days: int = 7,
+) -> DataFrame:
+    """Trailing time-window aggregates per row — for every event, the
+    COUNT and SUM of the same key's events in the preceding ``days``
+    (inclusive of the current row): the feature-engineering shape
+    behind burst detection and rate features.
+
+    Scale shape: ONE shuffle keyed by ``key_col``; the RANGE frame is
+    evaluated over integer microseconds (tz-independent, exact), and
+    Spark's incremental window evaluation keeps it O(rows) per key —
+    no self-join, no explode. Count is exact; the double SUM is
+    order-defined within the frame.
+    """
+    us = _micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-days * 86_400_000_000, 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum(value_col).over(w), 6).alias("sum_trailing"),
+    )
+
+
+def rolling_stats_events_sql(table: str, days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_stats` — the identical integer-
+    microsecond RANGE frame."""
+    us = days * 86_400_000_000
+    return (
+        f"SELECT event_id, user_id, "
+        "COUNT(*) OVER w AS n_trailing, "
+        "ROUND(SUM(value) OVER w, 6) AS sum_trailing "
+        f"FROM {table} "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        f"RANGE BETWEEN {us} PRECEDING AND CURRENT ROW) "
+        "ORDER BY event_id"
+    )
