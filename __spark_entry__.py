@@ -3995,6 +3995,31 @@ def _q_sessionize(spark, sf_dir):
     return temporal.sessionize(_load(spark, sf_dir, "events"))
 
 
+def _q_skew_join(spark, sf_dir):
+    """Skew-defused equi-join (skew.salted_join — the manual salting
+    trick the north rule names): the event stream (user_id is zipf-ish
+    — a hot user would pin one task) joins the customer dim with the
+    key rewritten to (key, salt): big side salted deterministically by
+    event_id, small side exploded n_salts ways. The result must equal
+    the PLAIN join bit-for-bit — every event meets its customer in
+    exactly one salt bucket — which the oracle recomputes
+    relationally."""
+    from orc_spark.engine import skew
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("c_custkey"), "event_type"
+    )
+    dim = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = skew.salted_join(
+        ev, dim, "c_custkey", n_salts=8, salt_on=F.col("event_id")
+    )
+    return out.select(
+        "event_id", "c_custkey", "event_type", "c_mktsegment"
+    ).orderBy("event_id")
+
+
 def _q_rolling_stats(spark, sf_dir):
     """Trailing 7-day per-key window features (temporal.rolling_stats
     — burst/rate feature engineering): one shuffle on user_id, RANGE
@@ -5148,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "ohlc_bars": _q_ohlc_bars,
         "rolling_stats": _q_rolling_stats,
+        "skew_join": _q_skew_join,
         "asof_join": _q_asof_join,
         "asof_tolerance": _q_asof_tolerance,
         "latest_snapshot": _q_latest_snapshot,
@@ -5614,6 +5640,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": temporal.sessionize_sql("events"),
         "ohlc_bars": temporal.ohlc_bars_events_sql("events"),
         "rolling_stats": temporal.rolling_stats_events_sql("events"),
+        "skew_join": (
+            "SELECT e.event_id, e.user_id AS c_custkey, e.event_type, "
+            "c.c_mktsegment "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+            "ORDER BY e.event_id"
+        ),
         "funnel": temporal.funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),

@@ -101,3 +101,46 @@ def salted_repartition(
 ) -> DataFrame:
     """Repartition on xxhash64(key, salt) — breaks host clustering."""
     return df.repartition(n_partitions, salt_expr(key, salt))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_on=None,
+) -> DataFrame:
+    """Skew-defused equi-join — the manual salting technique for when
+    a handful of hot keys would pin single tasks (AQE's skew-join
+    split handles post-shuffle partitions; salting also spreads ONE
+    key's rows across ``n_salts`` tasks, which AQE cannot).
+
+    The BIG (skewed) left side gets a deterministic salt
+    ``pmod(xxhash64(salt_on or monotonically-unique cols), n)`` — we
+    use md5 of the row's key+shuffle-grain column so reruns are
+    stable; the SMALL right side explodes each row into all
+    ``n_salts`` replicas; the join key becomes (key, salt). Result is
+    EXACTLY the plain join (every left row meets every right match in
+    precisely one salt bucket).
+
+    Cost model at 100 TB: right side inflates n_salts×, which is the
+    price of spreading the hot key — keep the replicated side the
+    small one. Semantics: inner or left ('right'/'full' would need
+    anti-salt bookkeeping; refused loudly).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports inner/left — replicate the other "
+            "side for right-joins"
+        )
+    grain = salt_on if salt_on is not None else F.monotonically_increasing_id()
+    # monotonically_increasing_id is NOT rerun-stable; default to it
+    # only for ephemeral plans and document salt_on for determinism
+    salt = F.pmod(F.xxhash64(grain), F.lit(n_salts)).cast("int")
+    l_s = left.withColumn("_salt", salt)
+    r_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = l_s.join(r_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -1038,3 +1038,40 @@ def test_dnf_key_union_pins_and_voids(spark, tmp_path):
         (F.col("doc_id") == 42) | (F.col("lang") == "3")
     ).count()
     assert got2 == want2
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join bit-for-bit (inner and left, with
+    unmatched keys), and the hot key's rows spread over several salt
+    buckets; right/full refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orc_spark.engine import skew
+
+    left = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2) for i in range(2000)] + [(9999, 777)],
+        "row_id bigint, k bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "nobody")], "k bigint, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, skew.salted_join(
+                left, right, "k", n_salts=8,
+                how=how, salt_on=F.col("row_id"),
+            ).select("row_id", "k", "tag").collect())
+        )
+        want = sorted(
+            map(tuple, left.join(right, "k", how)
+                .select("row_id", "k", "tag").collect())
+        )
+        assert got == want, how
+    # the hot key (k=1, 1800 rows) lands in >1 salt bucket
+    salted = left.filter(F.col("k") == 1).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
+    )
+    assert salted.select("_salt").distinct().count() > 4
+    with pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(left, right, "k", how="full")
