@@ -3874,6 +3874,19 @@ def _q_inverted_index(spark, sf_dir):
     )
 
 
+def _q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension normalization constants of the embedding corpus
+    (similarity.embedding_dim_stats): one posexplode + ONE map-side-
+    combined groupBy(dim) — shuffle carries dims x partitions partial
+    rows, never vectors; f4 values widen to f8 BEFORE any sum so the
+    DuckDB unnest-WITH-ORDINALITY twin agrees to 6 decimals."""
+    from orc_spark.textops import similarity
+
+    return similarity.embedding_dim_stats(
+        _load(spark, sf_dir, "embeddings")
+    )
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization of the embeddings table
     (similarity.quantize_int8 — FAISS/Lucene SQ8 layout, 4x smaller
@@ -5141,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "inverted_index": _q_inverted_index,
         "embedding_quantize": _q_embedding_quantize,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "link_graph": _q_link_graph,
         "anchor_text_index": _q_anchor_text_index,
         "pagerank_hosts": _q_pagerank_hosts,
@@ -5632,6 +5646,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", df_cap=400
         ),
         "embedding_quantize": similarity.quantize_int8_sql("embeddings"),
+        "embedding_dim_stats": similarity.embedding_dim_stats_sql(
+            "embeddings"
+        ),
         "link_graph": extraction.link_graph_sql(
             "(" + _LINK_SEED_SQL + ") seeded"
         ),

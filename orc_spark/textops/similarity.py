@@ -736,3 +736,50 @@ n AS (
 )
 SELECT id, bucket, ROUND(w, 6) AS w_r FROM n ORDER BY id, bucket
 """
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION corpus statistics of an embedding column — the
+    normalization constants (mean/std per dim) every whitening /
+    standardization step needs before indexing or training.
+
+    Scale shape: posexplode to (dim, value) pairs feeds ONE
+    map-side-combined groupBy(dim) computing count/sum/sum-of-squares
+    — the shuffle carries #dims × #partitions partial rows, never the
+    vectors; variance folds with the parallel (Chan) algebra that the
+    partial aggregation already implements. Output is #dims rows.
+    Values widen to float64 BEFORE any sum (float32 accumulation
+    drifts and would diverge from any oracle).
+    """
+    pairs = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        pairs.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_pop("v"), 6).alias("std_pop"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_dim_stats_sql(table: str, vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`embedding_dim_stats` — an unnested index
+    range + subscripting reproduces posexplode's 0-based dim index
+    (this DuckDB build lacks WITH ORDINALITY)."""
+    return (
+        "WITH p AS (SELECT u.i - 1 AS dim, "
+        f"CAST({vec_col}[u.i] AS DOUBLE) AS v "
+        f"FROM {table}, "
+        f"UNNEST(range(1, len({vec_col}) + 1)) AS u(i)) "
+        "SELECT dim, COUNT(*) AS n, ROUND(AVG(v), 6) AS mean, "
+        "ROUND(STDDEV_POP(v), 6) AS std_pop, "
+        "ROUND(MIN(v), 6) AS lo, ROUND(MAX(v), 6) AS hi "
+        "FROM p GROUP BY dim ORDER BY dim"
+    )
