@@ -502,6 +502,59 @@ def cmd_rollback(args) -> int:
     return EXIT_OK
 
 
+def cmd_publish_table(args) -> int:
+    """Decode a run into one of the three consumption layouts:
+    Hive-partitioned parquet (directory pruning on a low-cardinality
+    column), bucketed catalog table (shuffle-free co-located joins),
+    or globally-sorted range-disjoint files (footer-stat range scans
+    + manifest-prefix top-N)."""
+    from orc_spark.engine import pipeline, storage
+
+    spark = _session(args.cores)
+    schema = spark.read.parquet(args.schema_from).schema
+    cols = args.columns.split(",") if args.columns else None
+    rep: dict = {"mode": args.mode, "dest": args.dest}
+    if args.mode == "partitioned":
+        rep.update(
+            storage.export_partitioned(
+                spark, args.out, args.run_id, schema, args.by,
+                args.dest, columns=cols,
+            )
+        )
+    elif args.mode == "bucketed":
+        storage.export_bucketed(
+            spark, args.out, args.run_id, schema, args.by,
+            args.table_name or f"pub_{args.run_id}", args.dest,
+            n_buckets=args.n, columns=cols,
+        )
+        rep["table"] = args.table_name or f"pub_{args.run_id}"
+    else:  # sorted
+        man = storage.export_sorted(
+            spark, args.out, args.run_id, schema, args.by,
+            args.dest, n_files=args.n, columns=cols,
+        ).collect()
+        rep["files"] = len(man)
+        rep["ranges"] = [
+            {"lo": str(m.lo), "hi": str(m.hi), "n_rows": m.n_rows}
+            for m in man
+        ]
+        if args.topn:
+            top, scanned, total = storage.topn_sorted(
+                spark,
+                spark.createDataFrame(man),
+                args.by,
+                args.topn,
+            )
+            rep["topn"] = {
+                "n": args.topn,
+                "files_scanned": scanned,
+                "files_total": total,
+                "first": str(top.first()[0]) if args.topn else None,
+            }
+    print(json.dumps(rep))
+    return EXIT_OK
+
+
 def cmd_publish(args) -> int:
     """Write-audit-publish: rename an audited staging run to its
     production run_id (metadata-only atomic rewrite)."""
@@ -1140,6 +1193,38 @@ def main(argv: list[str] | None = None) -> int:
         "Dolma/FineWeb lines; csv: RFC 4180, every field quoted)",
     )
     ex.set_defaults(fn=cmd_export)
+
+    pt = sub.add_parser(
+        "publish-table",
+        help="decode a run into a consumption layout: Hive-"
+        "partitioned dirs, bucketed catalog table, or globally-"
+        "sorted range-disjoint files (with optional manifest-prefix "
+        "top-N proof)",
+    )
+    pt.add_argument("--out", required=True)
+    pt.add_argument("--run-id", required=True)
+    pt.add_argument("--schema-from", required=True)
+    pt.add_argument("--dest", required=True)
+    pt.add_argument(
+        "--mode", required=True,
+        choices=["partitioned", "bucketed", "sorted"],
+    )
+    pt.add_argument(
+        "--by", required=True,
+        help="partition / bucket / sort column",
+    )
+    pt.add_argument(
+        "--n", type=int, default=8,
+        help="bucket count (bucketed) or file count (sorted)",
+    )
+    pt.add_argument("--table-name", default=None)
+    pt.add_argument("--columns", default=None)
+    pt.add_argument(
+        "--topn", type=int, default=None,
+        help="sorted mode: also run a top-N read and report how few "
+        "files it scanned",
+    )
+    pt.set_defaults(fn=cmd_publish_table)
 
     pub = sub.add_parser(
         "publish",

@@ -318,3 +318,43 @@ def test_topn_sorted_prunes_files_and_is_exact(spark, tmp_path):
 
     with pytest.raises(ValueError, match="positive"):
         storage.topn_sorted(spark, man, "event_id", 0)
+
+
+def test_publish_table_cli_three_modes(spark, tmp_path, capsys):
+    import json
+
+    from orc_spark.__main__ import main
+    from orc_spark.engine import pipeline
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 5 AS STRING) AS lang"
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    cfg = pipeline.EncodeJobConfig(
+        out_dir=str(tmp_path / "r"), run_id="p", key="doc_id",
+        columns=["doc_id", "lang"], n_partitions=2,
+    )
+    pipeline.run_encode_job(spark, df, cfg)
+
+    assert main([
+        "publish-table", "--out", cfg.out_dir, "--run-id", "p",
+        "--schema-from", src, "--dest", str(tmp_path / "hive"),
+        "--mode", "partitioned", "--by", "lang",
+    ]) == 0
+    capsys.readouterr()
+    import os
+    assert any(
+        d.startswith("lang=") for d in os.listdir(tmp_path / "hive")
+    )
+
+    assert main([
+        "publish-table", "--out", cfg.out_dir, "--run-id", "p",
+        "--schema-from", src, "--dest", str(tmp_path / "sorted"),
+        "--mode", "sorted", "--by", "doc_id", "--n", "4",
+        "--topn", "50",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files"] == 4
+    assert rep["topn"]["files_scanned"] == 1
+    assert rep["topn"]["first"] == "0"
